@@ -1,0 +1,236 @@
+"""Shared building blocks for the UNet-family zoo.
+
+TPU-first conventions used throughout the zoo:
+
+- **NHWC layout** (TPU-preferred; XLA tiles the channel axis onto the 128-lane
+  vector registers and the MXU without transposes).
+- **bf16-friendly**: modules take a ``dtype`` for compute; parameters and
+  BatchNorm statistics stay float32 (``param_dtype``).
+- Static Python control flow only — the depth-parametric encoder/decoder loops
+  unroll at trace time, so everything under ``jit`` is a single static graph.
+
+Behavioral parity targets (capability, not code) in the reference:
+  /root/reference/models/mod.py:43-51   (Conv-BN-ReLU double block)
+  /root/reference/models/mod.py:71-84   (ResidualBlock)
+  /root/reference/models/mod.py:136-150 (ASPP)
+  /root/reference/models/mod.py:211-234 (AttentionGate)
+  /root/reference/models/mod.py:297-320 (TransEncoder)
+Parameter shapes/counts match the torch reference exactly (see
+tests/test_models.py golden counts).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# Torch BatchNorm2d defaults: eps=1e-5, momentum=0.1 (new = 0.9*old + 0.1*batch).
+# Flax momentum is the retention factor of the old stats, hence 0.9.
+BN_MOMENTUM = 0.9
+BN_EPS = 1e-5
+
+
+class ConvBNAct(nn.Module):
+    """3x3 Conv (no bias) -> BatchNorm -> activation, twice.
+
+    The canonical encoder/decoder block of the zoo. ``act`` selects ReLU or a
+    learnable PReLU (VNet2D uses PReLU with torch's 0.25 init).
+    """
+
+    features: int
+    act: str = "relu"  # "relu" | "prelu"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        for i in range(2):
+            x = nn.Conv(
+                self.features, (3, 3), padding=1, use_bias=False,
+                dtype=self.dtype, name=f"conv{i + 1}",
+            )(x)
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=BN_MOMENTUM,
+                epsilon=BN_EPS, dtype=self.dtype, name=f"bn{i + 1}",
+            )(x)
+            if self.act == "prelu":
+                # torch nn.PReLU(): one shared learnable slope, init 0.25.
+                x = nn.PReLU(negative_slope_init=0.25, name=f"prelu{i + 1}")(x)
+            else:
+                x = nn.relu(x)
+        return x
+
+
+class ResidualBlock(nn.Module):
+    """(Conv-BN-ReLU-Conv-BN) + 1x1-conv shortcut, ReLU after the add."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        y = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         epsilon=BN_EPS, dtype=self.dtype, name="bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
+                    dtype=self.dtype, name="conv2")(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         epsilon=BN_EPS, dtype=self.dtype, name="bn2")(y)
+        s = nn.Conv(self.features, (1, 1), use_bias=False,
+                    dtype=self.dtype, name="skip")(x)
+        return nn.relu(y + s)
+
+
+class ASPP(nn.Module):
+    """Atrous spatial pyramid pooling bottleneck.
+
+    Four parallel dilated 3x3 convs (rates 1/6/12/18 by default) concatenated
+    and projected by a 1x1 Conv-BN-ReLU.
+    """
+
+    features: int
+    dilations: Sequence[int] = (1, 6, 12, 18)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        branches = [
+            nn.Conv(self.features, (3, 3), padding=d, kernel_dilation=(d, d),
+                    use_bias=False, dtype=self.dtype, name=f"branch{i}")(x)
+            for i, d in enumerate(self.dilations)
+        ]
+        y = jnp.concatenate(branches, axis=-1)
+        y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="project")(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         epsilon=BN_EPS, dtype=self.dtype, name="project_bn")(y)
+        return nn.relu(y)
+
+
+class AttentionGate(nn.Module):
+    """Additive attention gate on a skip connection.
+
+    psi = sigmoid(BN(Conv1x1(relu(W_g . g + W_x . x)))); returns x * psi.
+    """
+
+    inter_features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, g, x, *, train: bool):
+        g1 = nn.Conv(self.inter_features, (1, 1), use_bias=True,
+                     dtype=self.dtype, name="w_g")(g)
+        g1 = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                          epsilon=BN_EPS, dtype=self.dtype, name="w_g_bn")(g1)
+        x1 = nn.Conv(self.inter_features, (1, 1), use_bias=True,
+                     dtype=self.dtype, name="w_x")(x)
+        x1 = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                          epsilon=BN_EPS, dtype=self.dtype, name="w_x_bn")(x1)
+        psi = nn.relu(g1 + x1)
+        psi = nn.Conv(1, (1, 1), use_bias=True, dtype=self.dtype,
+                      name="psi")(psi)
+        psi = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                           epsilon=BN_EPS, dtype=self.dtype, name="psi_bn")(psi)
+        return x * jax.nn.sigmoid(psi)
+
+
+def max_pool_2x2(x):
+    """2x2 stride-2 max pool, NHWC. Maps to an XLA reduce-window."""
+    return nn.max_pool(x, (2, 2), strides=(2, 2))
+
+
+def up_conv(features: int, *, use_bias: bool = True, dtype=jnp.float32,
+            name: str | None = None):
+    """2x2 stride-2 transposed conv (exact equivalent of torch
+    ConvTranspose2d(k=2, s=2): non-overlapping taps, so flax's fractionally-
+    strided formulation is identical)."""
+    return nn.ConvTranspose(features, (2, 2), strides=(2, 2), padding="VALID",
+                            use_bias=use_bias, dtype=dtype, name=name)
+
+
+def resize_bilinear(x, h: int, w: int):
+    """Bilinear spatial resize on NHWC, align_corners=False semantics
+    (jax.image 'linear' matches torch interpolate align_corners=False)."""
+    n, _, _, c = x.shape
+    return jax.image.resize(x, (n, h, w, c), method="linear")
+
+
+def match_spatial(x, skip):
+    """Shape-fix: bilinearly resize ``x`` to ``skip``'s spatial dims if they
+    differ (mirrors the F.interpolate guard in every reference decoder)."""
+    if x.shape[1:3] != skip.shape[1:3]:
+        x = resize_bilinear(x, skip.shape[1], skip.shape[2])
+    return x
+
+
+class TransformerEncoderLayer(nn.Module):
+    """Post-LN transformer encoder layer with torch-compatible parameter
+    shapes: packed qkv projection, ReLU feed-forward of width 4*embed_dim.
+
+    x = LN1(x + Drop(SelfAttn(x))); x = LN2(x + Drop(FF(x)))
+    """
+
+    embed_dim: int
+    num_heads: int
+    mlp_ratio: int = 4
+    dropout: float = 0.1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        b, s, e = x.shape
+        h = self.num_heads
+        hd = e // h
+        # Packed qkv like torch MHA's in_proj (3E x E weight + 3E bias).
+        qkv = nn.Dense(3 * e, use_bias=True, dtype=self.dtype, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):
+            return t.reshape(b, s, h, hd).transpose(0, 2, 1, 3)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        # Bottleneck sequence is short (<= 4096 tokens); a plain fused
+        # softmax(QK^T)V lowers to two MXU matmuls + a fused softmax. For
+        # larger sequences see ddti_tpu.ops.attention (Pallas flash kernel).
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                          preferred_element_type=jnp.float32)
+        attn = attn / jnp.sqrt(jnp.asarray(hd, attn.dtype))
+        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+        y = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+        y = y.transpose(0, 2, 1, 3).reshape(b, s, e)
+        y = nn.Dense(e, use_bias=True, dtype=self.dtype, name="out_proj")(y)
+        y = nn.Dropout(self.dropout, deterministic=not train)(y)
+        x = nn.LayerNorm(dtype=self.dtype, name="ln1")(x + y)
+
+        y = nn.Dense(self.mlp_ratio * e, use_bias=True, dtype=self.dtype,
+                     name="fc1")(x)
+        y = nn.relu(y)
+        y = nn.Dropout(self.dropout, deterministic=not train)(y)
+        y = nn.Dense(e, use_bias=True, dtype=self.dtype, name="fc2")(y)
+        y = nn.Dropout(self.dropout, deterministic=not train)(y)
+        return nn.LayerNorm(dtype=self.dtype, name="ln2")(x + y)
+
+
+class SEBlock(nn.Module):
+    """Squeeze-and-excitation channel gate (used by the legacy triple-branch
+    ImprovedVNet, /root/reference/models/vnet.py:5-23)."""
+
+    features: int
+    reduction: int = 16
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        s = jnp.mean(x, axis=(1, 2))  # NHWC -> NC
+        s = nn.Dense(max(self.features // self.reduction, 1), use_bias=True,
+                     dtype=self.dtype, name="fc1")(s)
+        s = nn.relu(s)
+        s = nn.Dense(self.features, use_bias=True, dtype=self.dtype,
+                     name="fc2")(s)
+        s = jax.nn.sigmoid(s)
+        return x * s[:, None, None, :]

@@ -1,0 +1,351 @@
+"""The seven-architecture UNet-family model zoo (flax.linen, NHWC).
+
+Every model has the uniform constructor
+``(in_channels, out_channels, base_filters, depth, **kwargs)`` and maps
+``(N, H, W, in_channels) -> (N, H, W, out_channels)`` logits, matching the
+capability surface of /root/reference/models/mod.py (UNet :9-66, ResUNet
+:86-131, ASPPUNet :152-206, AttentionUNet :236-292, TransUNet :322-403,
+VNet2D :408-463, ImprovedVNet :468-541). Parameter counts match the torch
+reference exactly (tests/test_models.py).
+
+TPU notes:
+- channel schedule ``base_filters * 2**i`` keeps convs MXU-shaped;
+- the depth loop unrolls at trace time (static shapes, no dynamic control
+  flow under jit);
+- pass ``dtype=jnp.bfloat16`` for bf16 activations/compute with f32 params.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .blocks import (
+    ASPP,
+    AttentionGate,
+    ConvBNAct,
+    ResidualBlock,
+    TransformerEncoderLayer,
+    match_spatial,
+    max_pool_2x2,
+    up_conv,
+)
+
+
+class _EncoderDecoderBase(nn.Module):
+    """Shared scaffold config for the pool-based UNet variants."""
+
+    in_channels: int = 1
+    out_channels: int = 1
+    base_filters: int = 64
+    depth: int = 5
+    dtype: Any = jnp.float32
+
+    @property
+    def channels(self):
+        return [self.base_filters * (2 ** i) for i in range(self.depth)]
+
+
+class UNet(_EncoderDecoderBase):
+    """Plain parametric UNet: double-conv blocks, maxpool down, transposed-
+    conv up, [skip, x] concat, 1x1 head."""
+
+    def setup(self):
+        ch = self.channels
+        self.encoders = [ConvBNAct(c, dtype=self.dtype) for c in ch]
+        self.bottleneck = ConvBNAct(ch[-1] * 2, dtype=self.dtype)
+        self.upconvs = [up_conv(c, dtype=self.dtype) for c in reversed(ch)]
+        self.decoders = [ConvBNAct(c, dtype=self.dtype) for c in reversed(ch)]
+        self.final_conv = nn.Conv(self.out_channels, (1, 1), use_bias=True,
+                                  dtype=self.dtype, name="final_conv")
+
+    def __call__(self, x, *, train: bool = False):
+        skips = []
+        for enc in self.encoders:
+            x = enc(x, train=train)
+            skips.append(x)
+            x = max_pool_2x2(x)
+        x = self.bottleneck(x, train=train)
+        for up, dec, skip in zip(self.upconvs, self.decoders, reversed(skips)):
+            x = up(x)
+            x = match_spatial(x, skip)
+            x = jnp.concatenate([skip, x], axis=-1)
+            x = dec(x, train=train)
+        return self.final_conv(x)
+
+
+class ResUNet(_EncoderDecoderBase):
+    """UNet topology with residual blocks everywhere."""
+
+    def setup(self):
+        ch = self.channels
+        self.encoders = [ResidualBlock(c, dtype=self.dtype) for c in ch]
+        self.bottleneck = ResidualBlock(ch[-1] * 2, dtype=self.dtype)
+        self.upconvs = [up_conv(c, dtype=self.dtype) for c in reversed(ch)]
+        self.decoders = [ResidualBlock(c, dtype=self.dtype)
+                         for c in reversed(ch)]
+        self.final_conv = nn.Conv(self.out_channels, (1, 1), use_bias=True,
+                                  dtype=self.dtype, name="final_conv")
+
+    def __call__(self, x, *, train: bool = False):
+        skips = []
+        for enc in self.encoders:
+            x = enc(x, train=train)
+            skips.append(x)
+            x = max_pool_2x2(x)
+        x = self.bottleneck(x, train=train)
+        for up, dec, skip in zip(self.upconvs, self.decoders, reversed(skips)):
+            x = up(x)
+            x = match_spatial(x, skip)
+            x = jnp.concatenate([skip, x], axis=-1)
+            x = dec(x, train=train)
+        return self.final_conv(x)
+
+
+class ASPPUNet(_EncoderDecoderBase):
+    """UNet with an atrous-spatial-pyramid-pooling bottleneck."""
+
+    aspp_dilations: Sequence[int] = (1, 6, 12, 18)
+
+    def setup(self):
+        ch = self.channels
+        self.encoders = [ConvBNAct(c, dtype=self.dtype) for c in ch]
+        self.aspp = ASPP(ch[-1] * 2, dilations=tuple(self.aspp_dilations),
+                         dtype=self.dtype)
+        self.upconvs = [up_conv(c, dtype=self.dtype) for c in reversed(ch)]
+        self.decoders = [ConvBNAct(c, dtype=self.dtype) for c in reversed(ch)]
+        self.final_conv = nn.Conv(self.out_channels, (1, 1), use_bias=True,
+                                  dtype=self.dtype, name="final_conv")
+
+    def __call__(self, x, *, train: bool = False):
+        skips = []
+        for enc in self.encoders:
+            x = enc(x, train=train)
+            skips.append(x)
+            x = max_pool_2x2(x)
+        x = self.aspp(x, train=train)
+        for up, dec, skip in zip(self.upconvs, self.decoders, reversed(skips)):
+            x = up(x)
+            x = match_spatial(x, skip)
+            x = jnp.concatenate([skip, x], axis=-1)
+            x = dec(x, train=train)
+        return self.final_conv(x)
+
+
+class AttentionUNet(_EncoderDecoderBase):
+    """UNet with additive attention gates on the skip connections."""
+
+    def setup(self):
+        ch = self.channels
+        self.encoders = [ConvBNAct(c, dtype=self.dtype) for c in ch]
+        self.bottleneck = ConvBNAct(ch[-1] * 2, dtype=self.dtype)
+        self.upconvs = [up_conv(c, dtype=self.dtype) for c in reversed(ch)]
+        self.attn_gates = [AttentionGate(c // 2, dtype=self.dtype)
+                           for c in reversed(ch)]
+        self.decoders = [ConvBNAct(c, dtype=self.dtype) for c in reversed(ch)]
+        self.final_conv = nn.Conv(self.out_channels, (1, 1), use_bias=True,
+                                  dtype=self.dtype, name="final_conv")
+
+    def __call__(self, x, *, train: bool = False):
+        skips = []
+        for enc in self.encoders:
+            x = enc(x, train=train)
+            skips.append(x)
+            x = max_pool_2x2(x)
+        x = self.bottleneck(x, train=train)
+        for up, gate, dec, skip in zip(self.upconvs, self.attn_gates,
+                                       self.decoders, reversed(skips)):
+            x = up(x)
+            x = match_spatial(x, skip)
+            skip_att = gate(g=x, x=skip, train=train)
+            x = jnp.concatenate([skip_att, x], axis=-1)
+            x = dec(x, train=train)
+        return self.final_conv(x)
+
+
+class TransUNet(_EncoderDecoderBase):
+    """CNN encoder + transformer bottleneck + UNet decoder.
+
+    The bottleneck patchifies with a 1x1 conv to ``embed_dim``, adds a learned
+    positional embedding over (image_size / 2**depth)^2 tokens, runs
+    ``num_transformer_layers`` post-LN encoder layers, projects back to the
+    encoder width and reshapes to the spatial map.
+    """
+
+    num_transformer_layers: int = 4
+    num_heads: int = 8
+    embed_dim: int = 256
+    image_size: int = 512
+
+    def setup(self):
+        ch = self.channels
+        self.encoders = [ConvBNAct(c, dtype=self.dtype) for c in ch]
+        s = self.image_size // (2 ** self.depth)
+        self.patchify = nn.Conv(self.embed_dim, (1, 1), use_bias=False,
+                                dtype=self.dtype, name="patchify")
+        self.pos_emb = self.param(
+            "pos_emb", nn.initializers.normal(1.0),
+            (1, s * s, self.embed_dim), jnp.float32)
+        self.trans_layers = [
+            TransformerEncoderLayer(self.embed_dim, self.num_heads,
+                                    dtype=self.dtype)
+            for _ in range(self.num_transformer_layers)
+        ]
+        self.trans_proj = nn.Dense(ch[-1], use_bias=True, dtype=self.dtype,
+                                   name="trans_proj")
+        self.in_dropout = nn.Dropout(0.1)
+        self.upconvs = [up_conv(c, dtype=self.dtype) for c in reversed(ch)]
+        self.decoders = [ConvBNAct(c, dtype=self.dtype) for c in reversed(ch)]
+        self.final_conv = nn.Conv(self.out_channels, (1, 1), use_bias=True,
+                                  dtype=self.dtype, name="final_conv")
+
+    def __call__(self, x, *, train: bool = False):
+        skips = []
+        for enc in self.encoders:
+            x = enc(x, train=train)
+            skips.append(x)
+            x = max_pool_2x2(x)
+        n, h, w, _ = x.shape
+        x = self.patchify(x)
+        x = x.reshape(n, h * w, self.embed_dim)
+        x = x + self.pos_emb.astype(x.dtype)
+        x = self.in_dropout(x, deterministic=not train)
+        for layer in self.trans_layers:
+            x = layer(x, train=train)
+        x = self.trans_proj(x)
+        x = x.reshape(n, h, w, -1)
+        for up, dec, skip in zip(self.upconvs, self.decoders, reversed(skips)):
+            x = up(x)
+            x = match_spatial(x, skip)
+            x = jnp.concatenate([skip, x], axis=-1)
+            x = dec(x, train=train)
+        return self.final_conv(x)
+
+
+class VNet2D(_EncoderDecoderBase):
+    """UNet topology with strided-conv downsampling and PReLU activations."""
+
+    base_filters: int = 16
+
+    def setup(self):
+        ch = self.channels
+        self.enc_blocks = [ConvBNAct(c, act="prelu", dtype=self.dtype)
+                           for c in ch]
+        self.down_convs = [
+            nn.Conv(c, (2, 2), strides=(2, 2), use_bias=False,
+                    dtype=self.dtype, name=f"down_convs_{i}")
+            for i, c in enumerate(ch)
+        ]
+        self.bottleneck = ConvBNAct(ch[-1] * 2, act="prelu", dtype=self.dtype)
+        self.up_convs = [up_conv(c, use_bias=False, dtype=self.dtype)
+                         for c in reversed(ch)]
+        self.dec_blocks = [ConvBNAct(c, act="prelu", dtype=self.dtype)
+                           for c in reversed(ch)]
+        self.final_conv = nn.Conv(self.out_channels, (1, 1), use_bias=True,
+                                  dtype=self.dtype, name="final_conv")
+
+    def __call__(self, x, *, train: bool = False):
+        skips = []
+        for enc, down in zip(self.enc_blocks, self.down_convs):
+            x = enc(x, train=train)
+            skips.append(x)
+            x = down(x)
+        x = self.bottleneck(x, train=train)
+        for up, dec, skip in zip(self.up_convs, self.dec_blocks,
+                                 reversed(skips)):
+            x = up(x)
+            x = match_spatial(x, skip)
+            x = jnp.concatenate([skip, x], axis=-1)
+            x = dec(x, train=train)
+        return self.final_conv(x)
+
+
+class ImprovedVNet(_EncoderDecoderBase):
+    """VNet2D topology (strided-conv down) with ReLU blocks, optional
+    per-skip attention gates and optional deep-supervision heads.
+
+    With ``deep_supervision=True`` returns ``(logits, [ds_logits...])``.
+    """
+
+    base_filters: int = 16
+    use_attention: bool = True
+    deep_supervision: bool = False
+
+    def setup(self):
+        ch = self.channels
+        self.enc_blocks = [ConvBNAct(c, dtype=self.dtype) for c in ch]
+        self.down_convs = [
+            nn.Conv(c, (2, 2), strides=(2, 2), use_bias=False,
+                    dtype=self.dtype, name=f"down_convs_{i}")
+            for i, c in enumerate(ch)
+        ]
+        self.bottleneck = ConvBNAct(ch[-1] * 2, dtype=self.dtype)
+        self.up_convs = [up_conv(c, use_bias=False, dtype=self.dtype)
+                         for c in reversed(ch)]
+        if self.use_attention:
+            self.attn_gates = [AttentionGate(c // 2, dtype=self.dtype)
+                               for c in reversed(ch)]
+        self.dec_blocks = [ConvBNAct(c, dtype=self.dtype)
+                           for c in reversed(ch)]
+        if self.deep_supervision:
+            # One 1x1 head per decoder level, indexed by the encoder channel
+            # schedule (matches the reference's per-``features`` heads).
+            self.ds_heads = [
+                nn.Conv(self.out_channels, (1, 1), use_bias=True,
+                        dtype=self.dtype, name=f"ds_heads_{i}")
+                for i, _ in enumerate(ch)
+            ]
+        self.final_conv = nn.Conv(self.out_channels, (1, 1), use_bias=True,
+                                  dtype=self.dtype, name="final_conv")
+
+    def __call__(self, x, *, train: bool = False):
+        skips = []
+        for enc, down in zip(self.enc_blocks, self.down_convs):
+            x = enc(x, train=train)
+            skips.append(x)
+            x = down(x)
+        x = self.bottleneck(x, train=train)
+        ds_outs = []
+        for i, (up, dec) in enumerate(zip(self.up_convs, self.dec_blocks)):
+            x = up(x)
+            skip = skips[-1 - i]
+            if self.use_attention:
+                skip = self.attn_gates[i](g=x, x=skip, train=train)
+            x = match_spatial(x, skip)
+            x = jnp.concatenate([skip, x], axis=-1)
+            x = dec(x, train=train)
+            if self.deep_supervision:
+                ds_outs.append(self.ds_heads[i](x))
+        out = self.final_conv(x)
+        if self.deep_supervision:
+            return out, ds_outs
+        return out
+
+
+MODEL_REGISTRY = {
+    "UNet": UNet,
+    "ResUNet": ResUNet,
+    "ASPPUNet": ASPPUNet,
+    "AttentionUNet": AttentionUNet,
+    "TransUNet": TransUNet,
+    "VNet2D": VNet2D,
+    "ImprovedVNet": ImprovedVNet,
+}
+
+
+def create_model(model_type: str, **kwargs):
+    """Instantiate a zoo model by name (the live YAML-dispatch path that the
+    reference left dead at /root/reference/main.py:124-140)."""
+    try:
+        cls = MODEL_REGISTRY[model_type]
+    except KeyError:
+        raise NotImplementedError(
+            f"Unknown model_type {model_type!r}; "
+            f"choose from {sorted(MODEL_REGISTRY)}") from None
+    # Tolerate unknown kwargs like the reference ctors' **kwargs.
+    import dataclasses
+    valid = {f.name for f in dataclasses.fields(cls)}
+    kwargs = {k: v for k, v in kwargs.items() if k in valid}
+    return cls(**kwargs)
