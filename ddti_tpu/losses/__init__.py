@@ -1,0 +1,8 @@
+from .losses import (  # noqa: F401
+    bce_with_logits_loss,
+    boundary_loss,
+    composite_loss,
+    dice_loss,
+    focal_tversky_loss,
+    weighted_loss,
+)
