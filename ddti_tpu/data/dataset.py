@@ -1,0 +1,153 @@
+"""Dataset + device-resident data source.
+
+``MedicalDataset`` mirrors the reference's filename-pairing dataset
+(/root/reference/data/data_loader.py:9-27): every image ``<name>.jpg`` in
+``img_dir`` pairs with ``<name>_mask.jpg`` in ``mask_dir``.
+
+TPU-first loading model: DDTI is small (hundreds of ultrasound frames), so
+the idiomatic design is a **device-resident store** — decode once on the
+host to a canonical uint8 resolution, push the whole dataset to HBM, and do
+all batching/augmentation on device (zero host<->device traffic per step,
+no DataLoader worker processes). ``HostBatchIterator`` provides a streaming
+fallback for datasets that outgrow HBM, with the host augmentation oracle.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Iterator, Sequence
+
+import numpy as np
+
+try:
+    from PIL import Image
+except Exception:  # pragma: no cover
+    Image = None
+
+import jax
+import jax.numpy as jnp
+
+
+class MedicalDataset:
+    """Filename-paired (image, mask) dataset with lazy PIL decode."""
+
+    def __init__(self, img_dir: str, mask_dir: str, transform=None):
+        self.img_dir = str(img_dir)
+        self.mask_dir = str(mask_dir)
+        self.img_names = [p.name for p in sorted(Path(img_dir).rglob("*"))
+                          if p.is_file()]
+        self.mask_names = [n.split(".jpg")[0] + "_mask.jpg"
+                           for n in self.img_names]
+        self.transform = transform
+
+    def __len__(self):
+        return len(self.img_names)
+
+    def open_pair(self, idx: int):
+        img = Image.open(os.path.join(self.img_dir, self.img_names[idx]))
+        mask = Image.open(os.path.join(self.mask_dir, self.mask_names[idx]))
+        return img, mask
+
+    def __getitem__(self, idx: int):
+        img, mask = self.open_pair(idx)
+        if self.transform is not None:
+            return self.transform(img, mask)
+        return img, mask
+
+
+def decode_to_store(dataset: MedicalDataset, store_size=(512, 512),
+                    dtype=np.uint8) -> tuple[np.ndarray, np.ndarray]:
+    """Decode + canonical-resize the whole dataset to two uint8 arrays
+    (N, H, W, 1). Grayscale ('L') conversion like PIL gives for DDTI jpgs."""
+    h, w = store_size
+    n = len(dataset)
+    images = np.zeros((n, h, w, 1), dtype)
+    masks = np.zeros((n, h, w, 1), dtype)
+    for i in range(n):
+        img, mask = dataset.open_pair(i)
+        img = img.convert("L").resize((w, h), Image.BILINEAR)
+        mask = mask.convert("L").resize((w, h), Image.BILINEAR)
+        images[i, ..., 0] = np.asarray(img, dtype)
+        masks[i, ..., 0] = np.asarray(mask, dtype)
+    return images, masks
+
+
+class DeviceDataSource:
+    """The whole dataset resident in device memory as uint8; per-step
+    batches are device-side gathers (uint8 -> float conversion happens in
+    the jitted step, so HBM holds 1 byte/pixel)."""
+
+    def __init__(self, images: np.ndarray, masks: np.ndarray,
+                 sharding=None):
+        assert images.ndim == 4 and masks.ndim == 4
+        self.n = images.shape[0]
+        if sharding is not None:
+            self.images = jax.device_put(jnp.asarray(images), sharding)
+            self.masks = jax.device_put(jnp.asarray(masks), sharding)
+        else:
+            self.images = jnp.asarray(images)
+            self.masks = jnp.asarray(masks)
+
+    def epoch_batches(self, rng: np.random.Generator, batch_size: int,
+                      shuffle: bool = True, drop_last: bool = False
+                      ) -> Iterator[np.ndarray]:
+        """Yield index arrays for one epoch (host-side; the gather itself
+        happens inside the jitted step). The final short batch is padded by
+        wraparound unless dropped — static shapes for XLA."""
+        order = (rng.permutation(self.n) if shuffle
+                 else np.arange(self.n))
+        for start in range(0, self.n, batch_size):
+            idx = order[start:start + batch_size]
+            if len(idx) < batch_size:
+                if drop_last:
+                    return
+                pad = order[: batch_size - len(idx)]
+                idx = np.concatenate([idx, pad])
+            yield idx
+
+    def num_batches(self, batch_size: int, drop_last: bool = False) -> int:
+        if drop_last:
+            return self.n // batch_size
+        return -(-self.n // batch_size)
+
+
+def synthetic_source(n: int, store_size=(512, 512), seed: int = 0
+                     ) -> DeviceDataSource:
+    from .synthetic import generate_ddti_like
+    images, masks = generate_ddti_like(n, store_size, seed)
+    return DeviceDataSource(images, masks)
+
+
+class HostBatchIterator:
+    """Streaming host loader (PIL decode + host transform chain per item),
+    for datasets too large for the device store or for strict host-oracle
+    augmentation. Single-process; shuffling via numpy rng."""
+
+    def __init__(self, dataset: MedicalDataset, batch_size: int,
+                 shuffle: bool, seed: int = 0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.rng = np.random.default_rng(seed)
+
+    def __iter__(self):
+        import random as _random
+        order = (self.rng.permutation(len(self.dataset)) if self.shuffle
+                 else np.arange(len(self.dataset)))
+        host_rng = _random.Random(int(self.rng.integers(2 ** 31)))
+        batch_imgs, batch_masks = [], []
+        for i in order:
+            img, mask = self.dataset.open_pair(int(i))
+            if self.dataset.transform is not None:
+                im, ma = self.dataset.transform(img, mask, host_rng)
+            else:
+                im, ma = (np.asarray(img, np.float32)[..., None] / 255.0,
+                          np.asarray(mask, np.float32)[..., None] / 255.0)
+            batch_imgs.append(im)
+            batch_masks.append(ma)
+            if len(batch_imgs) == self.batch_size:
+                yield np.stack(batch_imgs), np.stack(batch_masks)
+                batch_imgs, batch_masks = [], []
+        if batch_imgs:
+            yield np.stack(batch_imgs), np.stack(batch_masks)
