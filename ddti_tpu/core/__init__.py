@@ -1,0 +1,3 @@
+from .config import Config  # noqa: F401
+from .logging import ScalarWriter, StepTimer, create_logger  # noqa: F401
+from .prng import set_seed  # noqa: F401

@@ -1,0 +1,129 @@
+"""Experiment configuration: flags, YAML model matrix, run directories.
+
+Mirrors the reference's two config planes and makes the dead one live:
+ - the 25 CLI flags of /root/reference/main.py:17-64 (same names/defaults);
+ - the YAML model-matrix entries ``{model: {model_type, kwargs}}`` consumed
+   via ``--config_path`` (the reference parses but never uses this,
+   /root/reference/main.py:110-140 — here it actually dispatches the model).
+
+Run-directory behavior matches /root/reference/utils/utils.py:15-45:
+``experiments/<ModelType>_<YYYYmmdd_HHMMSS>/{models,log,result}`` with
+Asia/Shanghai timestamps and a resolved-config YAML snapshot.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from datetime import datetime, timezone
+from typing import Any, Optional
+
+import yaml
+
+try:
+    from zoneinfo import ZoneInfo
+    _SHANGHAI = ZoneInfo("Asia/Shanghai")
+except Exception:  # pragma: no cover
+    _SHANGHAI = timezone.utc
+
+
+@dataclasses.dataclass
+class Config:
+    """All experiment knobs. Field names follow the reference flags."""
+
+    # dataset
+    dataset_path: str = "data/dataset"
+    dataset: str = "DDTI"
+    checkpoint_path: str = ""
+    config_path: Optional[str] = None
+
+    # augmentation
+    p_crop: float = 0.0
+    use_elastic: bool = False
+    use_speckle: bool = False
+    use_tgc: bool = False
+    use_clahe: bool = False
+    use_mixup: bool = False
+    mixup_alpha: float = 0.2
+    mixup_prob: float = 0.3
+
+    # model
+    model_type: str = "ResUNet"
+    model_kwargs: dict = dataclasses.field(default_factory=dict)
+
+    # loss weights
+    bce_ratio: float = 1.0
+    dice_ratio: float = 0.0
+    focal_ratio: float = 1.0
+    boundary_ratio: float = 0.0
+
+    # training
+    num_workers: int = 4          # kept for API parity; host loader only
+    epochs: int = 10000
+    batch_size: int = 16
+    lr: float = 1e-5
+    weight_decay: float = 1e-2    # parsed-but-unused in the reference; the
+    # torch AdamW default (0.01) applied regardless — we reproduce that.
+    save_interval: int = 20
+    early_stop_patience: int = 50
+    alpha: float = 2.0
+
+    # parallel / precision (TPU-native additions; reference analogues:
+    # use_data_parallel -> DataParallel, use_amp_autocast -> AMP)
+    use_data_parallel: bool = True
+    use_amp_autocast: bool = False  # on TPU: bf16 compute policy
+    image_size: int = 512
+    store_size: int = 512
+    seed: int = 42
+    host_augment: bool = False     # strict host-oracle augmentation path
+    mesh_shape: Optional[dict] = None  # e.g. {"data": 8}
+    donate_state: bool = True
+    compute_unused_losses: bool = True  # reference computes all 4 terms
+
+    # run dirs (filled by make_dirs)
+    base_dir: str = "experiments"
+    cfg_dir: str = ""
+    model_dir: str = ""
+    log_dir: str = ""
+    result_dir: str = ""
+
+    def make_dirs(self) -> None:
+        os.makedirs(self.base_dir, exist_ok=True)
+        ts = datetime.now(timezone.utc).astimezone(_SHANGHAI)
+        self.cfg_dir = os.path.join(
+            self.base_dir, f"{self.model_type}_{ts.strftime('%Y%m%d_%H%M%S')}")
+        self.model_dir = os.path.join(self.cfg_dir, "models")
+        self.log_dir = os.path.join(self.cfg_dir, "log")
+        self.result_dir = os.path.join(self.cfg_dir, "result")
+        for d in (self.cfg_dir, self.model_dir, self.log_dir,
+                  self.result_dir):
+            os.makedirs(d, exist_ok=True)
+        self.save_snapshot()
+
+    def save_snapshot(self) -> None:
+        path = os.path.join(self.cfg_dir, "config.yaml")
+        with open(path, "w") as f:
+            yaml.safe_dump(dataclasses.asdict(self), f, sort_keys=False)
+
+    def apply_model_yaml(self, path: Optional[str] = None) -> None:
+        """Load a ``{model: {model_type, kwargs}}`` YAML (one sweep entry as
+        written by the config splitter) and dispatch the model from it."""
+        path = path or self.config_path
+        if not path:
+            return
+        if not os.path.isfile(path):
+            raise FileNotFoundError(f"config file not found: {path}")
+        with open(path) as f:
+            doc = yaml.safe_load(f)
+        model = doc.get("model", {})
+        if "model_type" in model:
+            self.model_type = model["model_type"]
+        self.model_kwargs = dict(model.get("kwargs", {}))
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Config":
+        valid = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in valid})
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)

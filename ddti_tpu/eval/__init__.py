@@ -1,0 +1,11 @@
+from .contours import find_contours  # noqa: F401
+from .metrics import (  # noqa: F401
+    ConfusionCounts,
+    calculate_acc,
+    calculate_iou,
+    calculate_precision_recall_f1,
+    confusion_counts,
+    epoch_metrics_from_counts,
+    metrics_from_counts,
+)
+from .visualize import save_boundary_grids  # noqa: F401

@@ -1,0 +1,216 @@
+"""The training/eval engine — capability mirror of the reference Trainer
+(/root/reference/utils/trainer.py) rebuilt around jitted device steps.
+
+Differences by design (all TPU-first):
+ - augmentation, losses, metrics run inside the jitted step on device;
+ - per-epoch metrics come from accumulated device confusion counts
+   (four scalars per step cross the host boundary, not full tensors);
+ - data parallelism is a mesh sharding, not a module wrapper: batches are
+   sharded over the "data" axis, state is replicated, XLA emits the ICI
+   collectives (replaces nn.DataParallel, trainer.py:28-32);
+ - checkpoints are Orbax (full state) plus .npz weight exports, with
+   best-by-val-IoU and last-epoch policy (trainer.py:184-202);
+ - bf16 compute replaces CUDA AMP (no loss scaling needed on TPU).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ddti_tpu.core.logging import ScalarWriter
+from ddti_tpu.data.augment import AugmentConfig
+from ddti_tpu.data.dataset import DeviceDataSource
+from ddti_tpu.eval.metrics import epoch_metrics_from_counts, metrics_from_counts
+from ddti_tpu.eval.visualize import save_boundary_grids
+from ddti_tpu.utils import EarlyStopping
+from .checkpoint import save_checkpoint, save_params_npz
+from .state import TrainState, create_train_state
+from .steps import (
+    accumulate,
+    gather_batch,
+    make_eval_step,
+    make_infer_step,
+    make_train_step,
+)
+
+
+def aug_config_from(config) -> AugmentConfig:
+    return AugmentConfig(
+        use_elastic=config.use_elastic, use_speckle=config.use_speckle,
+        use_tgc=config.use_tgc, use_clahe=config.use_clahe,
+        out_size=(config.image_size, config.image_size))
+
+
+class Trainer:
+    """Orchestrates train/validate/test over device-resident data sources.
+
+    data: (train, val, test) ``DeviceDataSource``s.
+    """
+
+    def __init__(self, config, data, logger, model,
+                 state: Optional[TrainState] = None, mesh=None):
+        self.config = config
+        self.logger = logger
+        self.model = model
+        self.train_src, self.val_src, self.test_src = data
+        self.mesh = mesh
+
+        steps_per_epoch = max(
+            self.train_src.num_batches(config.batch_size), 1)
+        if state is None:
+            shape = (1, config.image_size, config.image_size,
+                     getattr(model, "in_channels", 1))
+            state = create_train_state(
+                model, jax.random.PRNGKey(config.seed), shape,
+                config.lr, steps_per_epoch, config.weight_decay)
+        self.state = state
+        if mesh is not None:
+            from ddti_tpu.parallel import replicated
+            self.state = jax.device_put(self.state, replicated(mesh))
+
+        self.train_step = make_train_step(config, aug_config_from(config))
+        self.eval_step = make_eval_step(config)
+        self.infer_step = make_infer_step(config)
+
+        self.early_stopping = EarlyStopping(
+            logger=logger, patience=config.early_stop_patience, delta=0)
+        self.writer = ScalarWriter(config.result_dir)
+        self.rng = np.random.default_rng(config.seed)
+        self.key = jax.random.PRNGKey(config.seed)
+        self.best_val_iou = -np.inf
+
+    # ------------------------------------------------------------------
+
+    def _log_epoch(self, phase: str, epoch: int, avgs: dict, em: dict):
+        lg = self.logger
+        lg.info(f"{phase} Epoch: {epoch + 1}, Avg Loss: {avgs['loss']:.4f}")
+        lg.info(f"BCE Loss: {avgs['bce']:.4f}, Dice Loss: {avgs['dice']:.4f}"
+                f", Focal Loss: {avgs['focal']:.4f}, Boundary Loss: "
+                f"{avgs['boundary']:.4f}")
+        lg.info(f"acc: {em['acc']:.4f}, precision: {em['precision']:.4f}, "
+                f"recall: {em['recall']:.4f}, f1: {em['f1']:.4f}, "
+                f"IoU: {em['iou']:.4f}")
+        for tag, v in (("BCE Loss", avgs["bce"]), ("Dice Loss", avgs["dice"]),
+                       ("Focal Loss", avgs["focal"]),
+                       ("Boundary Loss", avgs["boundary"]),
+                       ("Acc", em["acc"]), ("Precision", em["precision"]),
+                       ("Recall", em["recall"]), ("F1", em["f1"]),
+                       ("IoU", em["iou"])):
+            self.writer.add_scalar(f"{tag}/{phase}", v, epoch)
+
+    @staticmethod
+    def _avgs(total) -> dict:
+        n = float(total.n)
+        return {k: float(getattr(total, k)) / max(n, 1.0)
+                for k in ("loss", "bce", "dice", "focal", "boundary")}
+
+    # ------------------------------------------------------------------
+
+    def train_one_epoch(self, epoch: int):
+        total = None
+        for idx in self.train_src.epoch_batches(self.rng,
+                                                self.config.batch_size):
+            self.key, step_key = jax.random.split(self.key)
+            images, masks = gather_batch(self.train_src.images,
+                                         self.train_src.masks,
+                                         jax.numpy.asarray(idx))
+            self.state, m = self.train_step(self.state, images, masks,
+                                            step_key)
+            total = accumulate(total, m)
+        total = jax.device_get(total)
+        em = epoch_metrics_from_counts(total.counts)
+        self._log_epoch("Train", epoch, self._avgs(total), em)
+
+    def validate(self, epoch: int):
+        total = None
+        for idx in self.val_src.epoch_batches(self.rng,
+                                              self.config.batch_size,
+                                              shuffle=False):
+            images, masks = gather_batch(self.val_src.images,
+                                         self.val_src.masks,
+                                         jax.numpy.asarray(idx))
+            m = self.eval_step(self.state, images, masks)
+            total = accumulate(total, m)
+        total = jax.device_get(total)
+        em = epoch_metrics_from_counts(total.counts)
+        avgs = self._avgs(total)
+        self._log_epoch("Validate", epoch, avgs, em)
+        return avgs["loss"], em["iou"]
+
+    def train(self):
+        cfg = self.config
+        for epoch in range(cfg.epochs):
+            self.train_one_epoch(epoch)
+            val_loss, val_iou = self.validate(epoch)
+
+            if val_iou > self.best_val_iou:
+                self.best_val_iou = val_iou
+                best = os.path.join(cfg.model_dir,
+                                    f"{cfg.model_type}_best")
+                save_checkpoint(best, self.state)
+                save_params_npz(best + ".npz", self.state.params,
+                                self.state.batch_stats)
+                self.logger.info(f"--Best model saved at epoch {epoch + 1} "
+                                 f"with IoU: {self.best_val_iou:.4f}")
+
+            self.early_stopping(-val_iou)
+            if self.early_stopping.early_stop:
+                self.logger.info("--Early stopping triggered")
+                break
+
+        last = os.path.join(cfg.model_dir, f"{cfg.model_type}_last")
+        save_checkpoint(last, self.state)
+        save_params_npz(last + ".npz", self.state.params,
+                        self.state.batch_stats)
+        self.writer.close()
+
+    # ------------------------------------------------------------------
+
+    def test(self, visualize: bool = True):
+        """Global micro-averaged pixel metrics over the test split plus the
+        contour-overlay grids (trainer.py:206-299). The test loader keeps the
+        reference's shuffle=True quirk via the rng permutation."""
+        self.logger.info(
+            "------------------Starting Testing Model------------------")
+        all_imgs, all_masks, all_preds = [], [], []
+        counts_total = None
+        for idx in self.test_src.epoch_batches(self.rng,
+                                               self.config.batch_size,
+                                               shuffle=True):
+            images, masks = gather_batch(self.test_src.images,
+                                         self.test_src.masks,
+                                         jax.numpy.asarray(idx))
+            imgs_f, masks_f, preds, counts = self.infer_step(
+                self.state, images, masks)
+            counts_total = (counts if counts_total is None
+                            else counts_total + counts)
+            if visualize:
+                all_imgs.append(np.asarray(imgs_f)[..., 0])
+                all_masks.append(np.asarray(masks_f)[..., 0].astype(np.uint8))
+                all_preds.append(np.asarray(preds)[..., 0])
+
+        counts_total = jax.device_get(counts_total)
+        m = metrics_from_counts(counts_total.tp, counts_total.fp,
+                                counts_total.fn, counts_total.tn)
+        total = int(m["tp"] + m["fp"] + m["fn"] + m["tn"]) // (
+            self.config.image_size ** 2)
+        msg = (f"Test Metrics  —  Total Images: {total}\n"
+               f"  TP={int(m['tp'])}, FP={int(m['fp'])}, "
+               f"FN={int(m['fn'])}, TN={int(m['tn'])}\n"
+               f"  ACC={m['acc']:.4f}, Precision={m['precision']:.4f}, "
+               f"Recall={m['recall']:.4f}, F1={m['f1']:.4f}, "
+               f"IoU={m['iou']:.4f}")
+        print(msg)
+        self.logger.info(msg)
+
+        if visualize and all_imgs:
+            save_boundary_grids(np.concatenate(all_imgs),
+                                np.concatenate(all_masks),
+                                np.concatenate(all_preds),
+                                self.config.result_dir)
+        return m

@@ -1,0 +1,67 @@
+"""Train state: params + BatchNorm stats + optimizer state + step.
+
+The functional replacement for the reference Trainer's mutable model/
+optimizer/scheduler attributes (/root/reference/utils/trainer.py:19-45).
+AdamW reproduces the reference's *effective* optimizer: the weight_decay
+flag is parsed but never passed there, so torch's default 0.01 applies —
+we default to the same.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from .schedule import cosine_warm_restarts
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    apply_fn: Callable = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads, new_batch_stats):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state,
+                                                self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(step=self.step + 1, params=new_params,
+                            batch_stats=new_batch_stats,
+                            opt_state=new_opt_state)
+
+
+def make_optimizer(lr: float, steps_per_epoch: int,
+                   weight_decay: float = 1e-2,
+                   t_0: int = 20, t_mult: int = 2) -> tuple:
+    sched = cosine_warm_restarts(lr, steps_per_epoch, t_0, t_mult)
+    tx = optax.adamw(learning_rate=sched, b1=0.9, b2=0.999, eps=1e-8,
+                     weight_decay=weight_decay)
+    return tx, sched
+
+
+def create_train_state(model, key, input_shape, lr: float,
+                       steps_per_epoch: int,
+                       weight_decay: float = 1e-2) -> TrainState:
+    variables = model.init({"params": key},
+                           jnp.zeros(input_shape, jnp.float32), train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx, _ = make_optimizer(lr, steps_per_epoch, weight_decay)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        tx=tx,
+        apply_fn=model.apply,
+    )
+
+
+def count_params(params) -> int:
+    return sum(int(p.size) for p in jax.tree.leaves(params))

@@ -1,0 +1,150 @@
+"""Jitted train / eval / inference steps.
+
+One ``train_step`` fuses, in a single XLA program on device: uint8->float
+conversion, the augmentation chain, mixup, the forward pass (bf16-capable),
+all four loss terms, backward, the AdamW update with cosine-warm-restart LR,
+BatchNorm stat updates, and the metric confusion counts. The host only feeds
+batch indices and reads back a handful of scalars — in contrast to the
+reference loop, which does per-step host augmentation, a host EDT round trip
+and full-tensor ``.cpu()`` metric syncs
+(/root/reference/utils/trainer.py:47-119).
+
+Under a multi-device mesh the same step runs data-parallel via GSPMD: batch
+inputs are sharded on "data", state is replicated, and XLA inserts the ICI
+psums for gradients, BatchNorm statistics (cross-replica by construction:
+the batch mean is a mean over a sharded axis) and metric sums.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ddti_tpu.data.augment import AugmentConfig, augment_batch, eval_preprocess, mixup
+from ddti_tpu.eval.metrics import ConfusionCounts, confusion_counts
+from ddti_tpu.losses import weighted_loss
+
+
+class StepMetrics(NamedTuple):
+    loss: jnp.ndarray
+    bce: jnp.ndarray
+    dice: jnp.ndarray
+    focal: jnp.ndarray
+    boundary: jnp.ndarray
+    counts: ConfusionCounts
+    n: jnp.ndarray
+
+
+def _main_logits(out):
+    return out[0] if isinstance(out, tuple) else out
+
+
+def _to_float(images_u8, masks_u8):
+    return (images_u8.astype(jnp.float32) / 255.0,
+            masks_u8.astype(jnp.float32) / 255.0)
+
+
+def make_train_step(config, aug_cfg: AugmentConfig) -> Callable:
+    """Build the jitted train step:
+    (state, images_u8, masks_u8, key) -> (state, StepMetrics)."""
+    loss_kw = dict(bce_ratio=config.bce_ratio, dice_ratio=config.dice_ratio,
+                   focal_ratio=config.focal_ratio,
+                   boundary_ratio=config.boundary_ratio,
+                   compute_unused=config.compute_unused_losses)
+    use_mixup = bool(config.use_mixup)
+    mixup_alpha = float(config.mixup_alpha)
+    mixup_prob = float(config.mixup_prob)
+
+    def step(state, images_u8, masks_u8, key):
+        images, masks = _to_float(images_u8, masks_u8)
+        k_aug, k_mix, k_drop = jax.random.split(key, 3)
+        images, masks = augment_batch(k_aug, images, masks, aug_cfg)
+        if use_mixup:
+            images, masks = mixup(k_mix, images, masks, mixup_alpha,
+                                  mixup_prob)
+
+        def loss_fn(params):
+            out, updates = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                images, train=True, mutable=["batch_stats"],
+                rngs={"dropout": k_drop})
+            logits = _main_logits(out)
+            terms = weighted_loss(logits, masks, **loss_kw)
+            return terms.total, (terms, updates, logits)
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (terms, updates, logits)), grads = grad_fn(state.params)
+        state = state.apply_gradients(grads, updates["batch_stats"])
+        counts = confusion_counts(logits, masks)
+        m = StepMetrics(terms.total, terms.bce, terms.dice, terms.focal,
+                        terms.boundary, counts,
+                        jnp.asarray(images.shape[0], jnp.float32))
+        return state, m
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_eval_step(config) -> Callable:
+    """(state, images_u8, masks_u8) -> StepMetrics (no param update)."""
+    loss_kw = dict(bce_ratio=config.bce_ratio, dice_ratio=config.dice_ratio,
+                   focal_ratio=config.focal_ratio,
+                   boundary_ratio=config.boundary_ratio,
+                   compute_unused=config.compute_unused_losses)
+    size = (config.image_size, config.image_size)
+
+    def step(state, images_u8, masks_u8):
+        images, masks = _to_float(images_u8, masks_u8)
+        images, masks = eval_preprocess(images, masks, size)
+        out = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images, train=False)
+        logits = _main_logits(out)
+        terms = weighted_loss(logits, masks, **loss_kw)
+        counts = confusion_counts(logits, masks)
+        return StepMetrics(terms.total, terms.bce, terms.dice, terms.focal,
+                           terms.boundary, counts,
+                           jnp.asarray(images.shape[0], jnp.float32))
+
+    return jax.jit(step)
+
+
+def make_infer_step(config) -> Callable:
+    """(state, images_u8, masks_u8) -> (images_f, masks_f, preds_u8, counts)
+    for the test routine (predictions come back binarized uint8)."""
+    size = (config.image_size, config.image_size)
+
+    def step(state, images_u8, masks_u8):
+        images, masks = _to_float(images_u8, masks_u8)
+        images, masks = eval_preprocess(images, masks, size)
+        out = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images, train=False)
+        logits = _main_logits(out)
+        preds = (jax.nn.sigmoid(logits.astype(jnp.float32)) > 0.5
+                 ).astype(jnp.uint8)
+        counts = confusion_counts(logits, masks)
+        return images, masks, preds, counts
+
+    return jax.jit(step)
+
+
+@functools.partial(jax.jit, donate_argnums=())
+def gather_batch(images: jnp.ndarray, masks: jnp.ndarray, idx: jnp.ndarray):
+    """Device-side batch gather from the resident dataset store."""
+    return images[idx], masks[idx]
+
+
+def accumulate(total: StepMetrics | None, m: StepMetrics) -> StepMetrics:
+    """Host-side accumulation of per-batch metrics (weighted by n)."""
+    if total is None:
+        weighted = StepMetrics(m.loss * m.n, m.bce * m.n, m.dice * m.n,
+                               m.focal * m.n, m.boundary * m.n, m.counts, m.n)
+        return weighted
+    return StepMetrics(
+        total.loss + m.loss * m.n, total.bce + m.bce * m.n,
+        total.dice + m.dice * m.n, total.focal + m.focal * m.n,
+        total.boundary + m.boundary * m.n,
+        total.counts + m.counts, total.n + m.n)

@@ -1,0 +1,21 @@
+"""Running-average meter (host side), as used for per-epoch loss averaging
+(/root/reference/utils/utils.py:53-70)."""
+
+from __future__ import annotations
+
+
+class AverageMeter:
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.val = 0.0
+        self.avg = 0.0
+        self.sum = 0.0
+        self.count = 0
+
+    def update(self, val: float, n: int = 1):
+        self.val = float(val)
+        self.sum += float(val) * n
+        self.count += n
+        self.avg = self.sum / max(self.count, 1)
