@@ -1,0 +1,180 @@
+"""CLI entry point — the ``python main.py`` equivalent.
+
+Mirrors the 25 flags of /root/reference/main.py:17-64 (same names and
+defaults) plus TPU-native additions, and implements the *intended* behavior
+the reference left dead: live ``--config_path`` YAML model dispatch
+(/root/reference/main.py:110-140) and a working ``--mode train|test|both``
+(the reference hardcodes ResUNet and comments out ``trainer.train()``).
+
+Usage:
+  python -m ddti_tpu.cli.main --mode both --model_type ResUNet ...
+  python -m ddti_tpu.cli.main --config_path config/ResUNet/config1.yaml
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+
+
+def get_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+
+    # dataset config
+    p.add_argument("--dataset_path", default="data/dataset", type=str)
+    p.add_argument("--dataset", default="DDTI", type=str)
+    p.add_argument("--checkpoint_path", default="", type=str)
+    p.add_argument("--config_path", default=None, type=str)
+
+    # data augmentation config
+    p.add_argument("--p_crop", default=0, type=float)
+    p.add_argument("--use_elastic", action="store_true")
+    p.add_argument("--use_speckle", action="store_true")
+    p.add_argument("--use_tgc", action="store_true")
+    p.add_argument("--use_clahe", action="store_true")
+    p.add_argument("--use_mixup", action="store_true")
+    p.add_argument("--mixup_alpha", type=float, default=0.2)
+    p.add_argument("--mixup_prob", type=float, default=0.3)
+
+    # model config
+    p.add_argument("--model_type", default="ResUNet", type=str)
+    p.add_argument("--base_filters", default=64, type=int)
+    p.add_argument("--depth", default=5, type=int)
+    p.add_argument("--in_channels", default=1, type=int)
+    p.add_argument("--out_channels", default=1, type=int)
+
+    # loss config
+    p.add_argument("--bce_ratio", type=float, default=1)
+    p.add_argument("--dice_ratio", type=float, default=0)
+    p.add_argument("--focal_ratio", type=float, default=1)
+    p.add_argument("--boundary_ratio", type=float, default=0)
+
+    # train config
+    p.add_argument("--num_workers", default=4, type=int)
+    p.add_argument("--epochs", type=int, default=10000)
+    p.add_argument("--batch_size", default=16, type=int)
+    p.add_argument("--lr", type=float, default=1e-5)
+    p.add_argument("--weight_decay", type=float, default=1e-2)
+    p.add_argument("--save_interval", default=20, type=int)
+    p.add_argument("--early_stop_patience", default=50, type=int)
+    p.add_argument("--alpha", type=float, default=2)
+
+    # other config (reference: use_data_parallel / use_amp_autocast)
+    p.add_argument("--use_data_parallel", type=bool, default=True,
+                   help="shard the batch over all local devices")
+    p.add_argument("--use_amp_autocast", type=bool, default=False,
+                   help="bf16 compute policy on TPU")
+
+    # TPU-native additions
+    p.add_argument("--mode", default="test", choices=["train", "test", "both"],
+                   help="the reference's checked-in behavior is test-only")
+    p.add_argument("--image_size", default=512, type=int)
+    p.add_argument("--store_size", default=512, type=int)
+    p.add_argument("--seed", default=42, type=int)
+    p.add_argument("--synthetic", action="store_true",
+                   help="run on generated DDTI-like data (no dataset needed)")
+    p.add_argument("--base_dir", default="experiments", type=str)
+    return p
+
+
+def build_config(args: argparse.Namespace):
+    from ddti_tpu.core import Config
+
+    fields = {f.name for f in dataclasses.fields(Config)}
+    cfg = Config(**{k: v for k, v in vars(args).items() if k in fields})
+    cfg.model_kwargs = dict(
+        in_channels=args.in_channels, out_channels=args.out_channels,
+        base_filters=args.base_filters, depth=args.depth)
+    if args.config_path:
+        cfg.apply_model_yaml(args.config_path)
+    return cfg
+
+
+def load_sources(cfg):
+    """Build the three DeviceDataSources (train/val/test)."""
+    from ddti_tpu.data import (
+        DeviceDataSource,
+        MedicalDataset,
+        decode_to_store,
+        generate_ddti_like,
+    )
+
+    size = (cfg.store_size, cfg.store_size)
+    sources = []
+    root = cfg.dataset_path
+    have_disk = all(
+        os.path.isdir(os.path.join(root, s)) for s in ("train", "val", "test"))
+    if have_disk:
+        for split in ("train", "val", "test"):
+            ds = MedicalDataset(os.path.join(root, split),
+                                os.path.join(root, f"{split}_mask"))
+            sources.append(DeviceDataSource(*decode_to_store(ds, size)))
+    else:
+        for n, seed in ((64, 0), (16, 10_000), (16, 20_000)):
+            sources.append(DeviceDataSource(*generate_ddti_like(
+                n, size, cfg.seed + seed)))
+    return tuple(sources)
+
+
+def main(argv=None) -> int:
+    args = get_parser().parse_args(argv)
+    if args.synthetic and not args.config_path:
+        pass
+
+    import jax
+
+    from ddti_tpu.core import create_logger, set_seed
+    from ddti_tpu.models import create_model
+    from ddti_tpu.train import Trainer, count_params, restore_checkpoint
+
+    cfg = build_config(args)
+    set_seed(cfg.seed)
+    cfg.make_dirs()
+    logger = create_logger(os.path.join(cfg.log_dir, "train_log.log"))
+
+    if args.synthetic:
+        from ddti_tpu.data import DeviceDataSource, generate_ddti_like
+        size = (cfg.store_size, cfg.store_size)
+        sources = tuple(
+            DeviceDataSource(*generate_ddti_like(n, size, cfg.seed + s))
+            for n, s in ((64, 0), (16, 10_000), (16, 20_000)))
+    else:
+        sources = load_sources(cfg)
+
+    model_kwargs = dict(cfg.model_kwargs)
+    if cfg.use_amp_autocast:
+        import jax.numpy as jnp
+        model_kwargs["dtype"] = jnp.bfloat16
+    if cfg.model_type == "TransUNet":
+        model_kwargs.setdefault("image_size", cfg.image_size)
+    model = create_model(cfg.model_type, **model_kwargs)
+
+    mesh = None
+    if cfg.use_data_parallel and len(jax.devices()) > 1:
+        from ddti_tpu.parallel import make_mesh
+        mesh = make_mesh()
+        logger.info(f"Using {len(jax.devices())} devices for training...")
+
+    trainer = Trainer(cfg, sources, logger, model, mesh=mesh)
+
+    if cfg.checkpoint_path and os.path.exists(cfg.checkpoint_path):
+        trainer.state = restore_checkpoint(cfg.checkpoint_path, trainer.state)
+        logger.info(f"Restored checkpoint from {cfg.checkpoint_path}")
+
+    n_params = count_params(trainer.state.params)
+    logger.info(f"Model: {cfg.model_type} | Trainable params: "
+                f"{n_params / 1e6:.2f}M ({n_params:,})")
+    print(f"[PARAMS] {cfg.model_type},{n_params}")  # shell-capture hook
+
+    if args.mode in ("train", "both"):
+        trainer.train()
+    if args.mode in ("test", "both"):
+        trainer.test()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

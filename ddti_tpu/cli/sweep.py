@@ -1,0 +1,103 @@
+"""Sweep launcher — the ``run.sh``/``test.sh`` equivalent
+(/root/reference/run.sh:8-36, test.sh:23-52): runs a set of training
+commands as concurrent subprocesses with a max-parallel cap and a minimum
+stagger between launches. Each job is an independent run (the reference's
+only form of multi-job orchestration).
+
+Two modes:
+  config sweep:  python -m ddti_tpu.cli.sweep --config_dir config
+                 (every <config_dir>/*/config*.yaml gets a run)
+  command list:  python -m ddti_tpu.cli.sweep --commands_file cmds.txt
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import shlex
+import subprocess
+import sys
+import time
+
+
+def run_jobs(commands: list[list[str]], max_jobs: int = 3,
+             min_gap: float = 1.0, env=None) -> list[int]:
+    """Launch commands with a concurrency cap + launch stagger; returns
+    return codes in input order."""
+    running: list[tuple[int, subprocess.Popen]] = []
+    codes: dict[int, int] = {}
+    last_start = 0.0
+
+    def reap(block: bool) -> None:
+        while running:
+            for i, (idx, p) in enumerate(running):
+                rc = p.poll()
+                if rc is not None:
+                    codes[idx] = rc
+                    running.pop(i)
+                    break
+            else:
+                if not block and len(running) < max_jobs:
+                    return
+                time.sleep(0.2)
+                continue
+            if not block and len(running) < max_jobs:
+                return
+        return
+
+    for idx, cmd in enumerate(commands):
+        reap(block=False)
+        while len(running) >= max_jobs:
+            reap(block=False)
+            time.sleep(0.2)
+        gap = time.time() - last_start
+        if gap < min_gap:
+            time.sleep(min_gap - gap)
+        print(f"[{time.strftime('%H:%M:%S')}] RUN  ->  "
+              f"{' '.join(shlex.quote(c) for c in cmd)}")
+        running.append((idx, subprocess.Popen(cmd, env=env)))
+        last_start = time.time()
+
+    while running:
+        reap(block=True)
+    return [codes[i] for i in range(len(commands))]
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config_dir", default=None,
+                    help="directory of <ModelType>/config*.yaml sweep files")
+    ap.add_argument("--commands_file", default=None,
+                    help="file with one shell command per line")
+    ap.add_argument("--max_jobs", type=int, default=3)
+    ap.add_argument("--min_gap", type=float, default=1.0)
+    ap.add_argument("--extra", default="",
+                    help="extra flags appended to every generated command")
+    args = ap.parse_args(argv)
+
+    commands: list[list[str]] = []
+    if args.config_dir:
+        pattern = os.path.join(args.config_dir, "*", "config*.yaml")
+        for cfg in sorted(glob.glob(pattern)):
+            cmd = [sys.executable, "-m", "ddti_tpu.cli.main",
+                   "--config_path", cfg]
+            if args.extra:
+                cmd += shlex.split(args.extra)
+            commands.append(cmd)
+    if args.commands_file:
+        with open(args.commands_file) as f:
+            for line in f:
+                line = line.strip()
+                if line and not line.startswith("#"):
+                    commands.append(shlex.split(line))
+    if not commands:
+        print("nothing to run (pass --config_dir or --commands_file)")
+        return 1
+    codes = run_jobs(commands, args.max_jobs, args.min_gap)
+    print("All jobs finished.")
+    return 0 if all(c == 0 for c in codes) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
