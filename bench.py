@@ -1,0 +1,100 @@
+#!/usr/bin/env python3
+"""Benchmark harness: end-to-end train-step + inference throughput of the
+flagship ResUNet (base_filters=64, depth=5, bf16) at 256x256 on one chip,
+including the fused on-device augmentation pipeline and loss suite.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+Baseline: the PyTorch reference (ResUNet, identical shapes/losses) measured
+on this container's CPU host — train 0.147 img/s, infer 0.781 img/s
+(see benchmarks/BASELINE_TORCH_CPU.json for the measurement provenance).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+# Reference (torch CPU) throughput at 256x256, measured 2026-08-16 on this
+# image: ResUNet bf=64 d=5, batch 2, BCE+FocalTversky, AdamW.
+TORCH_CPU_TRAIN_IPS = 0.147
+TORCH_CPU_INFER_IPS = 0.781
+
+
+def bench(batch: int = 32, size: int = 256, steps: int = 20,
+          warmup: int = 2) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from ddti_tpu.core import Config
+    from ddti_tpu.data import generate_ddti_like
+    from ddti_tpu.models import ResUNet
+    from ddti_tpu.train import (
+        create_train_state,
+        make_eval_step,
+        make_train_step,
+    )
+    from ddti_tpu.train.engine import aug_config_from
+
+    cfg = Config(batch_size=batch, image_size=size, store_size=size,
+                 lr=1e-5, model_type="ResUNet", use_mixup=False)
+    model = ResUNet(in_channels=1, out_channels=1, base_filters=64, depth=5,
+                    dtype=jnp.bfloat16)
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               (1, size, size, 1), cfg.lr,
+                               steps_per_epoch=100)
+    images, masks = generate_ddti_like(batch, (size, size), 0)
+    images = jnp.asarray(images)
+    masks = jnp.asarray(masks)
+
+    train_step = make_train_step(cfg, aug_config_from(cfg))
+    eval_step = make_eval_step(cfg)
+    key = jax.random.PRNGKey(1)
+
+    # NOTE: sync via device_get of a step output, not block_until_ready —
+    # the latter can return early on experimental PJRT backends.
+
+    # train throughput
+    for _ in range(warmup):
+        key, k = jax.random.split(key)
+        state, m = train_step(state, images, masks, k)
+    float(m.loss)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        key, k = jax.random.split(key)
+        state, m = train_step(state, images, masks, k)
+    float(m.loss)  # forces completion of the whole dependent chain
+    train_ips = batch * steps / (time.perf_counter() - t0)
+
+    # inference throughput
+    for _ in range(warmup):
+        m = eval_step(state, images, masks)
+    float(m.loss)
+    t0 = time.perf_counter()
+    last = [eval_step(state, images, masks) for _ in range(steps)][-1]
+    float(last.loss)
+    infer_ips = batch * steps / (time.perf_counter() - t0)
+
+    return {"train_ips": train_ips, "infer_ips": infer_ips,
+            "backend": jax.default_backend(), "batch": batch, "size": size}
+
+
+def main() -> int:
+    r = bench()
+    print(json.dumps({
+        "metric": "resunet256_train_images_per_sec_per_chip",
+        "value": round(r["train_ips"], 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(r["train_ips"] / TORCH_CPU_TRAIN_IPS, 1),
+        "infer_images_per_sec_per_chip": round(r["infer_ips"], 2),
+        "infer_vs_baseline": round(r["infer_ips"] / TORCH_CPU_INFER_IPS, 1),
+        "backend": r["backend"],
+        "batch": r["batch"],
+        "image_size": r["size"],
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
