@@ -91,6 +91,10 @@ def find_contours(array: np.ndarray, level: float = 0.5) -> list[np.ndarray]:
         elif c == 14:
             segments.append((left, bottom))
 
+    # drop degenerate zero-length segments (contour passing exactly through
+    # a grid vertex produces them) — they would break the chain walk
+    segments = [(s, e) for s, e in segments if s != e]
+
     # chain segments: start -> end adjacency
     starts: dict[tuple, list[int]] = {}
     for i, (s, _e) in enumerate(segments):
@@ -124,5 +128,12 @@ def find_contours(array: np.ndarray, level: float = 0.5) -> list[np.ndarray]:
                     chain.insert(0, segments[j][0])
                     changed = True
                     break
-        contours.append(np.array(chain, np.float64))
+        arr = np.array(chain, np.float64)
+        # collapse consecutive duplicate vertices
+        if len(arr) > 1:
+            keep = np.ones(len(arr), bool)
+            keep[1:] = np.any(arr[1:] != arr[:-1], axis=1)
+            arr = arr[keep]
+        if len(arr) >= 2:
+            contours.append(arr)
     return contours

@@ -1,0 +1,130 @@
+"""On-device augmentation pipeline tests: determinism, gating, geometry
+invariants, mixup semantics, eval preprocessing."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ddti_tpu.data import (
+    AugmentConfig,
+    augment_batch,
+    eval_preprocess,
+    generate_ddti_like,
+    mixup,
+)
+
+
+@pytest.fixture(scope="module")
+def batch():
+    im, ma = generate_ddti_like(4, (64, 64), 0)
+    return (jnp.asarray(im, jnp.float32) / 255.0,
+            jnp.asarray(ma, jnp.float32) / 255.0)
+
+
+def test_deterministic_per_key(batch):
+    fi, fm = batch
+    cfg = AugmentConfig(use_elastic=True, use_speckle=True, use_tgc=True,
+                        use_clahe=True, out_size=(64, 64))
+    a1 = augment_batch(jax.random.PRNGKey(7), fi, fm, cfg)
+    a2 = augment_batch(jax.random.PRNGKey(7), fi, fm, cfg)
+    assert bool(jnp.all(a1[0] == a2[0])) and bool(jnp.all(a1[1] == a2[1]))
+    a3 = augment_batch(jax.random.PRNGKey(8), fi, fm, cfg)
+    assert not bool(jnp.all(a1[0] == a3[0]))
+
+
+def test_all_gates_off_is_resize_only(batch):
+    fi, fm = batch
+    cfg = AugmentConfig(p_flip=0.0, p_rotate=0.0, p_brightness=0.0,
+                        out_size=(64, 64))
+    ai, am = augment_batch(jax.random.PRNGKey(0), fi, fm, cfg)
+    np.testing.assert_allclose(np.asarray(ai), np.asarray(fi), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(am), np.asarray(fm), atol=1e-6)
+
+
+def test_flip_always_on_matches_manual(batch):
+    fi, fm = batch
+    cfg = AugmentConfig(p_flip=1.0, p_rotate=0.0, p_brightness=0.0,
+                        out_size=(64, 64))
+    ai, am = augment_batch(jax.random.PRNGKey(0), fi, fm, cfg)
+    # h+v flip == 180-degree rotation of the array
+    np.testing.assert_allclose(np.asarray(ai),
+                               np.asarray(fi)[:, ::-1, ::-1], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(am),
+                               np.asarray(fm)[:, ::-1, ::-1], atol=1e-6)
+
+
+def test_mask_stays_binary_under_geometry(batch):
+    fi, fm = batch
+    # binary input masks + nearest mask resampling + identity resize
+    cfg = AugmentConfig(use_elastic=True, p_flip=1.0, p_rotate=1.0,
+                        p_brightness=0.0, p_elastic=1.0, out_size=(64, 64))
+    _, am = augment_batch(jax.random.PRNGKey(3), fi, fm, cfg)
+    vals = np.unique(np.asarray(am))
+    assert set(np.round(vals, 3)).issubset({0.0, 1.0})
+
+
+def test_brightness_only_scales_images(batch):
+    fi, fm = batch
+    cfg = AugmentConfig(p_flip=0.0, p_rotate=0.0, p_brightness=1.0,
+                        out_size=(64, 64))
+    ai, am = augment_batch(jax.random.PRNGKey(5), fi, fm, cfg)
+    np.testing.assert_allclose(np.asarray(am), np.asarray(fm), atol=1e-6)
+    assert not np.allclose(np.asarray(ai), np.asarray(fi))
+    assert float(ai.max()) <= 1.0 and float(ai.min()) >= 0.0
+
+
+def test_speckle_tgc_clahe_image_only(batch):
+    fi, fm = batch
+    cfg = AugmentConfig(use_speckle=True, use_tgc=True, use_clahe=True,
+                        p_flip=0.0, p_rotate=0.0, p_brightness=0.0,
+                        p_speckle=1.0, p_tgc=1.0, p_clahe=1.0,
+                        out_size=(64, 64))
+    ai, am = augment_batch(jax.random.PRNGKey(6), fi, fm, cfg)
+    np.testing.assert_allclose(np.asarray(am), np.asarray(fm), atol=1e-6)
+    assert not np.allclose(np.asarray(ai), np.asarray(fi))
+
+
+def test_output_size(batch):
+    fi, fm = batch
+    cfg = AugmentConfig(out_size=(48, 32))
+    ai, am = augment_batch(jax.random.PRNGKey(0), fi, fm, cfg)
+    assert ai.shape == (4, 48, 32, 1) and am.shape == (4, 48, 32, 1)
+
+
+def test_mixup_prob_zero_identity(batch):
+    fi, fm = batch
+    mi, mm = mixup(jax.random.PRNGKey(0), fi, fm, alpha=0.2, prob=0.0)
+    np.testing.assert_allclose(np.asarray(mi), np.asarray(fi))
+    np.testing.assert_allclose(np.asarray(mm), np.asarray(fm))
+
+
+def test_mixup_blends_with_permutation(batch):
+    fi, fm = batch
+    mi, mm = mixup(jax.random.PRNGKey(1), fi, fm, alpha=0.2, prob=1.0)
+    assert mi.shape == fi.shape
+    # soft labels in [0,1]; total mass preserved under the convex blend
+    assert float(mm.min()) >= 0.0 and float(mm.max()) <= 1.0
+    np.testing.assert_allclose(float(mm.sum()), float(fm.sum()), rtol=1e-5)
+
+
+def test_eval_preprocess_resizes_both(batch):
+    fi, fm = batch
+    ei, em = eval_preprocess(fi, fm, (32, 32))
+    assert ei.shape == (4, 32, 32, 1) and em.shape == (4, 32, 32, 1)
+    # bilinear mask resize produces soft values (reference quirk preserved)
+    vals = np.unique(np.asarray(em))
+    assert ((vals > 0) & (vals < 1)).any()
+
+
+def test_rotate_by_key_changes_geometry(batch):
+    fi, fm = batch
+    cfg = AugmentConfig(p_flip=0.0, p_rotate=1.0, p_brightness=0.0,
+                        out_size=(64, 64))
+    ai, am = augment_batch(jax.random.PRNGKey(11), fi, fm, cfg)
+    assert not np.allclose(np.asarray(am), np.asarray(fm))
+    # mask pixel count approximately preserved under rotation (interior blob)
+    before = float(fm.sum())
+    after = float(am.sum())
+    assert after == pytest.approx(before, rel=0.25)

@@ -1,0 +1,80 @@
+"""CLI layer tests: main entry (synthetic end-to-end), config YAML dispatch,
+config splitter, sweep runner."""
+
+import os
+import subprocess
+import sys
+
+import yaml
+
+from ddti_tpu.cli.main import build_config, get_parser
+from ddti_tpu.cli.split_config import split_config
+from ddti_tpu.cli.sweep import run_jobs
+
+
+def test_parser_defaults_match_reference():
+    args = get_parser().parse_args([])
+    assert args.model_type == "ResUNet"
+    assert args.bce_ratio == 1 and args.focal_ratio == 1
+    assert args.dice_ratio == 0 and args.boundary_ratio == 0
+    assert args.batch_size == 16 and args.lr == 1e-5
+    assert args.epochs == 10000 and args.early_stop_patience == 50
+    assert args.mixup_alpha == 0.2 and args.mixup_prob == 0.3
+
+
+def test_config_yaml_dispatch(tmp_path):
+    doc = {"model": {"model_type": "VNet2D",
+                     "kwargs": {"in_channels": 1, "out_channels": 1,
+                                "base_filters": 24, "depth": 4}}}
+    p = tmp_path / "c.yaml"
+    p.write_text(yaml.safe_dump(doc))
+    args = get_parser().parse_args(["--config_path", str(p)])
+    cfg = build_config(args)
+    assert cfg.model_type == "VNet2D"
+    assert cfg.model_kwargs["base_filters"] == 24
+
+
+def test_split_config(tmp_path):
+    docs = [{"model": {"model_type": m, "kwargs": {"base_filters": bf}}}
+            for m in ("UNet", "VNet2D") for bf in (8, 16, 32)]
+    src = tmp_path / "matrix.yaml"
+    src.write_text(yaml.safe_dump(docs))
+    written = split_config(str(src), str(tmp_path))
+    assert written == {"UNet": 3, "VNet2D": 3}
+    assert (tmp_path / "UNet" / "config2.yaml").is_file()
+    loaded = yaml.safe_load((tmp_path / "VNet2D" / "config3.yaml").read_text())
+    assert loaded["model"]["kwargs"]["base_filters"] == 32
+
+
+def test_sweep_runner_concurrency(tmp_path):
+    marker = tmp_path / "out"
+    cmds = [[sys.executable, "-c",
+             f"open(r'{marker}_{i}', 'w').write('done')"]
+            for i in range(5)]
+    codes = run_jobs(cmds, max_jobs=2, min_gap=0.0)
+    assert codes == [0] * 5
+    assert all((tmp_path / f"out_{i}").exists() for i in range(5))
+
+
+def test_sweep_runner_propagates_failure():
+    codes = run_jobs([[sys.executable, "-c", "raise SystemExit(3)"]],
+                     max_jobs=1, min_gap=0.0)
+    assert codes == [3]
+
+
+def test_main_synthetic_end_to_end(tmp_path):
+    """Full CLI run in-process: 1 epoch train+test on synthetic data."""
+    from ddti_tpu.cli.main import main
+
+    rc = main(["--mode", "both", "--synthetic", "--epochs", "1",
+               "--image_size", "32", "--store_size", "32",
+               "--model_type", "UNet", "--base_filters", "8",
+               "--depth", "3", "--batch_size", "8", "--lr", "1e-3",
+               "--base_dir", str(tmp_path)])
+    assert rc == 0
+    runs = os.listdir(tmp_path)
+    assert len(runs) == 1 and runs[0].startswith("UNet_")
+    run = tmp_path / runs[0]
+    assert (run / "config.yaml").is_file()
+    assert (run / "models" / "UNet_best").is_dir()
+    assert (run / "log" / "train_log.log").is_file()

@@ -1,0 +1,145 @@
+"""Model zoo tests: parameter-count parity with the torch reference
+(golden counts extracted by running /root/reference/models/mod.py once),
+forward shapes, jit-compilability, gradient finiteness, deep supervision."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ddti_tpu.models import MODEL_REGISTRY, create_model
+
+# Golden trainable-parameter counts from the torch reference
+# (in_channels=1, out_channels=1). TransUNet counts depend on image_size
+# (positional embedding); golden values are at the reference default 512.
+GOLDEN_BF16_D3 = {
+    "UNet": 482449,
+    "ResUNet": 503969,
+    "ASPPUNet": 621457,
+    "AttentionUNet": 488226,
+    "TransUNet": 4484817,   # image_size=512
+    "VNet2D": 503855,
+    "ImprovedVNet": 509618,
+}
+GOLDEN_BF32_D4 = {
+    "UNet": 7762465,
+    "ResUNet": 8110657,
+    "ASPPUNet": 9989665,
+    "AttentionUNet": 7851197,
+    "TransUNet": 7511841,   # image_size=512
+    "VNet2D": 8110163,
+    "ImprovedVNet": 8198877,
+}
+
+
+def _n_params(model, size):
+    v = model.init({"params": jax.random.PRNGKey(0)},
+                   jnp.zeros((1, size, size, 1)), train=False)
+    return sum(int(p.size) for p in jax.tree.leaves(v["params"])), v
+
+
+@pytest.mark.parametrize("name", sorted(MODEL_REGISTRY))
+def test_param_parity_bf16_d3(name):
+    kwargs = dict(in_channels=1, out_channels=1, base_filters=16, depth=3)
+    if name == "TransUNet":
+        kwargs["image_size"] = 512
+    model = create_model(name, **kwargs)
+    # init at a small size; TransUNet pos-emb is sized by image_size, and a
+    # forward at 512 would be slow — check shape consistency separately.
+    size = 512 if name == "TransUNet" else 32
+    n, _ = _n_params(model, size)
+    assert n == GOLDEN_BF16_D3[name]
+
+
+@pytest.mark.parametrize("name", ["ResUNet", "TransUNet", "ImprovedVNet"])
+def test_param_parity_bf32_d4(name):
+    kwargs = dict(in_channels=1, out_channels=1, base_filters=32, depth=4)
+    if name == "TransUNet":
+        kwargs["image_size"] = 512
+    model = create_model(name, **kwargs)
+    size = 512 if name == "TransUNet" else 32
+    n, _ = _n_params(model, size)
+    assert n == GOLDEN_BF32_D4[name]
+
+
+@pytest.mark.parametrize("name", sorted(MODEL_REGISTRY))
+def test_forward_shape_and_jit(name):
+    kwargs = dict(in_channels=1, out_channels=1, base_filters=8, depth=3)
+    if name == "TransUNet":
+        kwargs.update(image_size=32, embed_dim=32, num_heads=4,
+                      num_transformer_layers=1)
+    model = create_model(name, **kwargs)
+    x = jnp.zeros((2, 32, 32, 1))
+    v = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    fwd = jax.jit(lambda p, x: model.apply(p, x, train=False))
+    y = fwd(v, x)
+    assert y.shape == (2, 32, 32, 1)
+    assert jnp.all(jnp.isfinite(y))
+
+
+def test_multichannel_output():
+    model = create_model("UNet", in_channels=3, out_channels=2,
+                         base_filters=8, depth=3)
+    x = jnp.zeros((1, 32, 32, 3))
+    v = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    assert model.apply(v, x, train=False).shape == (1, 32, 32, 2)
+
+
+def test_deep_supervision_heads():
+    model = create_model("ImprovedVNet", base_filters=8, depth=3,
+                         deep_supervision=True)
+    x = jnp.zeros((1, 32, 32, 1))
+    v = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    out, ds = model.apply(v, x, train=False)
+    assert out.shape == (1, 32, 32, 1)
+    assert [d.shape[1] for d in ds] == [8, 16, 32]
+
+
+def test_improvedvnet_no_attention_param_count_changes():
+    a = create_model("ImprovedVNet", base_filters=8, depth=3,
+                     use_attention=True)
+    b = create_model("ImprovedVNet", base_filters=8, depth=3,
+                     use_attention=False)
+    na, _ = _n_params(a, 32)
+    nb, _ = _n_params(b, 32)
+    assert na > nb
+
+
+@pytest.mark.parametrize("name", ["UNet", "ResUNet", "VNet2D"])
+def test_gradients_finite(name):
+    model = create_model(name, base_filters=8, depth=3)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 1))
+    y = (jax.random.uniform(jax.random.PRNGKey(2), (2, 32, 32, 1)) > 0.7
+         ).astype(jnp.float32)
+    v = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+
+    def loss_fn(params):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": v["batch_stats"]}, x,
+            train=True, mutable=["batch_stats"])
+        return jnp.mean((jax.nn.sigmoid(out) - y) ** 2)
+
+    grads = jax.grad(loss_fn)(v["params"])
+    assert all(bool(jnp.all(jnp.isfinite(g)))
+               for g in jax.tree.leaves(grads))
+    assert any(float(jnp.abs(g).max()) > 0 for g in jax.tree.leaves(grads))
+
+
+def test_batchnorm_stats_update():
+    model = create_model("UNet", base_filters=8, depth=3)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 32, 1))
+    v = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    _, updates = model.apply(v, x, train=True, mutable=["batch_stats"])
+    before = jax.tree.leaves(v["batch_stats"])
+    after = jax.tree.leaves(updates["batch_stats"])
+    assert any(float(jnp.abs(a - b).max()) > 0
+               for a, b in zip(before, after))
+
+
+def test_create_model_unknown_raises():
+    with pytest.raises(NotImplementedError):
+        create_model("NoSuchNet")
+
+
+def test_create_model_tolerates_extra_kwargs():
+    m = create_model("UNet", base_filters=8, depth=3, bogus_flag=True)
+    assert m.base_filters == 8

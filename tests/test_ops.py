@@ -1,0 +1,97 @@
+"""Resampling/CLAHE kernel parity vs the host libraries the reference
+delegates to (PIL rotate, cv2 remap/GaussianBlur/CLAHE)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from ddti_tpu.ops.clahe import clahe_u8
+from ddti_tpu.ops.resample import (
+    gaussian_blur_17,
+    remap,
+    resize_bilinear_hw,
+    rotate,
+)
+
+cv2 = pytest.importorskip("cv2")
+from PIL import Image  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def img_u8():
+    return np.random.default_rng(3).integers(0, 256, (64, 80), np.uint8)
+
+
+@pytest.mark.parametrize("angle", [17.3, -118.0, 90.0, 179.9, -45.5])
+def test_rotate_matches_pil_nearest(img_u8, angle):
+    ref = np.array(Image.fromarray(img_u8).rotate(angle))
+    ours = np.asarray(rotate(jnp.asarray(img_u8, jnp.float32),
+                             jnp.float32(angle)))
+    # nearest-neighbor ties at cell boundaries may flip a handful of pixels
+    assert (np.abs(ours - ref) > 0).mean() < 0.002
+
+
+def test_remap_linear_matches_cv2(img_u8):
+    h, w = img_u8.shape
+    rng = np.random.default_rng(4)
+    dx = rng.normal(0, 5, (h, w)).astype(np.float32)
+    dy = rng.normal(0, 5, (h, w)).astype(np.float32)
+    x, y = np.meshgrid(np.arange(w), np.arange(h))
+    mx = (x + dx).astype(np.float32)
+    my = (y + dy).astype(np.float32)
+    src = img_u8.astype(np.float32)
+    ref = cv2.remap(src, mx, my, cv2.INTER_LINEAR,
+                    borderMode=cv2.BORDER_REFLECT)
+    ours = np.asarray(remap(jnp.asarray(src), jnp.asarray(my),
+                            jnp.asarray(mx)))
+    np.testing.assert_allclose(ours, ref, atol=1e-3)
+
+
+def test_remap_nearest_matches_cv2(img_u8):
+    h, w = img_u8.shape
+    rng = np.random.default_rng(5)
+    mx = (np.tile(np.arange(w), (h, 1))
+          + rng.normal(0, 4, (h, w))).astype(np.float32)
+    my = (np.tile(np.arange(h)[:, None], (1, w))
+          + rng.normal(0, 4, (h, w))).astype(np.float32)
+    ref = cv2.remap(img_u8, mx, my, cv2.INTER_NEAREST,
+                    borderMode=cv2.BORDER_REFLECT)
+    ours = np.asarray(remap(jnp.asarray(img_u8, jnp.float32),
+                            jnp.asarray(my), jnp.asarray(mx),
+                            method="nearest"))
+    assert (np.abs(ours - ref) > 0).mean() < 0.002  # rounding ties only
+
+
+@pytest.mark.parametrize("sigma", [6.0, 8.5, 10.0])
+def test_gaussian_blur_matches_cv2(sigma):
+    f = np.random.default_rng(6).random((48, 64)).astype(np.float32)
+    ref = cv2.GaussianBlur(f, (17, 17), sigma)
+    ours = np.asarray(gaussian_blur_17(jnp.asarray(f), jnp.float32(sigma)))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+@pytest.mark.parametrize("shape,grid", [
+    ((128, 128), (4, 4)), ((64, 128), (2, 4)), ((256, 256), (4, 4)),
+])
+def test_clahe_matches_cv2_within_1_level(shape, grid):
+    img = np.random.default_rng(7).integers(0, 256, shape, np.uint8)
+    ref = cv2.createCLAHE(clipLimit=2.0, tileGridSize=grid[::-1]).apply(img)
+    ours = np.asarray(clahe_u8(jnp.asarray(img), 2.0, grid))
+    assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_resize_bilinear_identity():
+    f = np.random.default_rng(8).random((16, 16)).astype(np.float32)
+    out = np.asarray(resize_bilinear_hw(jnp.asarray(f), 16, 16))
+    np.testing.assert_allclose(out, f, atol=1e-6)
+
+
+def test_resize_matches_torch_interpolate():
+    torch = pytest.importorskip("torch")
+    f = np.random.default_rng(9).random((1, 24, 24)).astype(np.float32)
+    ref = torch.nn.functional.interpolate(
+        torch.tensor(f)[None], size=(37, 41), mode="bilinear",
+        align_corners=False)[0, 0].numpy()
+    ours = np.asarray(resize_bilinear_hw(jnp.asarray(f[0]), 37, 41))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)

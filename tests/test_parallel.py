@@ -1,0 +1,124 @@
+"""Multi-device (8 fake CPU devices) data-parallel tests — the fake-cluster
+substitute for a real TPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ddti_tpu.core import Config
+from ddti_tpu.data import generate_ddti_like
+from ddti_tpu.models import create_model
+from ddti_tpu.parallel import batch_sharding, make_mesh, replicated
+from ddti_tpu.train import create_train_state, make_eval_step, make_train_step
+from ddti_tpu.train.engine import aug_config_from
+
+
+@pytest.fixture(scope="module")
+def mesh8(eight_devices):
+    return make_mesh({"data": 8}, eight_devices)
+
+
+def _setup(cfg, seed=0):
+    model = create_model("UNet", base_filters=8, depth=3)
+    state = create_train_state(model, jax.random.PRNGKey(seed),
+                               (1, 32, 32, 1), cfg.lr, steps_per_epoch=10)
+    im, ma = generate_ddti_like(16, (32, 32), 0)
+    return state, jnp.asarray(im), jnp.asarray(ma)
+
+
+def test_mesh_construction(eight_devices):
+    mesh = make_mesh({"data": 4, "model": 2}, eight_devices)
+    assert mesh.axis_names == ("data", "model")
+    assert mesh.devices.shape == (4, 2)
+
+
+def test_mesh_wrong_count_raises(eight_devices):
+    with pytest.raises(ValueError):
+        make_mesh({"data": 5}, eight_devices)
+
+
+def test_dp_step_matches_single_device(mesh8):
+    """The data-parallel step must be numerically equivalent to the
+    single-device step (same global batch, same key). SGD optimizer so the
+    param delta IS the gradient (AdamW's first-step normalization would
+    amplify reduction-order noise in near-zero gradients to +-lr)."""
+    import optax
+
+    from ddti_tpu.train.state import TrainState
+
+    cfg = Config(batch_size=16, image_size=32, store_size=32, lr=1e-3)
+    model = create_model("UNet", base_filters=8, depth=3)
+    v = model.init({"params": jax.random.PRNGKey(0)},
+                   jnp.zeros((1, 32, 32, 1)), train=False)
+    tx = optax.sgd(1e-2)
+    state1 = TrainState(step=jnp.zeros((), jnp.int32), params=v["params"],
+                        batch_stats=v["batch_stats"],
+                        opt_state=tx.init(v["params"]), tx=tx,
+                        apply_fn=model.apply)
+    im, ma = generate_ddti_like(16, (32, 32), 0)
+    im, ma = jnp.asarray(im), jnp.asarray(ma)
+    # independent copy (the step donates its input state; device_put may
+    # alias buffers, so round-trip through the host)
+    state2 = jax.device_put(jax.device_get(state1), replicated(mesh8))
+    step = make_train_step(cfg, aug_config_from(cfg))
+    key = jax.random.PRNGKey(3)
+
+    new1, m1 = step(state1, im, ma, key)
+    sh = batch_sharding(mesh8)
+    im_s = jax.device_put(im, sh)
+    ma_s = jax.device_put(ma, sh)
+    with mesh8:
+        new2, m2 = step(state2, im_s, ma_s, key)
+
+    assert float(m1.loss) == pytest.approx(float(m2.loss), rel=2e-5)
+    assert float(m1.counts.tp) == float(m2.counts.tp)
+    for a, b in zip(jax.tree.leaves(new1.params),
+                    jax.tree.leaves(new2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
+
+
+def test_dp_eval_step_counts_match(mesh8):
+    cfg = Config(batch_size=16, image_size=32, store_size=32, lr=1e-3)
+    state, im, ma = _setup(cfg)
+    estep = make_eval_step(cfg)
+    m1 = estep(state, im, ma)
+    with mesh8:
+        m2 = estep(jax.device_put(state, replicated(mesh8)),
+                   jax.device_put(im, batch_sharding(mesh8)),
+                   jax.device_put(ma, batch_sharding(mesh8)))
+    assert float(m1.counts.tp) == float(m2.counts.tp)
+    assert float(m1.loss) == pytest.approx(float(m2.loss), rel=2e-5)
+
+
+def test_spatial_partition_step_runs(eight_devices):
+    """DP x spatial(H) sharding: GSPMD must insert conv halo exchanges."""
+    mesh = make_mesh({"data": 4, "model": 2}, eight_devices)
+    cfg = Config(batch_size=8, image_size=32, store_size=32, lr=1e-3)
+    model = create_model("UNet", base_filters=8, depth=3)
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, 32, 32, 1),
+                               cfg.lr, steps_per_epoch=10)
+    im, ma = generate_ddti_like(8, (32, 32), 0)
+    sh = NamedSharding(mesh, P("data", "model", None, None))
+    state = jax.device_put(state, replicated(mesh))
+    step = make_train_step(cfg, aug_config_from(cfg))
+    with mesh:
+        new_state, m = step(state, jax.device_put(jnp.asarray(im), sh),
+                            jax.device_put(jnp.asarray(ma), sh),
+                            jax.random.PRNGKey(1))
+    assert np.isfinite(float(m.loss))
+
+
+def test_dryrun_multichip_entrypoint():
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", os.path.join(root, "__graft_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)

@@ -1,0 +1,153 @@
+"""Training-engine integration tests: loss decreases, checkpoints round-trip,
+early stopping, the Trainer end-to-end on synthetic data."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ddti_tpu.core import Config, create_logger
+from ddti_tpu.data import DeviceDataSource, generate_ddti_like
+from ddti_tpu.models import create_model
+from ddti_tpu.train import (
+    Trainer,
+    create_train_state,
+    load_params_npz,
+    make_eval_step,
+    make_train_step,
+    restore_checkpoint,
+    save_checkpoint,
+    save_params_npz,
+)
+from ddti_tpu.train.engine import aug_config_from
+from ddti_tpu.utils import EarlyStopping
+
+
+def _tiny_cfg(tmp, **kw):
+    base = dict(epochs=1, batch_size=4, image_size=32, store_size=32,
+                lr=3e-3, model_type="UNet", base_dir=str(tmp))
+    base.update(kw)
+    return Config(**base)
+
+
+@pytest.fixture(scope="module")
+def tiny_data():
+    im, ma = generate_ddti_like(8, (32, 32), 0)
+    return jnp.asarray(im), jnp.asarray(ma)
+
+
+def test_loss_decreases_over_steps(tmp_path, tiny_data):
+    cfg = _tiny_cfg(tmp_path)
+    model = create_model("UNet", base_filters=8, depth=3)
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, 32, 32, 1),
+                               cfg.lr, steps_per_epoch=100)
+    step = make_train_step(cfg, aug_config_from(cfg))
+    im, ma = tiny_data
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(25):
+        key, k = jax.random.split(key)
+        state, m = step(state, im[:4], ma[:4], k)
+        losses.append(float(m.loss))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_eval_step_no_state_mutation(tmp_path, tiny_data):
+    cfg = _tiny_cfg(tmp_path)
+    model = create_model("UNet", base_filters=8, depth=3)
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, 32, 32, 1),
+                               cfg.lr, steps_per_epoch=10)
+    estep = make_eval_step(cfg)
+    im, ma = tiny_data
+    m1 = estep(state, im[:4], ma[:4])
+    m2 = estep(state, im[:4], ma[:4])
+    assert float(m1.loss) == float(m2.loss)
+
+
+def test_checkpoint_roundtrip_orbax(tmp_path, tiny_data):
+    cfg = _tiny_cfg(tmp_path)
+    model = create_model("UNet", base_filters=8, depth=3)
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, 32, 32, 1),
+                               cfg.lr, steps_per_epoch=10)
+    im, ma = tiny_data
+    step = make_train_step(cfg, aug_config_from(cfg))
+    state, _ = step(state, im[:4], ma[:4], jax.random.PRNGKey(1))
+
+    path = os.path.join(tmp_path, "ckpt")
+    save_checkpoint(path, state)
+    fresh = create_train_state(model, jax.random.PRNGKey(42), (1, 32, 32, 1),
+                               cfg.lr, steps_per_epoch=10)
+    restored = restore_checkpoint(path, fresh)
+    assert int(restored.step) == int(state.step)
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # optimizer state restored too (resume continues the schedule)
+    for a, b in zip(jax.tree.leaves(state.opt_state),
+                    jax.tree.leaves(restored.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_npz_weights_roundtrip(tmp_path):
+    model = create_model("ResUNet", base_filters=8, depth=3)
+    v = model.init({"params": jax.random.PRNGKey(0)},
+                   jnp.zeros((1, 32, 32, 1)), train=False)
+    path = os.path.join(tmp_path, "w.npz")
+    save_params_npz(path, v["params"], v["batch_stats"])
+    zeros = jax.tree.map(jnp.zeros_like, v["params"])
+    zstats = jax.tree.map(jnp.zeros_like, v["batch_stats"])
+    params, stats = load_params_npz(path, zeros, zstats)
+    for a, b in zip(jax.tree.leaves(v["params"]), jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_early_stopping_patience():
+    es = EarlyStopping(patience=3)
+    es(-0.5)
+    es(-0.6)  # improvement
+    for _ in range(3):
+        es(-0.4)
+    assert es.early_stop
+
+
+def test_early_stopping_resets_on_improvement():
+    es = EarlyStopping(patience=3)
+    es(-0.5)
+    es(-0.4)
+    es(-0.4)
+    es(-0.6)  # improvement resets
+    assert es.counter == 0 and not es.early_stop
+
+
+def test_trainer_end_to_end(tmp_path):
+    cfg = _tiny_cfg(tmp_path, epochs=2, use_mixup=True)
+    cfg.make_dirs()
+    logger = create_logger(os.path.join(cfg.log_dir, "train_log.log"))
+    srcs = tuple(
+        DeviceDataSource(*generate_ddti_like(n, (32, 32), s))
+        for n, s in ((8, 0), (4, 1), (4, 2)))
+    model = create_model("UNet", base_filters=8, depth=3)
+    tr = Trainer(cfg, srcs, logger, model)
+    tr.train()
+    assert os.path.isdir(os.path.join(cfg.model_dir, "UNet_best"))
+    assert os.path.isdir(os.path.join(cfg.model_dir, "UNet_last"))
+    m = tr.test(visualize=True)
+    assert 0.0 <= m["acc"] <= 1.0
+    assert os.path.isfile(os.path.join(cfg.result_dir,
+                                       "test_boundaries_0.png"))
+
+
+def test_trainer_boundary_loss_path(tmp_path):
+    # boundary_ratio > 0 exercises the on-device EDT inside the jitted step
+    cfg = _tiny_cfg(tmp_path, boundary_ratio=0.5)
+    model = create_model("UNet", base_filters=8, depth=3)
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, 32, 32, 1),
+                               cfg.lr, steps_per_epoch=10)
+    im, ma = generate_ddti_like(4, (32, 32), 5)
+    step = make_train_step(cfg, aug_config_from(cfg))
+    state, m = step(state, jnp.asarray(im), jnp.asarray(ma),
+                    jax.random.PRNGKey(1))
+    assert np.isfinite(float(m.loss)) and float(m.boundary) > 0
