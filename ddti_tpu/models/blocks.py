@@ -172,16 +172,26 @@ class TransformerEncoderLayer(nn.Module):
     shapes: packed qkv projection, ReLU feed-forward of width 4*embed_dim.
 
     x = LN1(x + Drop(SelfAttn(x))); x = LN2(x + Drop(FF(x)))
+
+    ``attend_batch_axis`` reproduces a reference quirk: the torch reference
+    feeds (B, S, E) into nn.TransformerEncoderLayer with the default
+    batch_first=False (/root/reference/models/mod.py:308-319), so torch
+    treats the BATCH axis as the sequence — "attention" mixes the same token
+    position across batch images, not across spatial positions. Default here
+    is the intended spatial attention; flip the flag for bit parity.
     """
 
     embed_dim: int
     num_heads: int
     mlp_ratio: int = 4
     dropout: float = 0.1
+    attend_batch_axis: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool):
+        if self.attend_batch_axis:
+            x = x.transpose(1, 0, 2)  # attend over the original batch axis
         b, s, e = x.shape
         h = self.num_heads
         hd = e // h
@@ -205,7 +215,7 @@ class TransformerEncoderLayer(nn.Module):
         y = y.transpose(0, 2, 1, 3).reshape(b, s, e)
         y = nn.Dense(e, use_bias=True, dtype=self.dtype, name="out_proj")(y)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
-        x = nn.LayerNorm(dtype=self.dtype, name="ln1")(x + y)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln1")(x + y)
 
         y = nn.Dense(self.mlp_ratio * e, use_bias=True, dtype=self.dtype,
                      name="fc1")(x)
@@ -213,7 +223,10 @@ class TransformerEncoderLayer(nn.Module):
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
         y = nn.Dense(e, use_bias=True, dtype=self.dtype, name="fc2")(y)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
-        return nn.LayerNorm(dtype=self.dtype, name="ln2")(x + y)
+        out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln2")(x + y)
+        if self.attend_batch_axis:
+            out = out.transpose(1, 0, 2)
+        return out
 
 
 class SEBlock(nn.Module):

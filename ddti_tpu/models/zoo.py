@@ -178,6 +178,10 @@ class TransUNet(_EncoderDecoderBase):
     num_heads: int = 8
     embed_dim: int = 256
     image_size: int = 512
+    # Reference-parity quirk: torch feeds (B, S, E) into seq-first layers so
+    # "attention" runs across the batch axis (mod.py:308-319). False = the
+    # intended spatial attention (default); True = bit parity with torch.
+    batch_axis_attention: bool = False
 
     def setup(self):
         ch = self.channels
@@ -189,8 +193,10 @@ class TransUNet(_EncoderDecoderBase):
             "pos_emb", nn.initializers.normal(1.0),
             (1, s * s, self.embed_dim), jnp.float32)
         self.trans_layers = [
-            TransformerEncoderLayer(self.embed_dim, self.num_heads,
-                                    dtype=self.dtype)
+            TransformerEncoderLayer(
+                self.embed_dim, self.num_heads,
+                attend_batch_axis=self.batch_axis_attention,
+                dtype=self.dtype)
             for _ in range(self.num_transformer_layers)
         ]
         self.trans_proj = nn.Dense(ch[-1], use_bias=True, dtype=self.dtype,
