@@ -50,6 +50,8 @@ class AugmentConfig:
     use_speckle: bool = False
     use_tgc: bool = False
     use_clahe: bool = False
+    p_crop: float = 0.0
+    crop_frac: float = 0.8   # crop window size as a fraction of H/W
     p_elastic: float = 0.25
     p_flip: float = 0.5
     p_rotate: float = 0.5
@@ -74,6 +76,26 @@ def _u(key, lo, hi, shape=()):
 
 def _gate(key, p, shape=()):
     return jax.random.uniform(key, shape) < p
+
+
+def _crop_one(key, img, mask, cfg: AugmentConfig):
+    """RandomCrop analogue (/root/reference/utils/transforms.py:95-112 —
+    defined there but unused by main). Device version: slice a random
+    (crop_frac*H, crop_frac*W) window and resize it back to (H, W) so the
+    chain keeps static shapes (the reference chain resizes at the end
+    anyway)."""
+    h, w = img.shape
+    ch = max(int(h * cfg.crop_frac), 1)
+    cw = max(int(w * cfg.crop_frac), 1)
+    k_gate, k_t, k_l = jax.random.split(key, 3)
+    top = jax.random.randint(k_t, (), 0, h - ch + 1)
+    left = jax.random.randint(k_l, (), 0, w - cw + 1)
+    img_c = jax.lax.dynamic_slice(img, (top, left), (ch, cw))
+    mask_c = jax.lax.dynamic_slice(mask, (top, left), (ch, cw))
+    img_c = resize_bilinear_hw(img_c, h, w)
+    mask_c = resize_bilinear_hw(mask_c, h, w)
+    on = _gate(k_gate, cfg.p_crop)
+    return jnp.where(on, img_c, img), jnp.where(on, mask_c, mask)
 
 
 def _elastic_one(key, img, mask, cfg: AugmentConfig):
@@ -150,7 +172,9 @@ def _clahe_one(key, img, cfg):
 
 def _augment_one(key, img, mask, cfg: AugmentConfig):
     """img, mask: (H, W) float32 in [0,1]."""
-    keys = jax.random.split(key, 7)
+    keys = jax.random.split(key, 8)
+    if cfg.p_crop > 0:
+        img, mask = _crop_one(keys[7], img, mask, cfg)
     if cfg.use_elastic:
         img, mask = _elastic_one(keys[0], img, mask, cfg)
     img, mask = _flip_one(keys[1], img, mask, cfg)

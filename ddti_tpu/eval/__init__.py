@@ -8,4 +8,8 @@ from .metrics import (  # noqa: F401
     epoch_metrics_from_counts,
     metrics_from_counts,
 )
+from .sliding_window import (  # noqa: F401
+    sliding_window_logits,
+    sliding_window_predict,
+)
 from .visualize import save_boundary_grids  # noqa: F401

@@ -1,0 +1,111 @@
+"""Batched tiled / sliding-window inference over full-resolution frames.
+
+BASELINE.json lists "batched tiled/sliding-window inference over
+full-resolution ultrasound frames" as a benchmark configuration; the torch
+reference has no such mode (it bilinearly squashes everything to 512x512).
+This runs the model over overlapping tiles at native resolution and blends
+the logits with an importance map, entirely on device:
+
+ 1. reflect-pad the frame so an integer grid of (window, stride) tiles
+    covers it;
+ 2. gather all tiles into one (T, win, win, C) batch (device gather —
+    XLA turns the static index set into an efficient slice/concat);
+ 3. run the model on tile batches of size ``tile_batch`` via lax.map
+    (static shapes, single compile);
+ 4. scatter-add logits * weight back, divide by the weight sum, crop.
+
+The blend weight is a separable Hann-like window (nnU-Net-style gaussian
+importance weighting) so tile seams vanish.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _tile_positions(size: int, window: int, stride: int) -> np.ndarray:
+    """Static start offsets covering [0, size) with the final tile clamped
+    flush to the edge."""
+    if size <= window:
+        return np.array([0])
+    starts = list(range(0, size - window + 1, stride))
+    if starts[-1] != size - window:
+        starts.append(size - window)
+    return np.array(starts)
+
+
+def _importance(window: int) -> np.ndarray:
+    """Separable squared-sine (Hann) importance map, floored to keep the
+    corners nonzero."""
+    w1 = np.sin(np.pi * (np.arange(window) + 0.5) / window) ** 2
+    w = np.outer(w1, w1)
+    return np.maximum(w, 1e-3).astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("apply_fn", "window", "stride",
+                                             "tile_batch"))
+def sliding_window_logits(apply_fn, variables, frame: jnp.ndarray, *,
+                          window: int = 512, stride: int = 256,
+                          tile_batch: int = 8) -> jnp.ndarray:
+    """Full-resolution logits for one (H, W, C) frame.
+
+    ``apply_fn(variables, images)`` must map (N, window, window, C) ->
+    (N, window, window, C_out) logits (pass e.g.
+    ``lambda v, x: model.apply(v, x, train=False)``).
+    """
+    h, w, c = frame.shape
+    pad_h = max(window - h, (-h) % stride if h > window else 0)
+    pad_w = max(window - w, (-w) % stride if w > window else 0)
+    padded = jnp.pad(frame, ((0, pad_h), (0, pad_w), (0, 0)),
+                     mode="reflect")
+    ph, pw, _ = padded.shape
+
+    ys = _tile_positions(ph, window, stride)
+    xs = _tile_positions(pw, window, stride)
+    coords = np.array([(y, x) for y in ys for x in xs])  # static
+    n_tiles = len(coords)
+
+    tiles = jnp.stack([
+        jax.lax.dynamic_slice(padded, (int(y), int(x), 0),
+                              (window, window, c))
+        for y, x in coords])
+
+    # pad tile count to a multiple of tile_batch, run in fixed-size chunks
+    pad_t = (-n_tiles) % tile_batch
+    if pad_t:
+        tiles = jnp.concatenate(
+            [tiles, jnp.zeros((pad_t, window, window, c), tiles.dtype)])
+    chunks = tiles.reshape(-1, tile_batch, window, window, c)
+    logits_chunks = jax.lax.map(lambda t: apply_fn(variables, t), chunks)
+    c_out = logits_chunks.shape[-1]
+    logits = logits_chunks.reshape(-1, window, window, c_out)[:n_tiles]
+
+    weight = jnp.asarray(_importance(window))[..., None]
+    acc = jnp.zeros((ph, pw, c_out), jnp.float32)
+    norm = jnp.zeros((ph, pw, 1), jnp.float32)
+    for i, (y, x) in enumerate(coords):
+        acc = jax.lax.dynamic_update_slice(
+            acc,
+            jax.lax.dynamic_slice(acc, (int(y), int(x), 0),
+                                  (window, window, c_out))
+            + logits[i].astype(jnp.float32) * weight,
+            (int(y), int(x), 0))
+        norm = jax.lax.dynamic_update_slice(
+            norm,
+            jax.lax.dynamic_slice(norm, (int(y), int(x), 0),
+                                  (window, window, 1)) + weight,
+            (int(y), int(x), 0))
+    return (acc / norm)[:h, :w]
+
+
+def sliding_window_predict(apply_fn, variables, frame, *, window=512,
+                           stride=256, tile_batch=8, threshold=0.5):
+    """Binary mask for one full-resolution frame."""
+    logits = sliding_window_logits(apply_fn, variables, frame,
+                                   window=window, stride=stride,
+                                   tile_batch=tile_batch)
+    return (jax.nn.sigmoid(logits) > threshold).astype(jnp.uint8)

@@ -9,4 +9,5 @@ from .zoo import (  # noqa: F401
     VNet2D,
     create_model,
 )
+from .legacy import LegacyUNet, TripleBranchImprovedVNet  # noqa: F401
 from . import blocks  # noqa: F401

@@ -330,6 +330,12 @@ class ImprovedVNet(_EncoderDecoderBase):
         return out
 
 
+def _legacy_registry():
+    from .legacy import LegacyUNet, TripleBranchImprovedVNet
+    return {"LegacyUNet": LegacyUNet,
+            "TripleBranchImprovedVNet": TripleBranchImprovedVNet}
+
+
 MODEL_REGISTRY = {
     "UNet": UNet,
     "ResUNet": ResUNet,
@@ -343,13 +349,16 @@ MODEL_REGISTRY = {
 
 def create_model(model_type: str, **kwargs):
     """Instantiate a zoo model by name (the live YAML-dispatch path that the
-    reference left dead at /root/reference/main.py:124-140)."""
+    reference left dead at /root/reference/main.py:124-140). Legacy variants
+    (LegacyUNet, TripleBranchImprovedVNet) resolve too."""
+    registry = dict(MODEL_REGISTRY)
+    registry.update(_legacy_registry())
     try:
-        cls = MODEL_REGISTRY[model_type]
+        cls = registry[model_type]
     except KeyError:
         raise NotImplementedError(
             f"Unknown model_type {model_type!r}; "
-            f"choose from {sorted(MODEL_REGISTRY)}") from None
+            f"choose from {sorted(registry)}") from None
     # Tolerate unknown kwargs like the reference ctors' **kwargs.
     import dataclasses
     valid = {f.name for f in dataclasses.fields(cls)}

@@ -43,6 +43,7 @@ def aug_config_from(config) -> AugmentConfig:
     return AugmentConfig(
         use_elastic=config.use_elastic, use_speckle=config.use_speckle,
         use_tgc=config.use_tgc, use_clahe=config.use_clahe,
+        p_crop=float(getattr(config, "p_crop", 0.0)),
         out_size=(config.image_size, config.image_size))
 
 

@@ -128,3 +128,16 @@ def test_rotate_by_key_changes_geometry(batch):
     before = float(fm.sum())
     after = float(am.sum())
     assert after == pytest.approx(before, rel=0.25)
+
+
+def test_crop_gated_and_applied(batch):
+    fi, fm = batch
+    cfg_off = AugmentConfig(p_crop=0.0, p_flip=0.0, p_rotate=0.0,
+                            p_brightness=0.0, out_size=(64, 64))
+    ai, am = augment_batch(jax.random.PRNGKey(2), fi, fm, cfg_off)
+    np.testing.assert_allclose(np.asarray(ai), np.asarray(fi), atol=1e-6)
+    cfg_on = AugmentConfig(p_crop=1.0, crop_frac=0.5, p_flip=0.0,
+                           p_rotate=0.0, p_brightness=0.0, out_size=(64, 64))
+    ci, cm = augment_batch(jax.random.PRNGKey(2), fi, fm, cfg_on)
+    assert ci.shape == fi.shape
+    assert not np.allclose(np.asarray(ci), np.asarray(fi))

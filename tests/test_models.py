@@ -143,3 +143,34 @@ def test_create_model_unknown_raises():
 def test_create_model_tolerates_extra_kwargs():
     m = create_model("UNet", base_filters=8, depth=3, bogus_flag=True)
     assert m.base_filters == 8
+
+
+# ---- legacy variants (reference model.py / vnet.py) ----
+
+def test_legacy_unet_param_parity():
+    from ddti_tpu.models import LegacyUNet
+    m = LegacyUNet()
+    _, v = (lambda mm: (None, mm.init({"params": jax.random.PRNGKey(0)},
+                                      jnp.zeros((1, 32, 32, 1)),
+                                      train=False)))(m)
+    n = sum(int(p.size) for p in jax.tree.leaves(v["params"]))
+    assert n == 31042369  # torch reference models/model.py
+
+
+def test_triple_branch_param_parity():
+    from ddti_tpu.models import TripleBranchImprovedVNet
+    m = TripleBranchImprovedVNet(base_num_filters=16)
+    v = m.init({"params": jax.random.PRNGKey(0)},
+               jnp.zeros((1, 32, 32, 1)), train=False)
+    n = sum(int(p.size) for p in jax.tree.leaves(v["params"]))
+    assert n == 10041721  # torch reference models/vnet.py at base 16
+
+
+def test_legacy_models_forward_and_dispatch():
+    m = create_model("LegacyUNet")
+    x = jnp.zeros((1, 32, 32, 1))
+    v = m.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    assert m.apply(v, x, train=False).shape == (1, 32, 32, 1)
+    m2 = create_model("TripleBranchImprovedVNet", base_num_filters=16)
+    v2 = m2.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    assert m2.apply(v2, x, train=False).shape == (1, 32, 32, 1)
