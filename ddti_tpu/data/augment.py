@@ -34,6 +34,7 @@ import jax.numpy as jnp
 
 from ddti_tpu.ops.clahe import clahe_u8
 from ddti_tpu.ops.resample import (
+    fused_flip_rotate,
     gaussian_blur_17,
     remap,
     resize_bilinear_hw,
@@ -177,8 +178,15 @@ def _augment_one(key, img, mask, cfg: AugmentConfig):
         img, mask = _crop_one(keys[7], img, mask, cfg)
     if cfg.use_elastic:
         img, mask = _elastic_one(keys[0], img, mask, cfg)
-    img, mask = _flip_one(keys[1], img, mask, cfg)
-    img, mask = _rotate_one(keys[2], img, mask, cfg)
+    # flip + rotate fused into one warp; draw the gates/angle with the same
+    # key layout as the sequential path so streams stay reproducible
+    k_flip, k_rot = keys[1], keys[2]
+    kh, kv = jax.random.split(k_flip)
+    k_gate, k_ang = jax.random.split(k_rot)
+    fh = _gate(kh, cfg.p_flip)
+    fv = _gate(kv, cfg.p_flip)
+    ang = _u(k_ang, -180.0, 180.0) * _gate(k_gate, cfg.p_rotate)
+    img, mask = fused_flip_rotate(img, mask, fh, fv, ang)
     img = _brightness_one(keys[3], img, cfg)
     if cfg.use_speckle:
         img = _speckle_one(keys[4], img, cfg)
@@ -200,9 +208,10 @@ def augment_batch(key: jax.Array, images: jnp.ndarray, masks: jnp.ndarray,
         lambda k, i, m: _augment_one(k, i, m, cfg)
     )(keys, images[..., 0], masks[..., 0])
     oh, ow = cfg.out_size
-    img2 = resize_bilinear_hw(img2, oh, ow)[..., None]
-    mask2 = resize_bilinear_hw(mask2, oh, ow)[..., None]
-    return img2, mask2
+    if (oh, ow) != img2.shape[1:3]:  # identity resize elided
+        img2 = resize_bilinear_hw(img2, oh, ow)
+        mask2 = resize_bilinear_hw(mask2, oh, ow)
+    return img2[..., None], mask2[..., None]
 
 
 @functools.partial(jax.jit, static_argnames=("out_size",))

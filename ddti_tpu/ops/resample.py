@@ -138,6 +138,41 @@ def gaussian_blur_17(img: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
+def fused_flip_rotate(img: jnp.ndarray, mask: jnp.ndarray,
+                      flip_h: jnp.ndarray, flip_v: jnp.ndarray,
+                      angle_deg: jnp.ndarray) -> tuple:
+    """Flip(s) + rotation composed into ONE nearest-neighbor warp with a
+    single shared gather for image and mask.
+
+    Exactly equivalent to applying hflip/vflip (conditionally) followed by
+    PIL-convention nearest rotation: flips are coordinate mirrors and the
+    composed map F(R(p)) is evaluated once. angle 0 with flips off is an
+    exact identity (floor(j + 0.5) == j). One gather instead of two rotates
+    + four flip selects — the augmentation hot path on TPU.
+    """
+    h, w = img.shape
+    theta = -angle_deg * (jnp.pi / 180.0)
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    cx, cy = w / 2.0, h / 2.0
+    yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5
+    xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5
+    xs = c * (xx - cx) + s * (yy - cy) + cx
+    ys = -s * (xx - cx) + c * (yy - cy) + cy
+    # conditional mirrors (the flip happened BEFORE the rotation in the
+    # sequential chain, so mirror the *source* coordinate)
+    xs = jnp.where(flip_h, w - xs, xs)
+    ys = jnp.where(flip_v, h - ys, ys)
+    xi = jnp.floor(xs).astype(jnp.int32)
+    yi = jnp.floor(ys).astype(jnp.int32)
+    valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+    yc = jnp.clip(yi, 0, h - 1)
+    xc = jnp.clip(xi, 0, w - 1)
+    pair = jnp.stack([img, mask])          # one gather for both planes
+    out = pair[:, yc, xc]
+    out = jnp.where(valid[None], out, 0.0)
+    return out[0], out[1]
+
+
 def resize_bilinear_hw(img: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     """Bilinear resize of (..., H, W) to (..., h, w) (half-pixel centers,
     no antialias) — torch F.interpolate(align_corners=False) semantics."""
