@@ -22,7 +22,7 @@ TORCH_CPU_TRAIN_IPS = 0.147
 TORCH_CPU_INFER_IPS = 0.781
 
 
-def bench(batch: int = 32, size: int = 256, steps: int = 20,
+def bench(batch: int = 128, size: int = 256, steps: int = 20,
           warmup: int = 2) -> dict:
     import jax
     import jax.numpy as jnp

@@ -186,6 +186,7 @@ class TransformerEncoderLayer(nn.Module):
     mlp_ratio: int = 4
     dropout: float = 0.1
     attend_batch_axis: bool = False
+    use_flash_attention: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -203,15 +204,19 @@ class TransformerEncoderLayer(nn.Module):
             return t.reshape(b, s, h, hd).transpose(0, 2, 1, 3)
 
         q, k, v = heads(q), heads(k), heads(v)
-        # Bottleneck sequence is short (<= 4096 tokens); a plain fused
-        # softmax(QK^T)V lowers to two MXU matmuls + a fused softmax. For
-        # larger sequences see ddti_tpu.ops.attention (Pallas flash kernel).
-        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                          preferred_element_type=jnp.float32)
-        attn = attn / jnp.sqrt(jnp.asarray(hd, attn.dtype))
-        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
-        y = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
-                       preferred_element_type=jnp.float32).astype(x.dtype)
+        if self.use_flash_attention:
+            # Pallas tiled online-softmax kernel: O(S*D) memory — use for
+            # long bottleneck sequences (shallow depth at high res).
+            from ddti_tpu.ops.attention import flash_attention
+            y = flash_attention(q, k, v).astype(x.dtype)
+        else:
+            # Short sequences: two MXU matmuls + fused softmax is optimal.
+            attn = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                              preferred_element_type=jnp.float32)
+            attn = attn / jnp.sqrt(jnp.asarray(hd, attn.dtype))
+            attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+            y = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
+                           preferred_element_type=jnp.float32).astype(x.dtype)
         y = y.transpose(0, 2, 1, 3).reshape(b, s, e)
         y = nn.Dense(e, use_bias=True, dtype=self.dtype, name="out_proj")(y)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)

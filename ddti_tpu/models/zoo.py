@@ -182,6 +182,9 @@ class TransUNet(_EncoderDecoderBase):
     # "attention" runs across the batch axis (mod.py:308-319). False = the
     # intended spatial attention (default); True = bit parity with torch.
     batch_axis_attention: bool = False
+    # Pallas flash attention for long bottleneck sequences (depth 3 at
+    # 512x512 -> 4096 tokens); short sequences are faster with plain XLA.
+    use_flash_attention: bool = False
 
     def setup(self):
         ch = self.channels
@@ -196,6 +199,7 @@ class TransUNet(_EncoderDecoderBase):
             TransformerEncoderLayer(
                 self.embed_dim, self.num_heads,
                 attend_batch_axis=self.batch_axis_attention,
+                use_flash_attention=self.use_flash_attention,
                 dtype=self.dtype)
             for _ in range(self.num_transformer_layers)
         ]
