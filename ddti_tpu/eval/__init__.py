@@ -13,3 +13,4 @@ from .sliding_window import (  # noqa: F401
     sliding_window_predict,
 )
 from .visualize import save_boundary_grids  # noqa: F401
+from .confusion import save_confusion_matrix  # noqa: F401

@@ -101,3 +101,32 @@ def test_cosine_warm_restarts_tmult1():
         assert float(sched(epoch)) == pytest.approx(
             opt.param_groups[0]["lr"], rel=1e-5, abs=1e-8)
         tsched.step()
+
+
+def test_weight_init_reinitializes_kernels():
+    import jax
+    from ddti_tpu.models import create_model
+    from ddti_tpu.utils.weight_init import apply_init
+
+    m = create_model("UNet", base_filters=8, depth=3)
+    v = m.init({"params": jax.random.PRNGKey(0)},
+               jnp.zeros((1, 16, 16, 1)), train=False)
+    p2 = apply_init(jax.random.PRNGKey(1), v["params"])
+    leaves1 = jax.tree_util.tree_flatten_with_path(v["params"])[0]
+    leaves2 = jax.tree.leaves(p2)
+    changed = unchanged = 0
+    for (kp, a), b in zip(leaves1, leaves2):
+        name = str(getattr(kp[-1], "key", kp[-1]))
+        if name == "kernel":
+            changed += int(not np.allclose(np.asarray(a), np.asarray(b)))
+        else:
+            unchanged += int(np.allclose(np.asarray(a), np.asarray(b)))
+    assert changed > 0 and unchanged > 0
+
+
+def test_confusion_matrix_plot(tmp_path):
+    from ddti_tpu.eval import save_confusion_matrix
+
+    path = save_confusion_matrix(10, 5, 3, 100, str(tmp_path), epoch=0)
+    import os
+    assert os.path.isfile(path)
