@@ -1,0 +1,121 @@
+"""ctypes bindings + auto-build for the native host loader
+(host_loader.cpp). No pybind11 dependency — plain C ABI.
+
+Usage:
+    from ddti_tpu.runtime import NativeBatchLoader
+    with NativeBatchLoader(imgs_path, masks_path, n, h, w, batch) as ld:
+        imgs, masks, epoch = ld.next()
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_HERE, "libhostloader.so")
+_build_lock = threading.Lock()
+_lib = None
+
+
+def build_library(force: bool = False) -> str:
+    """Compile libhostloader.so with make/g++ if not present."""
+    with _build_lock:
+        if force or not os.path.isfile(_LIB_PATH):
+            subprocess.run(["make", "-C", _HERE, "-s"]
+                           + (["-B"] if force else []),
+                           check=True, capture_output=True)
+    return _LIB_PATH
+
+
+def _load():
+    global _lib
+    if _lib is None:
+        lib = ctypes.CDLL(build_library())
+        lib.loader_create.restype = ctypes.c_void_p
+        lib.loader_create.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_uint64, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int]
+        lib.loader_next.restype = ctypes.c_long
+        lib.loader_next.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                    ctypes.c_void_p]
+        lib.loader_destroy.restype = None
+        lib.loader_destroy.argtypes = [ctypes.c_void_p]
+        _lib = lib
+    return _lib
+
+
+def native_available() -> bool:
+    try:
+        _load()
+        return True
+    except Exception:
+        return False
+
+
+class NativeBatchLoader:
+    """Threaded mmap-backed batch assembler over a raw uint8 store.
+
+    Yields (batch, H, W, 1) uint8 image/mask arrays with deterministic
+    per-epoch shuffling (seed ^ f(epoch)); the final short batch of each
+    epoch wraps around, matching DeviceDataSource.epoch_batches semantics.
+    """
+
+    def __init__(self, imgs_path: str, masks_path: str, n: int, h: int,
+                 w: int, batch: int, seed: int = 0, num_threads: int = 2,
+                 queue_depth: int = 4, drop_last: bool = False):
+        self._lib = _load()
+        self.n, self.h, self.w, self.batch = n, h, w, batch
+        self._handle = self._lib.loader_create(
+            imgs_path.encode(), masks_path.encode(), n, h, w, batch,
+            seed, num_threads, queue_depth, int(drop_last))
+        if not self._handle:
+            raise OSError(f"loader_create failed for {imgs_path!r} / "
+                          f"{masks_path!r} (size/permissions?)")
+        self.steps_per_epoch = (n // batch if drop_last
+                                else -(-n // batch))
+
+    def next(self):
+        imgs = np.empty((self.batch, self.h, self.w, 1), np.uint8)
+        masks = np.empty((self.batch, self.h, self.w, 1), np.uint8)
+        epoch = self._lib.loader_next(
+            self._handle,
+            imgs.ctypes.data_as(ctypes.c_void_p),
+            masks.ctypes.data_as(ctypes.c_void_p))
+        if epoch < 0:
+            raise StopIteration
+        return imgs, masks, int(epoch)
+
+    def close(self):
+        if getattr(self, "_handle", None):
+            self._lib.loader_destroy(self._handle)
+            self._handle = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def write_store(path_prefix: str, images: np.ndarray, masks: np.ndarray
+                ) -> tuple[str, str]:
+    """Write (N, H, W, 1) uint8 arrays as raw store files for the native
+    loader; returns (imgs_path, masks_path)."""
+    assert images.dtype == np.uint8 and masks.dtype == np.uint8
+    imgs_path = path_prefix + "_imgs.u8"
+    masks_path = path_prefix + "_masks.u8"
+    images[..., 0].tofile(imgs_path)
+    masks[..., 0].tofile(masks_path)
+    return imgs_path, masks_path
