@@ -219,6 +219,8 @@ def eval_preprocess(images: jnp.ndarray, masks: jnp.ndarray,
                     out_size: tuple = (512, 512)):
     """The test/val transform: Resize + (implicit) ToTensor."""
     oh, ow = out_size
+    if (oh, ow) == images.shape[1:3]:
+        return images, masks
     return (resize_bilinear_hw(images[..., 0], oh, ow)[..., None],
             resize_bilinear_hw(masks[..., 0], oh, ow)[..., None])
 
