@@ -71,6 +71,10 @@ def get_parser() -> argparse.ArgumentParser:
     # TPU-native additions
     p.add_argument("--mode", default="test", choices=["train", "test", "both"],
                    help="the reference's checked-in behavior is test-only")
+    p.add_argument("--host_augment", action="store_true",
+                   help="strict-parity mode: run the PIL/cv2 host "
+                        "augmentation chain (reference oracle) instead of "
+                        "the on-device pipeline")
     p.add_argument("--image_size", default=512, type=int)
     p.add_argument("--store_size", default=512, type=int)
     p.add_argument("--seed", default=42, type=int)
@@ -119,6 +123,38 @@ def load_sources(cfg):
     return tuple(sources)
 
 
+def load_host_sources(cfg, synthetic: bool = False):
+    """Strict-parity sources: MedicalDataset + the PIL/cv2 host chain in
+    single-process HostBatchIterators (the reference's data path, minus the
+    worker processes)."""
+    import tempfile
+
+    from ddti_tpu.data import HostBatchIterator, MedicalDataset
+    from ddti_tpu.data.host_transforms import build_eval_chain, build_train_chain
+    from ddti_tpu.data.synthetic import write_synthetic_dataset
+
+    root = cfg.dataset_path
+    if synthetic or not os.path.isdir(os.path.join(root, "train")):
+        root = os.path.join(tempfile.gettempdir(), "ddti_synth_host")
+        if not os.path.isdir(os.path.join(root, "train")):
+            write_synthetic_dataset(root, n_train=64, n_val=16, n_test=16,
+                                    size=(cfg.store_size, cfg.store_size),
+                                    seed=cfg.seed)
+    out = (cfg.image_size, cfg.image_size)
+    train_tf = build_train_chain(cfg.use_elastic, cfg.use_speckle,
+                                 cfg.use_tgc, cfg.use_clahe, out)
+    eval_tf = build_eval_chain(out)
+    sources = []
+    for split, tf, shuffle in (("train", train_tf, True),
+                               ("val", eval_tf, False),
+                               ("test", eval_tf, True)):
+        ds = MedicalDataset(os.path.join(root, split),
+                            os.path.join(root, f"{split}_mask"), tf)
+        sources.append(HostBatchIterator(ds, cfg.batch_size, shuffle,
+                                         seed=cfg.seed))
+    return tuple(sources)
+
+
 def main(argv=None) -> int:
     args = get_parser().parse_args(argv)
     if args.synthetic and not args.config_path:
@@ -135,7 +171,9 @@ def main(argv=None) -> int:
     cfg.make_dirs()
     logger = create_logger(os.path.join(cfg.log_dir, "train_log.log"))
 
-    if args.synthetic:
+    if args.host_augment:
+        sources = load_host_sources(cfg, synthetic=args.synthetic)
+    elif args.synthetic:
         from ddti_tpu.data import DeviceDataSource, generate_ddti_like
         size = (cfg.store_size, cfg.store_size)
         sources = tuple(

@@ -17,6 +17,13 @@ from .steps import (  # noqa: F401
     accumulate,
     gather_batch,
     make_eval_step,
+    make_host_train_step,
     make_infer_step,
     make_train_step,
+)
+from .torch_interop import (  # noqa: F401
+    export_state_dict,
+    import_state_dict,
+    load_pth,
+    save_pth,
 )

@@ -34,6 +34,7 @@ from .steps import (
     accumulate,
     gather_batch,
     make_eval_step,
+    make_host_train_step,
     make_infer_step,
     make_train_step,
 )
@@ -61,8 +62,12 @@ class Trainer:
         self.train_src, self.val_src, self.test_src = data
         self.mesh = mesh
 
-        steps_per_epoch = max(
-            self.train_src.num_batches(config.batch_size), 1)
+        if hasattr(self.train_src, "num_batches"):
+            steps_per_epoch = max(
+                self.train_src.num_batches(config.batch_size), 1)
+        else:  # host-streaming source
+            n = len(getattr(self.train_src, "dataset", []) or [])
+            steps_per_epoch = max(-(-n // config.batch_size), 1)
         if state is None:
             shape = (1, config.image_size, config.image_size,
                      getattr(model, "in_channels", 1))
@@ -75,6 +80,7 @@ class Trainer:
             self.state = jax.device_put(self.state, replicated(mesh))
 
         self.train_step = make_train_step(config, aug_config_from(config))
+        self.host_train_step = make_host_train_step(config)
         self.eval_step = make_eval_step(config)
         self.infer_step = make_infer_step(config)
 
@@ -112,16 +118,31 @@ class Trainer:
 
     # ------------------------------------------------------------------
 
+    @staticmethod
+    def _is_device_src(src) -> bool:
+        return hasattr(src, "epoch_batches")
+
+    def _iter_batches(self, src, shuffle: bool):
+        """Unify device-resident and host-streaming sources: yields device
+        batch arrays (uint8 store batches or host-augmented float batches —
+        the jitted steps accept both; dtype is static per source)."""
+        if self._is_device_src(src):
+            for idx in src.epoch_batches(self.rng, self.config.batch_size,
+                                         shuffle=shuffle):
+                yield gather_batch(src.images, src.masks,
+                                   jax.numpy.asarray(idx))
+        else:
+            for images, masks in src:
+                yield (jax.numpy.asarray(images), jax.numpy.asarray(masks))
+
     def train_one_epoch(self, epoch: int):
         total = None
-        for idx in self.train_src.epoch_batches(self.rng,
-                                                self.config.batch_size):
+        device_src = self._is_device_src(self.train_src)
+        for images, masks in self._iter_batches(self.train_src,
+                                                shuffle=True):
             self.key, step_key = jax.random.split(self.key)
-            images, masks = gather_batch(self.train_src.images,
-                                         self.train_src.masks,
-                                         jax.numpy.asarray(idx))
-            self.state, m = self.train_step(self.state, images, masks,
-                                            step_key)
+            step = self.train_step if device_src else self.host_train_step
+            self.state, m = step(self.state, images, masks, step_key)
             total = accumulate(total, m)
         total = jax.device_get(total)
         em = epoch_metrics_from_counts(total.counts)
@@ -129,12 +150,8 @@ class Trainer:
 
     def validate(self, epoch: int):
         total = None
-        for idx in self.val_src.epoch_batches(self.rng,
-                                              self.config.batch_size,
-                                              shuffle=False):
-            images, masks = gather_batch(self.val_src.images,
-                                         self.val_src.masks,
-                                         jax.numpy.asarray(idx))
+        for images, masks in self._iter_batches(self.val_src,
+                                                shuffle=False):
             m = self.eval_step(self.state, images, masks)
             total = accumulate(total, m)
         total = jax.device_get(total)
@@ -180,12 +197,8 @@ class Trainer:
             "------------------Starting Testing Model------------------")
         all_imgs, all_masks, all_preds = [], [], []
         counts_total = None
-        for idx in self.test_src.epoch_batches(self.rng,
-                                               self.config.batch_size,
-                                               shuffle=True):
-            images, masks = gather_batch(self.test_src.images,
-                                         self.test_src.masks,
-                                         jax.numpy.asarray(idx))
+        for images, masks in self._iter_batches(self.test_src,
+                                                shuffle=True):
             imgs_f, masks_f, preds, counts = self.infer_step(
                 self.state, images, masks)
             counts_total = (counts if counts_total is None

@@ -42,9 +42,16 @@ def _main_logits(out):
     return out[0] if isinstance(out, tuple) else out
 
 
-def _to_float(images_u8, masks_u8):
-    return (images_u8.astype(jnp.float32) / 255.0,
-            masks_u8.astype(jnp.float32) / 255.0)
+def _to_float(images, masks):
+    """uint8 [0,255] -> float32 [0,1]; float inputs (host-augmented
+    batches) pass through. dtype is static at trace time."""
+
+    def f(x):
+        if x.dtype == jnp.uint8:
+            return x.astype(jnp.float32) / 255.0
+        return x.astype(jnp.float32)
+
+    return f(images), f(masks)
 
 
 def make_train_step(config, aug_cfg: AugmentConfig) -> Callable:
@@ -62,6 +69,48 @@ def make_train_step(config, aug_cfg: AugmentConfig) -> Callable:
         images, masks = _to_float(images_u8, masks_u8)
         k_aug, k_mix, k_drop = jax.random.split(key, 3)
         images, masks = augment_batch(k_aug, images, masks, aug_cfg)
+        if use_mixup:
+            images, masks = mixup(k_mix, images, masks, mixup_alpha,
+                                  mixup_prob)
+
+        def loss_fn(params):
+            out, updates = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                images, train=True, mutable=["batch_stats"],
+                rngs={"dropout": k_drop})
+            logits = _main_logits(out)
+            terms = weighted_loss(logits, masks, **loss_kw)
+            return terms.total, (terms, updates, logits)
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (terms, updates, logits)), grads = grad_fn(state.params)
+        state = state.apply_gradients(grads, updates["batch_stats"])
+        counts = confusion_counts(logits, masks)
+        m = StepMetrics(terms.total, terms.bce, terms.dice, terms.focal,
+                        terms.boundary, counts,
+                        jnp.asarray(images.shape[0], jnp.float32))
+        return state, m
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_host_train_step(config) -> Callable:
+    """Train step for the strict host-oracle augmentation path
+    (``--host_augment``): batches arrive already augmented/resized as
+    float32 (the PIL/cv2 chain ran on the host, exactly like the
+    reference's DataLoader), so the device step is mixup + forward/backward
+    + update only. (state, images_f, masks_f, key) -> (state, StepMetrics).
+    """
+    loss_kw = dict(bce_ratio=config.bce_ratio, dice_ratio=config.dice_ratio,
+                   focal_ratio=config.focal_ratio,
+                   boundary_ratio=config.boundary_ratio,
+                   compute_unused=config.compute_unused_losses)
+    use_mixup = bool(config.use_mixup)
+    mixup_alpha = float(config.mixup_alpha)
+    mixup_prob = float(config.mixup_prob)
+
+    def step(state, images, masks, key):
+        k_mix, k_drop = jax.random.split(key)
         if use_mixup:
             images, masks = mixup(k_mix, images, masks, mixup_alpha,
                                   mixup_prob)

@@ -78,3 +78,16 @@ def test_main_synthetic_end_to_end(tmp_path):
     assert (run / "config.yaml").is_file()
     assert (run / "models" / "UNet_best").is_dir()
     assert (run / "log" / "train_log.log").is_file()
+
+
+def test_main_host_augment_end_to_end(tmp_path):
+    """Strict host-oracle augmentation path: PIL/cv2 chain feeding the
+    device train step."""
+    from ddti_tpu.cli.main import main
+
+    rc = main(["--mode", "both", "--synthetic", "--host_augment",
+               "--epochs", "1", "--image_size", "32", "--store_size", "32",
+               "--model_type", "UNet", "--base_filters", "8",
+               "--depth", "3", "--batch_size", "8", "--lr", "1e-3",
+               "--base_dir", str(tmp_path)])
+    assert rc == 0
