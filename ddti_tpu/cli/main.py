@@ -75,6 +75,10 @@ def get_parser() -> argparse.ArgumentParser:
                    help="strict-parity mode: run the PIL/cv2 host "
                         "augmentation chain (reference oracle) instead of "
                         "the on-device pipeline")
+    p.add_argument("--resume", action="store_true",
+                   help="restore the full train state (params, optimizer, "
+                        "step) from --checkpoint_path before training — "
+                        "unlike the reference's weights-only warm start")
     p.add_argument("--image_size", default=512, type=int)
     p.add_argument("--store_size", default=512, type=int)
     p.add_argument("--seed", default=42, type=int)
@@ -199,8 +203,27 @@ def main(argv=None) -> int:
     trainer = Trainer(cfg, sources, logger, model, mesh=mesh)
 
     if cfg.checkpoint_path and os.path.exists(cfg.checkpoint_path):
-        trainer.state = restore_checkpoint(cfg.checkpoint_path, trainer.state)
-        logger.info(f"Restored checkpoint from {cfg.checkpoint_path}")
+        if cfg.checkpoint_path.endswith(".pth"):
+            # reference-format torch weights: weights-only warm start
+            from ddti_tpu.train.torch_interop import import_state_dict, load_pth
+            sd = load_pth(cfg.checkpoint_path)
+            params, stats = import_state_dict(
+                cfg.model_type, sd, trainer.state.params,
+                trainer.state.batch_stats)
+            trainer.state = trainer.state.replace(params=params,
+                                                  batch_stats=stats)
+            logger.info(f"Imported torch weights from {cfg.checkpoint_path}")
+        elif args.resume:
+            # full resume: params + BN stats + optimizer + step
+            trainer.state = restore_checkpoint(cfg.checkpoint_path,
+                                               trainer.state)
+            logger.info(f"Resumed full state from {cfg.checkpoint_path}")
+        else:
+            # reference-style warm start: weights/stats only
+            restored = restore_checkpoint(cfg.checkpoint_path, trainer.state)
+            trainer.state = trainer.state.replace(
+                params=restored.params, batch_stats=restored.batch_stats)
+            logger.info(f"Warm-started weights from {cfg.checkpoint_path}")
 
     n_params = count_params(trainer.state.params)
     logger.info(f"Model: {cfg.model_type} | Trainable params: "

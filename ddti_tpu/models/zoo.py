@@ -354,9 +354,23 @@ MODEL_REGISTRY = {
 def create_model(model_type: str, **kwargs):
     """Instantiate a zoo model by name (the live YAML-dispatch path that the
     reference left dead at /root/reference/main.py:124-140). Legacy variants
-    (LegacyUNet, TripleBranchImprovedVNet) resolve too."""
+    (LegacyUNet, TripleBranchImprovedVNet) resolve too.
+
+    Also accepts the legacy ``features=[...]`` channel-list API of the old
+    zoo (/root/reference/models/mores.py): a geometric list like
+    [64, 128, 256, 512] maps onto (base_filters=64, depth=4).
+    """
     registry = dict(MODEL_REGISTRY)
     registry.update(_legacy_registry())
+    features = kwargs.pop("features", None)
+    if features is not None:
+        feats = list(features)
+        if any(feats[i + 1] != feats[i] * 2 for i in range(len(feats) - 1)):
+            raise ValueError(
+                f"features list {feats} is not a doubling schedule; the "
+                f"parametric zoo expects base_filters * 2**i channels")
+        kwargs.setdefault("base_filters", feats[0])
+        kwargs.setdefault("depth", len(feats))
     try:
         cls = registry[model_type]
     except KeyError:

@@ -174,3 +174,11 @@ def test_legacy_models_forward_and_dispatch():
     m2 = create_model("TripleBranchImprovedVNet", base_num_filters=16)
     v2 = m2.init({"params": jax.random.PRNGKey(0)}, x, train=False)
     assert m2.apply(v2, x, train=False).shape == (1, 32, 32, 1)
+
+
+def test_features_list_api_adapter():
+    # legacy mores.py-style channel-list API maps onto the parametric zoo
+    m = create_model("UNet", features=[8, 16, 32])
+    assert m.base_filters == 8 and m.depth == 3
+    with pytest.raises(ValueError):
+        create_model("UNet", features=[8, 24, 32])
