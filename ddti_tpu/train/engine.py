@@ -75,9 +75,19 @@ class Trainer:
                 model, jax.random.PRNGKey(config.seed), shape,
                 config.lr, steps_per_epoch, config.weight_decay)
         self.state = state
+        self._batch_sh = None
         if mesh is not None:
-            from ddti_tpu.parallel import replicated
-            self.state = jax.device_put(self.state, replicated(mesh))
+            from ddti_tpu.parallel import batch_sharding, replicated
+            rep = replicated(mesh)
+            self.state = jax.device_put(self.state, rep)
+            self._batch_sh = batch_sharding(mesh)
+            # replicate device-resident stores so gathers stay local; the
+            # per-step batch is then resharded onto the data axis (a local
+            # slice, no collective)
+            for src in (self.train_src, self.val_src, self.test_src):
+                if hasattr(src, "images"):
+                    src.images = jax.device_put(src.images, rep)
+                    src.masks = jax.device_put(src.masks, rep)
 
         self.train_step = make_train_step(config, aug_config_from(config))
         self.host_train_step = make_host_train_step(config)
@@ -129,11 +139,20 @@ class Trainer:
         if self._is_device_src(src):
             for idx in src.epoch_batches(self.rng, self.config.batch_size,
                                          shuffle=shuffle):
-                yield gather_batch(src.images, src.masks,
-                                   jax.numpy.asarray(idx))
+                batch = gather_batch(src.images, src.masks,
+                                     jax.numpy.asarray(idx))
+                if self._batch_sh is not None:
+                    batch = tuple(jax.device_put(x, self._batch_sh)
+                                  for x in batch)
+                yield batch
         else:
             for images, masks in src:
-                yield (jax.numpy.asarray(images), jax.numpy.asarray(masks))
+                batch = (jax.numpy.asarray(images),
+                         jax.numpy.asarray(masks))
+                if self._batch_sh is not None:
+                    batch = tuple(jax.device_put(x, self._batch_sh)
+                                  for x in batch)
+                yield batch
 
     def train_one_epoch(self, epoch: int):
         total = None

@@ -122,3 +122,26 @@ def test_dryrun_multichip_entrypoint():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_trainer_end_to_end_on_mesh(tmp_path, eight_devices):
+    """Full Trainer (train + validate + test) over an 8-device DP mesh."""
+    import os
+
+    from ddti_tpu.core import create_logger
+    from ddti_tpu.data import DeviceDataSource
+    from ddti_tpu.train import Trainer
+
+    mesh = make_mesh({"data": 8}, eight_devices)
+    cfg = Config(epochs=1, batch_size=8, image_size=32, store_size=32,
+                 lr=1e-3, model_type="UNet", base_dir=str(tmp_path))
+    cfg.make_dirs()
+    logger = create_logger(os.path.join(cfg.log_dir, "train_log.log"))
+    srcs = tuple(
+        DeviceDataSource(*generate_ddti_like(n, (32, 32), s))
+        for n, s in ((16, 0), (8, 1), (8, 2)))
+    model = create_model("UNet", base_filters=8, depth=3)
+    tr = Trainer(cfg, srcs, logger, model, mesh=mesh)
+    tr.train()
+    m = tr.test(visualize=False)
+    assert 0.0 <= m["acc"] <= 1.0
