@@ -77,6 +77,7 @@ class Config:
     seed: int = 42
     host_augment: bool = False     # strict host-oracle augmentation path
     mesh_shape: Optional[dict] = None  # e.g. {"data": 8}
+    fused_epoch: bool = False  # whole epoch as one scanned XLA program
     donate_state: bool = True
     compute_unused_losses: bool = True  # reference computes all 4 terms
 

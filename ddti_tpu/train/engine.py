@@ -36,6 +36,7 @@ from .steps import (
     make_eval_step,
     make_host_train_step,
     make_infer_step,
+    make_scan_epoch,
     make_train_step,
 )
 
@@ -93,6 +94,8 @@ class Trainer:
         self.host_train_step = make_host_train_step(config)
         self.eval_step = make_eval_step(config)
         self.infer_step = make_infer_step(config)
+        self.scan_epoch = (make_scan_epoch(config, aug_config_from(config))
+                           if getattr(config, "fused_epoch", False) else None)
 
         self.early_stopping = EarlyStopping(
             logger=logger, patience=config.early_stop_patience, delta=0)
@@ -155,17 +158,45 @@ class Trainer:
                 yield batch
 
     def train_one_epoch(self, epoch: int):
+        if self.scan_epoch is not None and self._is_device_src(
+                self.train_src):
+            return self._train_one_epoch_fused(epoch)
         total = None
         device_src = self._is_device_src(self.train_src)
-        for images, masks in self._iter_batches(self.train_src,
-                                                shuffle=True):
-            self.key, step_key = jax.random.split(self.key)
+        # same key derivation as the fused-epoch path: one epoch key, one
+        # split per step (keeps the two modes bit-identical)
+        self.key, ekey = jax.random.split(self.key)
+        step_keys = None
+        for i, (images, masks) in enumerate(
+                self._iter_batches(self.train_src, shuffle=True)):
             step = self.train_step if device_src else self.host_train_step
+            step_key = jax.random.fold_in(ekey, i)
             self.state, m = step(self.state, images, masks, step_key)
             total = accumulate(total, m)
         total = jax.device_get(total)
         em = epoch_metrics_from_counts(total.counts)
         self._log_epoch("Train", epoch, self._avgs(total), em)
+
+    def _train_one_epoch_fused(self, epoch: int):
+        """One dispatch for the whole epoch: scan over precomputed batch
+        index arrays (dataset resident in HBM)."""
+        import numpy as np_
+
+        src = self.train_src
+        idx = np_.stack(list(src.epoch_batches(self.rng,
+                                               self.config.batch_size)))
+        self.key, ekey = jax.random.split(self.key)
+        self.state, stacked = self.scan_epoch(
+            self.state, src.images, src.masks, jax.numpy.asarray(idx), ekey)
+        stacked = jax.device_get(stacked)
+        # reduce the per-step stacked metrics exactly like accumulate()
+        n = stacked.n.sum()
+        from ddti_tpu.eval.metrics import ConfusionCounts
+        counts = ConfusionCounts(*(c.sum() for c in stacked.counts))
+        avgs = {k: float((getattr(stacked, k) * stacked.n).sum() / n)
+                for k in ("loss", "bce", "dice", "focal", "boundary")}
+        em = epoch_metrics_from_counts(counts)
+        self._log_epoch("Train", epoch, avgs, em)
 
     def validate(self, epoch: int):
         total = None

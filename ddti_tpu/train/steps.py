@@ -57,41 +57,8 @@ def _to_float(images, masks):
 def make_train_step(config, aug_cfg: AugmentConfig) -> Callable:
     """Build the jitted train step:
     (state, images_u8, masks_u8, key) -> (state, StepMetrics)."""
-    loss_kw = dict(bce_ratio=config.bce_ratio, dice_ratio=config.dice_ratio,
-                   focal_ratio=config.focal_ratio,
-                   boundary_ratio=config.boundary_ratio,
-                   compute_unused=config.compute_unused_losses)
-    use_mixup = bool(config.use_mixup)
-    mixup_alpha = float(config.mixup_alpha)
-    mixup_prob = float(config.mixup_prob)
-
-    def step(state, images_u8, masks_u8, key):
-        images, masks = _to_float(images_u8, masks_u8)
-        k_aug, k_mix, k_drop = jax.random.split(key, 3)
-        images, masks = augment_batch(k_aug, images, masks, aug_cfg)
-        if use_mixup:
-            images, masks = mixup(k_mix, images, masks, mixup_alpha,
-                                  mixup_prob)
-
-        def loss_fn(params):
-            out, updates = state.apply_fn(
-                {"params": params, "batch_stats": state.batch_stats},
-                images, train=True, mutable=["batch_stats"],
-                rngs={"dropout": k_drop})
-            logits = _main_logits(out)
-            terms = weighted_loss(logits, masks, **loss_kw)
-            return terms.total, (terms, updates, logits)
-
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (_, (terms, updates, logits)), grads = grad_fn(state.params)
-        state = state.apply_gradients(grads, updates["batch_stats"])
-        counts = confusion_counts(logits, masks)
-        m = StepMetrics(terms.total, terms.bce, terms.dice, terms.focal,
-                        terms.boundary, counts,
-                        jnp.asarray(images.shape[0], jnp.float32))
-        return state, m
-
-    return jax.jit(step, donate_argnums=(0,))
+    return jax.jit(_build_train_step_impl(config, aug_cfg),
+                   donate_argnums=(0,))
 
 
 def make_host_train_step(config) -> Callable:
@@ -184,6 +151,76 @@ def make_infer_step(config) -> Callable:
 def gather_batch(images: jnp.ndarray, masks: jnp.ndarray, idx: jnp.ndarray):
     """Device-side batch gather from the resident dataset store."""
     return images[idx], masks[idx]
+
+
+def make_scan_epoch(config, aug_cfg: AugmentConfig) -> Callable:
+    """The whole training epoch as ONE XLA program.
+
+    With the dataset resident in HBM, scan over the per-step index arrays:
+    gather -> augment -> forward/backward -> update, all inside a single
+    dispatch. The host's only per-epoch work is a permutation and a key.
+
+    Returns ``epoch_fn(state, images_store, masks_store, idx, key) ->
+    (state, StepMetrics-stacked)`` where ``idx`` is (steps, batch) int32.
+    """
+    step_impl = _build_train_step_impl(config, aug_cfg)
+
+    def epoch(state, images_store, masks_store, idx, key):
+        # fold_in per step — identical derivation to the stepwise engine
+        # path, so the two modes are bit-identical
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+            jnp.arange(idx.shape[0]))
+
+        def body(s, xs):
+            batch_idx, k = xs
+            images = images_store[batch_idx]
+            masks = masks_store[batch_idx]
+            s, m = step_impl(s, images, masks, k)
+            return s, m
+
+        state, metrics = jax.lax.scan(body, state, (idx, keys))
+        return state, metrics
+
+    return jax.jit(epoch, donate_argnums=(0,))
+
+
+def _build_train_step_impl(config, aug_cfg: AugmentConfig) -> Callable:
+    """Unjitted train-step body shared by make_train_step / make_scan_epoch."""
+    loss_kw = dict(bce_ratio=config.bce_ratio, dice_ratio=config.dice_ratio,
+                   focal_ratio=config.focal_ratio,
+                   boundary_ratio=config.boundary_ratio,
+                   compute_unused=config.compute_unused_losses)
+    use_mixup = bool(config.use_mixup)
+    mixup_alpha = float(config.mixup_alpha)
+    mixup_prob = float(config.mixup_prob)
+
+    def step(state, images_u8, masks_u8, key):
+        images, masks = _to_float(images_u8, masks_u8)
+        k_aug, k_mix, k_drop = jax.random.split(key, 3)
+        images, masks = augment_batch(k_aug, images, masks, aug_cfg)
+        if use_mixup:
+            images, masks = mixup(k_mix, images, masks, mixup_alpha,
+                                  mixup_prob)
+
+        def loss_fn(params):
+            out, updates = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                images, train=True, mutable=["batch_stats"],
+                rngs={"dropout": k_drop})
+            logits = _main_logits(out)
+            terms = weighted_loss(logits, masks, **loss_kw)
+            return terms.total, (terms, updates, logits)
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (terms, updates, logits)), grads = grad_fn(state.params)
+        state = state.apply_gradients(grads, updates["batch_stats"])
+        counts = confusion_counts(logits, masks)
+        m = StepMetrics(terms.total, terms.bce, terms.dice, terms.focal,
+                        terms.boundary, counts,
+                        jnp.asarray(images.shape[0], jnp.float32))
+        return state, m
+
+    return step
 
 
 def accumulate(total: StepMetrics | None, m: StepMetrics) -> StepMetrics:
