@@ -22,9 +22,22 @@ import time
 
 
 def run_jobs(commands: list[list[str]], max_jobs: int = 3,
-             min_gap: float = 1.0, env=None) -> list[int]:
+             min_gap: float = 1.0, env=None, retries: int = 0) -> list[int]:
     """Launch commands with a concurrency cap + launch stagger; returns
-    return codes in input order."""
+    return codes in input order. ``retries`` re-launches failed jobs up to
+    that many times (simple failure recovery — the reference's sweep has
+    none: a crashed job just dies, run.sh:27)."""
+    if retries:
+        codes = run_jobs(commands, max_jobs, min_gap, env, retries=0)
+        for _ in range(retries):
+            failed = [i for i, c in enumerate(codes) if c != 0]
+            if not failed:
+                break
+            retry_codes = run_jobs([commands[i] for i in failed], max_jobs,
+                                   min_gap, env, retries=0)
+            for i, c in zip(failed, retry_codes):
+                codes[i] = c
+        return codes
     running: list[tuple[int, subprocess.Popen]] = []
     codes: dict[int, int] = {}
     last_start = 0.0
@@ -72,6 +85,8 @@ def main(argv=None) -> int:
                     help="file with one shell command per line")
     ap.add_argument("--max_jobs", type=int, default=3)
     ap.add_argument("--min_gap", type=float, default=1.0)
+    ap.add_argument("--retries", type=int, default=0,
+                    help="re-launch failed jobs up to N times")
     ap.add_argument("--extra", default="",
                     help="extra flags appended to every generated command")
     args = ap.parse_args(argv)
@@ -94,7 +109,7 @@ def main(argv=None) -> int:
     if not commands:
         print("nothing to run (pass --config_dir or --commands_file)")
         return 1
-    codes = run_jobs(commands, args.max_jobs, args.min_gap)
+    codes = run_jobs(commands, args.max_jobs, args.min_gap, retries=args.retries)
     print("All jobs finished.")
     return 0 if all(c == 0 for c in codes) else 1
 

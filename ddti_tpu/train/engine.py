@@ -208,6 +208,7 @@ class Trainer:
         em = epoch_metrics_from_counts(total.counts)
         avgs = self._avgs(total)
         self._log_epoch("Validate", epoch, avgs, em)
+        self._last_val_counts = total.counts
         return avgs["loss"], em["iou"]
 
     def train(self):
@@ -215,6 +216,20 @@ class Trainer:
         for epoch in range(cfg.epochs):
             self.train_one_epoch(epoch)
             val_loss, val_iou = self.validate(epoch)
+
+            # periodic artifacts (makes the reference's parsed-but-unused
+            # save_interval flag live): rolling checkpoint + confusion plot
+            if cfg.save_interval and (epoch + 1) % cfg.save_interval == 0:
+                periodic = os.path.join(cfg.model_dir,
+                                        f"{cfg.model_type}_epoch")
+                save_checkpoint(periodic, self.state)
+                try:
+                    from ddti_tpu.eval.confusion import save_confusion_matrix
+                    c = self._last_val_counts
+                    save_confusion_matrix(c.tp, c.fp, c.fn, c.tn,
+                                          cfg.result_dir, epoch)
+                except Exception:
+                    pass
 
             if val_iou > self.best_val_iou:
                 self.best_val_iou = val_iou

@@ -91,3 +91,15 @@ def test_main_host_augment_end_to_end(tmp_path):
                "--depth", "3", "--batch_size", "8", "--lr", "1e-3",
                "--base_dir", str(tmp_path)])
     assert rc == 0
+
+
+def test_sweep_retries(tmp_path):
+    """A job that fails on the first attempt and succeeds on retry."""
+    marker = tmp_path / "marker"
+    script = (
+        "import os, sys; p = r'%s';\n"
+        "sys.exit(0) if os.path.exists(p) else "
+        "(open(p, 'w').close(), sys.exit(1))" % marker)
+    codes = run_jobs([[sys.executable, "-c", script]], max_jobs=1,
+                     min_gap=0.0, retries=1)
+    assert codes == [0]
