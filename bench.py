@@ -81,7 +81,14 @@ def bench(batch: int = 128, size: int = 256, steps: int = 20,
 
 
 def main() -> int:
-    r = bench()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--steps", type=int, default=20)
+    args = ap.parse_args()
+    r = bench(batch=args.batch, size=args.size, steps=args.steps)
     print(json.dumps({
         "metric": "resunet256_train_images_per_sec_per_chip",
         "value": round(r["train_ips"], 2),

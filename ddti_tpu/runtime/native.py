@@ -109,6 +109,21 @@ class NativeBatchLoader:
             pass
 
 
+class NativeSource:
+    """Adapter exposing a NativeBatchLoader as a Trainer-compatible
+    streaming source: iterating yields one epoch of (imgs, masks) uint8
+    batches (the device pipeline then augments them)."""
+
+    def __init__(self, loader: NativeBatchLoader):
+        self.loader = loader
+        self.batch_size = loader.batch
+
+    def __iter__(self):
+        for _ in range(self.loader.steps_per_epoch):
+            imgs, masks, _ = self.loader.next()
+            yield imgs, masks
+
+
 def write_store(path_prefix: str, images: np.ndarray, masks: np.ndarray
                 ) -> tuple[str, str]:
     """Write (N, H, W, 1) uint8 arrays as raw store files for the native

@@ -162,14 +162,16 @@ class Trainer:
                 self.train_src):
             return self._train_one_epoch_fused(epoch)
         total = None
-        device_src = self._is_device_src(self.train_src)
         # same key derivation as the fused-epoch path: one epoch key, one
-        # split per step (keeps the two modes bit-identical)
+        # fold_in per step (keeps the two modes bit-identical)
         self.key, ekey = jax.random.split(self.key)
-        step_keys = None
         for i, (images, masks) in enumerate(
                 self._iter_batches(self.train_src, shuffle=True)):
-            step = self.train_step if device_src else self.host_train_step
+            # uint8 batches are raw store data -> full on-device
+            # augmentation; float batches were augmented on the host
+            # (oracle chain) -> mixup+train only
+            step = (self.train_step if images.dtype == jax.numpy.uint8
+                    else self.host_train_step)
             step_key = jax.random.fold_in(ekey, i)
             self.state, m = step(self.state, images, masks, step_key)
             total = accumulate(total, m)

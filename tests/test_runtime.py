@@ -72,3 +72,35 @@ def test_bad_path_raises():
     with pytest.raises(OSError):
         NativeBatchLoader("/nonexistent/a.u8", "/nonexistent/b.u8",
                           4, 8, 8, 2)
+
+
+def test_native_source_feeds_trainer(tmp_path):
+    """NativeBatchLoader as a Trainer streaming source (uint8 batches go
+    through the full device augmentation step)."""
+    import os
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from ddti_tpu.core import Config, create_logger
+    from ddti_tpu.data import DeviceDataSource
+    from ddti_tpu.models import create_model
+    from ddti_tpu.runtime import NativeSource
+    from ddti_tpu.train import Trainer
+
+    images, masks = generate_ddti_like(8, (32, 32), 1)
+    ip, mp = write_store(str(tmp_path / "tr"), images, masks)
+    cfg = Config(epochs=1, batch_size=4, image_size=32, store_size=32,
+                 lr=1e-3, model_type="UNet", base_dir=str(tmp_path))
+    cfg.make_dirs()
+    logger = create_logger(os.path.join(cfg.log_dir, "log.log"))
+    train_src = NativeSource(NativeBatchLoader(ip, mp, 8, 32, 32, 4,
+                                               num_threads=1))
+    eval_srcs = [DeviceDataSource(*generate_ddti_like(4, (32, 32), s))
+                 for s in (2, 3)]
+    model = create_model("UNet", base_filters=8, depth=3)
+    tr = Trainer(cfg, (train_src, *eval_srcs), logger, model)
+    tr.train_one_epoch(0)
+    loss, iou = tr.validate(0)
+    assert np.isfinite(loss)
+    train_src.loader.close()
