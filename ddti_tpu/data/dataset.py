@@ -57,11 +57,25 @@ class MedicalDataset:
 
 
 def decode_to_store(dataset: MedicalDataset, store_size=(512, 512),
-                    dtype=np.uint8) -> tuple[np.ndarray, np.ndarray]:
+                    dtype=np.uint8, cache_dir: str | None = None
+                    ) -> tuple[np.ndarray, np.ndarray]:
     """Decode + canonical-resize the whole dataset to two uint8 arrays
-    (N, H, W, 1). Grayscale ('L') conversion like PIL gives for DDTI jpgs."""
+    (N, H, W, 1). Grayscale ('L') conversion like PIL gives for DDTI jpgs.
+
+    With ``cache_dir`` the decoded store is memoized as raw ``.u8`` files
+    (the native-loader format), so subsequent runs skip PIL entirely.
+    """
     h, w = store_size
     n = len(dataset)
+    if cache_dir:
+        tag = f"{os.path.basename(dataset.img_dir)}_{n}_{h}x{w}"
+        ip = os.path.join(cache_dir, f"{tag}_imgs.u8")
+        mp = os.path.join(cache_dir, f"{tag}_masks.u8")
+        if (os.path.isfile(ip) and os.path.isfile(mp)
+                and os.path.getsize(ip) == n * h * w):
+            images = np.fromfile(ip, np.uint8).reshape(n, h, w, 1)
+            masks = np.fromfile(mp, np.uint8).reshape(n, h, w, 1)
+            return images, masks
     images = np.zeros((n, h, w, 1), dtype)
     masks = np.zeros((n, h, w, 1), dtype)
     for i in range(n):
@@ -70,6 +84,10 @@ def decode_to_store(dataset: MedicalDataset, store_size=(512, 512),
         mask = mask.convert("L").resize((w, h), Image.BILINEAR)
         images[i, ..., 0] = np.asarray(img, dtype)
         masks[i, ..., 0] = np.asarray(mask, dtype)
+    if cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
+        images[..., 0].tofile(ip)
+        masks[..., 0].tofile(mp)
     return images, masks
 
 

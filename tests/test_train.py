@@ -190,3 +190,20 @@ def test_fused_epoch_matches_stepwise(tmp_path):
         close += int(np.isclose(a, b, rtol=1e-4, atol=1e-6).sum())
         total += a.size
     assert close / total >= 0.98
+
+
+def test_decode_to_store_cache_roundtrip(tmp_path):
+    from ddti_tpu.data import MedicalDataset, decode_to_store
+    from ddti_tpu.data.synthetic import write_synthetic_dataset
+
+    root = str(tmp_path / "ds")
+    write_synthetic_dataset(root, n_train=4, n_val=1, n_test=1,
+                            size=(32, 32))
+    ds = MedicalDataset(os.path.join(root, "train"),
+                        os.path.join(root, "train_mask"))
+    cache = str(tmp_path / "cache")
+    a_i, a_m = decode_to_store(ds, (32, 32), cache_dir=cache)
+    b_i, b_m = decode_to_store(ds, (32, 32), cache_dir=cache)  # from cache
+    np.testing.assert_array_equal(a_i, b_i)
+    np.testing.assert_array_equal(a_m, b_m)
+    assert len(os.listdir(cache)) == 2
