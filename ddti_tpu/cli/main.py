@@ -116,10 +116,12 @@ def load_sources(cfg):
     have_disk = all(
         os.path.isdir(os.path.join(root, s)) for s in ("train", "val", "test"))
     if have_disk:
+        cache = os.path.join(root, ".store_cache")
         for split in ("train", "val", "test"):
             ds = MedicalDataset(os.path.join(root, split),
                                 os.path.join(root, f"{split}_mask"))
-            sources.append(DeviceDataSource(*decode_to_store(ds, size)))
+            sources.append(DeviceDataSource(
+                *decode_to_store(ds, size, cache_dir=cache)))
     else:
         for n, seed in ((64, 0), (16, 10_000), (16, 20_000)):
             sources.append(DeviceDataSource(*generate_ddti_like(
