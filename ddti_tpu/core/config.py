@@ -16,7 +16,7 @@ from __future__ import annotations
 import dataclasses
 import os
 from datetime import datetime, timezone
-from typing import Any, Optional
+from typing import Optional
 
 import yaml
 

@@ -14,7 +14,7 @@ Written as plain functions over (PIL.Image, PIL.Image) pairs with an explicit
 from __future__ import annotations
 
 import random as _random
-from typing import Callable, Sequence
+from typing import Callable
 
 import numpy as np
 

@@ -16,7 +16,6 @@ Differences by design (all TPU-first):
 from __future__ import annotations
 
 import os
-import time
 from typing import Optional
 
 import jax

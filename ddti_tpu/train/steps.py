@@ -18,7 +18,7 @@ the batch mean is a mean over a sharded axis) and metric sums.
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, NamedTuple
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp

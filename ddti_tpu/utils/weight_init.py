@@ -6,7 +6,6 @@ kernels. Apply to an initialized param tree with ``apply_init``."""
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 from flax import linen as nn
 
 kaiming_conv = nn.initializers.variance_scaling(
