@@ -45,7 +45,8 @@ class ConvBNAct(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, train: bool):
+    def __call__(self, x, train: bool = False):
+        # ``train`` is positional-friendly so nn.remat can mark it static
         for i in range(2):
             x = nn.Conv(
                 self.features, (3, 3), padding=1, use_bias=False,
@@ -70,7 +71,8 @@ class ResidualBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, train: bool):
+    def __call__(self, x, train: bool = False):
+        # ``train`` is positional-friendly so nn.remat can mark it static
         y = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
                     dtype=self.dtype, name="conv1")(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,

@@ -41,11 +41,18 @@ class _EncoderDecoderBase(nn.Module):
     out_channels: int = 1
     base_filters: int = 64
     depth: int = 5
+    # jax.checkpoint the conv blocks: recompute activations in the backward
+    # pass instead of keeping them in HBM (useful at 512x512 / big batches)
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @property
     def channels(self):
         return [self.base_filters * (2 ** i) for i in range(self.depth)]
+
+    def _maybe_remat(self, cls):
+        # static_argnums=(2,): the ``train`` flag (0 is self, 1 is x)
+        return nn.remat(cls, static_argnums=(2,)) if self.remat else cls
 
 
 class UNet(_EncoderDecoderBase):
@@ -54,17 +61,17 @@ class UNet(_EncoderDecoderBase):
 
     def setup(self):
         ch = self.channels
-        self.encoders = [ConvBNAct(c, dtype=self.dtype) for c in ch]
+        self.encoders = [self._maybe_remat(ConvBNAct)(c, dtype=self.dtype) for c in ch]
         self.bottleneck = ConvBNAct(ch[-1] * 2, dtype=self.dtype)
         self.upconvs = [up_conv(c, dtype=self.dtype) for c in reversed(ch)]
-        self.decoders = [ConvBNAct(c, dtype=self.dtype) for c in reversed(ch)]
+        self.decoders = [self._maybe_remat(ConvBNAct)(c, dtype=self.dtype) for c in reversed(ch)]
         self.final_conv = nn.Conv(self.out_channels, (1, 1), use_bias=True,
                                   dtype=self.dtype, name="final_conv")
 
     def __call__(self, x, *, train: bool = False):
         skips = []
         for enc in self.encoders:
-            x = enc(x, train=train)
+            x = enc(x, train)
             skips.append(x)
             x = max_pool_2x2(x)
         x = self.bottleneck(x, train=train)
@@ -72,7 +79,7 @@ class UNet(_EncoderDecoderBase):
             x = up(x)
             x = match_spatial(x, skip)
             x = jnp.concatenate([skip, x], axis=-1)
-            x = dec(x, train=train)
+            x = dec(x, train)
         return self.final_conv(x)
 
 
@@ -81,10 +88,10 @@ class ResUNet(_EncoderDecoderBase):
 
     def setup(self):
         ch = self.channels
-        self.encoders = [ResidualBlock(c, dtype=self.dtype) for c in ch]
+        self.encoders = [self._maybe_remat(ResidualBlock)(c, dtype=self.dtype) for c in ch]
         self.bottleneck = ResidualBlock(ch[-1] * 2, dtype=self.dtype)
         self.upconvs = [up_conv(c, dtype=self.dtype) for c in reversed(ch)]
-        self.decoders = [ResidualBlock(c, dtype=self.dtype)
+        self.decoders = [self._maybe_remat(ResidualBlock)(c, dtype=self.dtype)
                          for c in reversed(ch)]
         self.final_conv = nn.Conv(self.out_channels, (1, 1), use_bias=True,
                                   dtype=self.dtype, name="final_conv")
@@ -92,7 +99,7 @@ class ResUNet(_EncoderDecoderBase):
     def __call__(self, x, *, train: bool = False):
         skips = []
         for enc in self.encoders:
-            x = enc(x, train=train)
+            x = enc(x, train)
             skips.append(x)
             x = max_pool_2x2(x)
         x = self.bottleneck(x, train=train)
@@ -100,7 +107,7 @@ class ResUNet(_EncoderDecoderBase):
             x = up(x)
             x = match_spatial(x, skip)
             x = jnp.concatenate([skip, x], axis=-1)
-            x = dec(x, train=train)
+            x = dec(x, train)
         return self.final_conv(x)
 
 
@@ -111,18 +118,18 @@ class ASPPUNet(_EncoderDecoderBase):
 
     def setup(self):
         ch = self.channels
-        self.encoders = [ConvBNAct(c, dtype=self.dtype) for c in ch]
+        self.encoders = [self._maybe_remat(ConvBNAct)(c, dtype=self.dtype) for c in ch]
         self.aspp = ASPP(ch[-1] * 2, dilations=tuple(self.aspp_dilations),
                          dtype=self.dtype)
         self.upconvs = [up_conv(c, dtype=self.dtype) for c in reversed(ch)]
-        self.decoders = [ConvBNAct(c, dtype=self.dtype) for c in reversed(ch)]
+        self.decoders = [self._maybe_remat(ConvBNAct)(c, dtype=self.dtype) for c in reversed(ch)]
         self.final_conv = nn.Conv(self.out_channels, (1, 1), use_bias=True,
                                   dtype=self.dtype, name="final_conv")
 
     def __call__(self, x, *, train: bool = False):
         skips = []
         for enc in self.encoders:
-            x = enc(x, train=train)
+            x = enc(x, train)
             skips.append(x)
             x = max_pool_2x2(x)
         x = self.aspp(x, train=train)
@@ -130,7 +137,7 @@ class ASPPUNet(_EncoderDecoderBase):
             x = up(x)
             x = match_spatial(x, skip)
             x = jnp.concatenate([skip, x], axis=-1)
-            x = dec(x, train=train)
+            x = dec(x, train)
         return self.final_conv(x)
 
 
@@ -139,19 +146,19 @@ class AttentionUNet(_EncoderDecoderBase):
 
     def setup(self):
         ch = self.channels
-        self.encoders = [ConvBNAct(c, dtype=self.dtype) for c in ch]
+        self.encoders = [self._maybe_remat(ConvBNAct)(c, dtype=self.dtype) for c in ch]
         self.bottleneck = ConvBNAct(ch[-1] * 2, dtype=self.dtype)
         self.upconvs = [up_conv(c, dtype=self.dtype) for c in reversed(ch)]
         self.attn_gates = [AttentionGate(c // 2, dtype=self.dtype)
                            for c in reversed(ch)]
-        self.decoders = [ConvBNAct(c, dtype=self.dtype) for c in reversed(ch)]
+        self.decoders = [self._maybe_remat(ConvBNAct)(c, dtype=self.dtype) for c in reversed(ch)]
         self.final_conv = nn.Conv(self.out_channels, (1, 1), use_bias=True,
                                   dtype=self.dtype, name="final_conv")
 
     def __call__(self, x, *, train: bool = False):
         skips = []
         for enc in self.encoders:
-            x = enc(x, train=train)
+            x = enc(x, train)
             skips.append(x)
             x = max_pool_2x2(x)
         x = self.bottleneck(x, train=train)
@@ -161,7 +168,7 @@ class AttentionUNet(_EncoderDecoderBase):
             x = match_spatial(x, skip)
             skip_att = gate(g=x, x=skip, train=train)
             x = jnp.concatenate([skip_att, x], axis=-1)
-            x = dec(x, train=train)
+            x = dec(x, train)
         return self.final_conv(x)
 
 
@@ -188,7 +195,7 @@ class TransUNet(_EncoderDecoderBase):
 
     def setup(self):
         ch = self.channels
-        self.encoders = [ConvBNAct(c, dtype=self.dtype) for c in ch]
+        self.encoders = [self._maybe_remat(ConvBNAct)(c, dtype=self.dtype) for c in ch]
         s = self.image_size // (2 ** self.depth)
         self.patchify = nn.Conv(self.embed_dim, (1, 1), use_bias=False,
                                 dtype=self.dtype, name="patchify")
@@ -207,14 +214,14 @@ class TransUNet(_EncoderDecoderBase):
                                    name="trans_proj")
         self.in_dropout = nn.Dropout(0.1)
         self.upconvs = [up_conv(c, dtype=self.dtype) for c in reversed(ch)]
-        self.decoders = [ConvBNAct(c, dtype=self.dtype) for c in reversed(ch)]
+        self.decoders = [self._maybe_remat(ConvBNAct)(c, dtype=self.dtype) for c in reversed(ch)]
         self.final_conv = nn.Conv(self.out_channels, (1, 1), use_bias=True,
                                   dtype=self.dtype, name="final_conv")
 
     def __call__(self, x, *, train: bool = False):
         skips = []
         for enc in self.encoders:
-            x = enc(x, train=train)
+            x = enc(x, train)
             skips.append(x)
             x = max_pool_2x2(x)
         n, h, w, _ = x.shape
@@ -230,7 +237,7 @@ class TransUNet(_EncoderDecoderBase):
             x = up(x)
             x = match_spatial(x, skip)
             x = jnp.concatenate([skip, x], axis=-1)
-            x = dec(x, train=train)
+            x = dec(x, train)
         return self.final_conv(x)
 
 
@@ -241,7 +248,7 @@ class VNet2D(_EncoderDecoderBase):
 
     def setup(self):
         ch = self.channels
-        self.enc_blocks = [ConvBNAct(c, act="prelu", dtype=self.dtype)
+        self.enc_blocks = [self._maybe_remat(ConvBNAct)(c, act="prelu", dtype=self.dtype)
                            for c in ch]
         self.down_convs = [
             nn.Conv(c, (2, 2), strides=(2, 2), use_bias=False,
@@ -251,7 +258,7 @@ class VNet2D(_EncoderDecoderBase):
         self.bottleneck = ConvBNAct(ch[-1] * 2, act="prelu", dtype=self.dtype)
         self.up_convs = [up_conv(c, use_bias=False, dtype=self.dtype)
                          for c in reversed(ch)]
-        self.dec_blocks = [ConvBNAct(c, act="prelu", dtype=self.dtype)
+        self.dec_blocks = [self._maybe_remat(ConvBNAct)(c, act="prelu", dtype=self.dtype)
                            for c in reversed(ch)]
         self.final_conv = nn.Conv(self.out_channels, (1, 1), use_bias=True,
                                   dtype=self.dtype, name="final_conv")
@@ -259,7 +266,7 @@ class VNet2D(_EncoderDecoderBase):
     def __call__(self, x, *, train: bool = False):
         skips = []
         for enc, down in zip(self.enc_blocks, self.down_convs):
-            x = enc(x, train=train)
+            x = enc(x, train)
             skips.append(x)
             x = down(x)
         x = self.bottleneck(x, train=train)
@@ -268,7 +275,7 @@ class VNet2D(_EncoderDecoderBase):
             x = up(x)
             x = match_spatial(x, skip)
             x = jnp.concatenate([skip, x], axis=-1)
-            x = dec(x, train=train)
+            x = dec(x, train)
         return self.final_conv(x)
 
 
@@ -285,7 +292,7 @@ class ImprovedVNet(_EncoderDecoderBase):
 
     def setup(self):
         ch = self.channels
-        self.enc_blocks = [ConvBNAct(c, dtype=self.dtype) for c in ch]
+        self.enc_blocks = [self._maybe_remat(ConvBNAct)(c, dtype=self.dtype) for c in ch]
         self.down_convs = [
             nn.Conv(c, (2, 2), strides=(2, 2), use_bias=False,
                     dtype=self.dtype, name=f"down_convs_{i}")
@@ -297,7 +304,7 @@ class ImprovedVNet(_EncoderDecoderBase):
         if self.use_attention:
             self.attn_gates = [AttentionGate(c // 2, dtype=self.dtype)
                                for c in reversed(ch)]
-        self.dec_blocks = [ConvBNAct(c, dtype=self.dtype)
+        self.dec_blocks = [self._maybe_remat(ConvBNAct)(c, dtype=self.dtype)
                            for c in reversed(ch)]
         if self.deep_supervision:
             # One 1x1 head per decoder level, indexed by the encoder channel
@@ -313,7 +320,7 @@ class ImprovedVNet(_EncoderDecoderBase):
     def __call__(self, x, *, train: bool = False):
         skips = []
         for enc, down in zip(self.enc_blocks, self.down_convs):
-            x = enc(x, train=train)
+            x = enc(x, train)
             skips.append(x)
             x = down(x)
         x = self.bottleneck(x, train=train)
@@ -325,7 +332,7 @@ class ImprovedVNet(_EncoderDecoderBase):
                 skip = self.attn_gates[i](g=x, x=skip, train=train)
             x = match_spatial(x, skip)
             x = jnp.concatenate([skip, x], axis=-1)
-            x = dec(x, train=train)
+            x = dec(x, train)
             if self.deep_supervision:
                 ds_outs.append(self.ds_heads[i](x))
         out = self.final_conv(x)

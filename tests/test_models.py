@@ -182,3 +182,26 @@ def test_features_list_api_adapter():
     assert m.base_filters == 8 and m.depth == 3
     with pytest.raises(ValueError):
         create_model("UNet", features=[8, 24, 32])
+
+
+def test_remat_identical_forward_and_params():
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 1))
+    m1 = create_model("ResUNet", base_filters=8, depth=3, remat=False)
+    m2 = create_model("ResUNet", base_filters=8, depth=3, remat=True)
+    v = m1.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    o1 = m1.apply(v, x, train=False)
+    o2 = m2.apply(v, x, train=False)  # same param tree works for both
+    assert jnp.allclose(o1, o2, atol=1e-6)
+
+    def loss(model):
+        def f(p):
+            out, _ = model.apply(
+                {"params": p, "batch_stats": v["batch_stats"]}, x,
+                train=True, mutable=["batch_stats"])
+            return jnp.sum(out ** 2)
+        return f
+
+    g1 = jax.grad(loss(m1))(v["params"])
+    g2 = jax.grad(loss(m2))(v["params"])
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        assert jnp.allclose(a, b, atol=1e-5)
