@@ -130,3 +130,20 @@ def test_confusion_matrix_plot(tmp_path):
     path = save_confusion_matrix(10, 5, 3, 100, str(tmp_path), epoch=0)
     import os
     assert os.path.isfile(path)
+
+
+def test_profiler_trace_writes_files(tmp_path):
+    import jax
+
+    from ddti_tpu.core.profiling import annotate, device_memory_stats, trace
+
+    with trace(str(tmp_path)):
+        with annotate("unit-test-region"):
+            jax.jit(lambda x: x * 2)(jnp.ones((8, 8))).block_until_ready()
+    import os
+    found = []
+    for root, _, files in os.walk(tmp_path):
+        found.extend(files)
+    assert found  # trace events written
+    stats = device_memory_stats()
+    assert isinstance(stats, dict) and stats
