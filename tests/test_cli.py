@@ -5,6 +5,7 @@ import os
 import subprocess
 import sys
 
+import pytest
 import yaml
 
 from ddti_tpu.cli.main import build_config, get_parser
@@ -143,3 +144,29 @@ def test_infer_cli_end_to_end(tmp_path):
                      "--stride", "16"])
     assert rc == 0
     assert len(os.listdir(out2)) == 3
+
+
+def test_config_snapshot_contents(tmp_path):
+    from ddti_tpu.core import Config
+
+    cfg = Config(model_type="VNet2D", base_dir=str(tmp_path), lr=5e-4)
+    cfg.make_dirs()
+    snap = yaml.safe_load(open(os.path.join(cfg.cfg_dir, "config.yaml")))
+    assert snap["model_type"] == "VNet2D"
+    assert snap["lr"] == 5e-4
+    assert snap["model_dir"].endswith("models")
+
+
+def test_apply_model_yaml_missing_raises(tmp_path):
+    from ddti_tpu.core import Config
+
+    cfg = Config()
+    with pytest.raises(FileNotFoundError):
+        cfg.apply_model_yaml(str(tmp_path / "nope.yaml"))
+
+
+def test_config_from_dict_filters_unknown():
+    from ddti_tpu.core import Config
+
+    cfg = Config.from_dict({"lr": 0.1, "bogus": 1, "model_type": "UNet"})
+    assert cfg.lr == 0.1 and cfg.model_type == "UNet"
