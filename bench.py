@@ -23,7 +23,7 @@ TORCH_CPU_INFER_IPS = 0.781
 
 
 def bench(batch: int = 128, size: int = 256, steps: int = 20,
-          warmup: int = 2) -> dict:
+          warmup: int = 2, remat: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -40,7 +40,7 @@ def bench(batch: int = 128, size: int = 256, steps: int = 20,
     cfg = Config(batch_size=batch, image_size=size, store_size=size,
                  lr=1e-5, model_type="ResUNet", use_mixup=False)
     model = ResUNet(in_channels=1, out_channels=1, base_filters=64, depth=5,
-                    dtype=jnp.bfloat16)
+                    remat=remat, dtype=jnp.bfloat16)
     state = create_train_state(model, jax.random.PRNGKey(0),
                                (1, size, size, 1), cfg.lr,
                                steps_per_epoch=100)
@@ -87,8 +87,10 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--remat", action="store_true")
     args = ap.parse_args()
-    r = bench(batch=args.batch, size=args.size, steps=args.steps)
+    r = bench(batch=args.batch, size=args.size, steps=args.steps,
+              remat=args.remat)
     print(json.dumps({
         "metric": "resunet256_train_images_per_sec_per_chip",
         "value": round(r["train_ips"], 2),
