@@ -75,6 +75,9 @@ def get_parser() -> argparse.ArgumentParser:
                    help="strict-parity mode: run the PIL/cv2 host "
                         "augmentation chain (reference oracle) instead of "
                         "the on-device pipeline")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (the axon sitecustomize pins "
+                        "the TPU tunnel; env vars alone cannot override it)")
     p.add_argument("--resume", action="store_true",
                    help="restore the full train state (params, optimizer, "
                         "step) from --checkpoint_path before training — "
@@ -163,10 +166,11 @@ def load_host_sources(cfg, synthetic: bool = False):
 
 def main(argv=None) -> int:
     args = get_parser().parse_args(argv)
-    if args.synthetic and not args.config_path:
-        pass
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from ddti_tpu.core import create_logger, set_seed
     from ddti_tpu.models import create_model

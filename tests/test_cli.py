@@ -170,3 +170,30 @@ def test_config_from_dict_filters_unknown():
 
     cfg = Config.from_dict({"lr": 0.1, "bogus": 1, "model_type": "UNet"})
     assert cfg.lr == 0.1 and cfg.model_type == "UNet"
+
+
+def test_sweep_config_dir_end_to_end(tmp_path):
+    """run.sh semantics end-to-end: split a 2-entry matrix, sweep it with
+    subprocess jobs (CPU-forced), verify both runs trained."""
+    docs = [{"model": {"model_type": m,
+                       "kwargs": {"in_channels": 1, "out_channels": 1,
+                                  "base_filters": 8, "depth": 3}}}
+            for m in ("UNet", "VNet2D")]
+    matrix = tmp_path / "matrix.yaml"
+    matrix.write_text(yaml.safe_dump(docs))
+    sweep_dir = tmp_path / "sweep"
+    split_config(str(matrix), str(sweep_dir))
+
+    from ddti_tpu.cli.sweep import main as sweep_main
+
+    exp = tmp_path / "exp"
+    rc = sweep_main([
+        "--config_dir", str(sweep_dir), "--max_jobs", "2",
+        "--min_gap", "0",
+        "--extra", ("--cpu --mode both --synthetic --epochs 1 "
+                    "--image_size 32 --store_size 32 --batch_size 8 "
+                    f"--base_dir {exp}")])
+    assert rc == 0
+    runs = sorted(os.listdir(exp))
+    assert any(r.startswith("UNet_") for r in runs)
+    assert any(r.startswith("VNet2D_") for r in runs)
