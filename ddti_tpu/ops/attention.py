@@ -75,7 +75,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, sm_scale):
     o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
-def _flash_forward(q, k, v, block_q: int, block_k: int):
+def _flash_forward(q, k, v, block_q: int, block_k: int,
+                   interpret: bool = False):
     b, h, s, d = q.shape
     sm_scale = 1.0 / (d ** 0.5)
     bh = b * h
@@ -84,20 +85,24 @@ def _flash_forward(q, k, v, block_q: int, block_k: int):
     vf = v.reshape(bh, s, d)
     kernel = functools.partial(_flash_kernel, block_k=block_k,
                                sm_scale=sm_scale)
+    if interpret:
+        spec_kw = {}
+        extra = dict(interpret=True)
+    else:
+        spec_kw = dict(memory_space=pltpu.VMEM)
+        extra = {}
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((bh, s, d), q.dtype),
         grid=(bh, s // block_q),
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), **spec_kw),
+            pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0), **spec_kw),
+            pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0), **spec_kw),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
-                               memory_space=pltpu.VMEM),
+                               **spec_kw),
+        **extra,
     )(qf, kf, vf)
     return out.reshape(b, h, s, d)
 

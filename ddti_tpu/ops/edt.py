@@ -100,8 +100,11 @@ def _minplus_kernel(g2_ref, d2_ref, out_ref):
 
 
 def _minplus_pallas(g2: jnp.ndarray, row_tile: int = 8,
-                    col_tile: int = 128) -> jnp.ndarray:
-    """Pallas-tiled min-plus row pass. Requires W % 128 == 0."""
+                    col_tile: int = 128,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Pallas-tiled min-plus row pass. Requires W % 128 == 0.
+    ``interpret=True`` runs the kernel in the Pallas interpreter (CPU test
+    coverage of the exact kernel code)."""
     h, w = g2.shape
     pad_r = (-h) % row_tile
     gp = jnp.pad(g2, ((0, pad_r), (0, 0)))
@@ -109,18 +112,34 @@ def _minplus_pallas(g2: jnp.ndarray, row_tile: int = 8,
     j_idx = jnp.arange(w, dtype=jnp.float32)
     d2 = (j_idx[:, None] - j_idx[None, :]) ** 2  # (k, j)
 
+    kwargs = {}
+    if not interpret:
+        kwargs = dict(
+            in_specs=[
+                pl.BlockSpec((row_tile, w), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((w, col_tile), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((row_tile, col_tile),
+                                   lambda i, j: (i, j),
+                                   memory_space=pltpu.VMEM),
+        )
+    else:
+        kwargs = dict(
+            in_specs=[
+                pl.BlockSpec((row_tile, w), lambda i, j: (i, 0)),
+                pl.BlockSpec((w, col_tile), lambda i, j: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((row_tile, col_tile),
+                                   lambda i, j: (i, j)),
+            interpret=True,
+        )
     out = pl.pallas_call(
         _minplus_kernel,
         out_shape=jax.ShapeDtypeStruct((hp, w), jnp.float32),
         grid=(hp // row_tile, w // col_tile),
-        in_specs=[
-            pl.BlockSpec((row_tile, w), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((w, col_tile), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((row_tile, col_tile), lambda i, j: (i, j),
-                               memory_space=pltpu.VMEM),
+        **kwargs,
     )(gp, d2)
     return out[:h]
 

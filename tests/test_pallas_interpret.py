@@ -1,0 +1,50 @@
+"""Pallas-kernel correctness in interpreter mode — exercises the EXACT
+kernel code (grid/BlockSpec/fori loops) on CPU without TPU hardware."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ddti_tpu.ops.attention import _flash_forward, attention_reference
+from ddti_tpu.ops.edt import _minplus_pallas, _minplus_reference
+
+
+def test_minplus_kernel_interpret_matches_reference():
+    rng = np.random.default_rng(0)
+    g = rng.integers(0, 30, (20, 128)).astype(np.float32)
+    g2 = jnp.asarray(g * g)
+    want = np.asarray(_minplus_reference(g2))
+    got = np.asarray(_minplus_pallas(g2, interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_minplus_kernel_interpret_wide():
+    rng = np.random.default_rng(1)
+    g = rng.integers(0, 50, (9, 256)).astype(np.float32)  # odd H, W=2*128
+    g2 = jnp.asarray(g * g)
+    want = np.asarray(_minplus_reference(g2))
+    got = np.asarray(_minplus_pallas(g2, interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+@pytest.mark.parametrize("s,d,blocks", [(128, 16, (64, 64)),
+                                        (256, 32, (128, 64))])
+def test_flash_kernel_interpret_matches_reference(s, d, blocks):
+    key = jax.random.PRNGKey(0)
+    q, k, v = (jax.random.normal(kk, (1, 2, s, d), jnp.float32)
+               for kk in jax.random.split(key, 3))
+    want = np.asarray(attention_reference(q, k, v))
+    got = np.asarray(_flash_forward(q, k, v, *blocks, interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_flash_kernel_interpret_bf16():
+    key = jax.random.PRNGKey(2)
+    q, k, v = (jax.random.normal(kk, (1, 1, 128, 16), jnp.bfloat16)
+               for kk in jax.random.split(key, 3))
+    want = np.asarray(attention_reference(q, k, v)).astype(np.float32)
+    got = np.asarray(_flash_forward(q, k, v, 64, 64,
+                                    interpret=True)).astype(np.float32)
+    np.testing.assert_allclose(got, want, atol=2e-2)
