@@ -205,3 +205,19 @@ def test_remat_identical_forward_and_params():
     g2 = jax.grad(loss(m2))(v["params"])
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         assert jnp.allclose(a, b, atol=1e-5)
+
+
+def test_upconv_matches_conv_transpose():
+    import flax.linen as nn
+
+    from ddti_tpu.models.blocks import UpConv2x
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 3))
+    ct = nn.ConvTranspose(5, (2, 2), strides=(2, 2), padding="VALID",
+                          use_bias=True)
+    v = ct.init(jax.random.PRNGKey(1), x)
+    up = UpConv2x(5, use_bias=True)
+    # identical param tree -> identical outputs
+    out_ct = ct.apply(v, x)
+    out_up = up.apply(v, x)
+    assert jnp.abs(out_up - out_ct).max() < 1e-5
