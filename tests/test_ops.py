@@ -95,3 +95,24 @@ def test_resize_matches_torch_interpolate():
         align_corners=False)[0, 0].numpy()
     ours = np.asarray(resize_bilinear_hw(jnp.asarray(f[0]), 37, 41))
     np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_fused_flip_rotate_equals_sequential(img_u8):
+    from ddti_tpu.ops.resample import fused_flip_rotate, rotate
+
+    img = jnp.asarray(img_u8, jnp.float32)
+    mask = (img > 128).astype(jnp.float32)
+    for fh, fv, ang in [(True, False, 33.0), (False, True, -71.5),
+                        (True, True, 0.0), (False, False, 145.2)]:
+        # sequential: flip(s) then PIL-convention nearest rotation
+        si, sm = img, mask
+        if fh:
+            si, sm = si[:, ::-1], sm[:, ::-1]
+        if fv:
+            si, sm = si[::-1, :], sm[::-1, :]
+        si = rotate(si, jnp.float32(ang))
+        sm = rotate(sm, jnp.float32(ang))
+        fi, fm = fused_flip_rotate(img, mask, jnp.bool_(fh), jnp.bool_(fv),
+                                   jnp.float32(ang))
+        np.testing.assert_allclose(np.asarray(fi), np.asarray(si), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(fm), np.asarray(sm), atol=1e-5)
