@@ -186,11 +186,18 @@ class UpConv2x(nn.Module):
 
 
 def up_conv(features: int, *, use_bias: bool = True, dtype=jnp.float32,
-            name: str | None = None):
+            name: str | None = None, fast: bool = False):
     """2x2 stride-2 transposed conv (exact equivalent of torch
-    ConvTranspose2d(k=2, s=2): non-overlapping taps). Lowered as a matmul +
-    depth-to-space (UpConv2x) — bit-compatible with nn.ConvTranspose."""
-    return UpConv2x(features, use_bias=use_bias, dtype=dtype, name=name)
+    ConvTranspose2d(k=2, s=2): non-overlapping taps, so flax's fractionally-
+    strided formulation is identical). ``fast=True`` selects the UpConv2x
+    matmul+depth-to-space lowering (bit-compatible params; faster at
+    isolated decoder shapes but whole-graph effect is layout-dependent —
+    A/B on your hardware before enabling)."""
+    if fast:
+        return UpConv2x(features, use_bias=use_bias, dtype=dtype, name=name)
+    return nn.ConvTranspose(features, (2, 2), strides=(2, 2),
+                            padding="VALID", use_bias=use_bias, dtype=dtype,
+                            name=name)
 
 
 def resize_bilinear(x, h: int, w: int):
