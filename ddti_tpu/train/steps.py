@@ -184,6 +184,29 @@ def make_scan_epoch(config, aug_cfg: AugmentConfig) -> Callable:
     return jax.jit(epoch, donate_argnums=(0,))
 
 
+def _ds_aux_loss(out, masks, loss_kw, ds_weight: float):
+    """Deep-supervision auxiliary loss (ImprovedVNet with
+    deep_supervision=True returns (logits, [per-level logits])): the same
+    weighted loss on each head against the bilinearly downsampled target,
+    averaged over heads and scaled by ``ds_weight`` (the reference parses
+    an ``--alpha`` flag but never uses it — here it weights this term).
+    Boundary term excluded at aux scale (EDT per level is not worth it)."""
+    from ddti_tpu.ops.resample import resize_bilinear_hw
+
+    _, ds_outs = out
+    kw = dict(loss_kw)
+    kw["boundary_ratio"] = 0.0
+    kw["compute_unused"] = False
+    total = jnp.float32(0.0)
+    for head in ds_outs:
+        m = masks
+        if head.shape[1:3] != masks.shape[1:3]:
+            m = resize_bilinear_hw(masks[..., 0], head.shape[1],
+                                   head.shape[2])[..., None]
+        total = total + weighted_loss(head, m, **kw).total
+    return ds_weight * total / max(len(ds_outs), 1)
+
+
 def _build_train_step_impl(config, aug_cfg: AugmentConfig) -> Callable:
     """Unjitted train-step body shared by make_train_step / make_scan_epoch."""
     loss_kw = dict(bce_ratio=config.bce_ratio, dice_ratio=config.dice_ratio,
@@ -193,6 +216,7 @@ def _build_train_step_impl(config, aug_cfg: AugmentConfig) -> Callable:
     use_mixup = bool(config.use_mixup)
     mixup_alpha = float(config.mixup_alpha)
     mixup_prob = float(config.mixup_prob)
+    ds_weight = float(getattr(config, "alpha", 0.0) or 0.0)
 
     def step(state, images_u8, masks_u8, key):
         images, masks = _to_float(images_u8, masks_u8)
@@ -209,6 +233,9 @@ def _build_train_step_impl(config, aug_cfg: AugmentConfig) -> Callable:
                 rngs={"dropout": k_drop})
             logits = _main_logits(out)
             terms = weighted_loss(logits, masks, **loss_kw)
+            if isinstance(out, tuple) and ds_weight > 0:
+                aux = _ds_aux_loss(out, masks, loss_kw, ds_weight)
+                terms = terms._replace(total=terms.total + aux)
             return terms.total, (terms, updates, logits)
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)

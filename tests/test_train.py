@@ -207,3 +207,28 @@ def test_decode_to_store_cache_roundtrip(tmp_path):
     np.testing.assert_array_equal(a_i, b_i)
     np.testing.assert_array_equal(a_m, b_m)
     assert len(os.listdir(cache)) == 2
+
+
+def test_deep_supervision_training(tmp_path):
+    """ImprovedVNet with deep_supervision trains: aux heads contribute to
+    the loss (alpha > 0) and gradients stay finite."""
+    cfg = _tiny_cfg(tmp_path, alpha=0.5)
+    model = create_model("ImprovedVNet", base_filters=8, depth=3,
+                         deep_supervision=True)
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, 32, 32, 1),
+                               cfg.lr, steps_per_epoch=10)
+    im, ma = generate_ddti_like(4, (32, 32), 7)
+    step = make_train_step(cfg, aug_config_from(cfg))
+    state, m = step(state, jnp.asarray(im), jnp.asarray(ma),
+                    jax.random.PRNGKey(1))
+    loss_with_ds = float(m.loss)
+    assert np.isfinite(loss_with_ds)
+
+    cfg0 = _tiny_cfg(tmp_path, alpha=0.0)
+    state0 = create_train_state(model, jax.random.PRNGKey(0), (1, 32, 32, 1),
+                                cfg0.lr, steps_per_epoch=10)
+    step0 = make_train_step(cfg0, aug_config_from(cfg0))
+    _, m0 = step0(state0, jnp.asarray(im), jnp.asarray(ma),
+                  jax.random.PRNGKey(1))
+    # ds-aux term adds to the total
+    assert loss_with_ds > float(m0.loss)
