@@ -239,6 +239,7 @@ class Trainer:
                 save_checkpoint(best, self.state)
                 save_params_npz(best + ".npz", self.state.params,
                                 self.state.batch_stats)
+                self._maybe_export_pth(best + ".pth")
                 self.logger.info(f"--Best model saved at epoch {epoch + 1} "
                                  f"with IoU: {self.best_val_iou:.4f}")
 
@@ -251,7 +252,20 @@ class Trainer:
         save_checkpoint(last, self.state)
         save_params_npz(last + ".npz", self.state.params,
                         self.state.batch_stats)
+        self._maybe_export_pth(last + ".pth")
         self.writer.close()
+
+    def _maybe_export_pth(self, path: str) -> None:
+        """Also export reference-format .pth weights (torch interop) so the
+        torch reference can load_state_dict our training output. No-op for
+        model types without a key mapping or when torch is unavailable."""
+        try:
+            from .torch_interop import save_pth
+            state = jax.device_get(self.state)
+            save_pth(path, self.config.model_type, state.params,
+                     state.batch_stats)
+        except Exception as e:  # legacy models / missing torch
+            self.logger.debug(f".pth export skipped: {e}")
 
     # ------------------------------------------------------------------
 

@@ -232,3 +232,29 @@ def test_deep_supervision_training(tmp_path):
                   jax.random.PRNGKey(1))
     # ds-aux term adds to the total
     assert loss_with_ds > float(m0.loss)
+
+
+def test_trainer_exports_reference_pth(tmp_path):
+    """Training output includes a reference-format .pth the torch reference
+    can load_state_dict."""
+    pytest.importorskip("torch")
+    cfg = _tiny_cfg(tmp_path, epochs=1, model_type="ResUNet")
+    cfg.model_kwargs = dict(base_filters=8, depth=3)
+    cfg.make_dirs()
+    logger = create_logger(os.path.join(cfg.log_dir, "log.log"))
+    srcs = tuple(
+        DeviceDataSource(*generate_ddti_like(n, (32, 32), s))
+        for n, s in ((8, 0), (4, 1), (4, 2)))
+    model = create_model("ResUNet", base_filters=8, depth=3)
+    tr = Trainer(cfg, srcs, logger, model)
+    tr.train()
+    pth = os.path.join(cfg.model_dir, "ResUNet_best.pth")
+    assert os.path.isfile(pth)
+    # roundtrip through our own importer validates the key layout
+    from ddti_tpu.train.torch_interop import import_state_dict, load_pth
+    sd = load_pth(pth)
+    p, s = import_state_dict("ResUNet", sd, tr.state.params,
+                             tr.state.batch_stats)
+    for a, b in zip(jax.tree.leaves(jax.device_get(tr.state.params)),
+                    jax.tree.leaves(p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
