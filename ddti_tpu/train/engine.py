@@ -186,9 +186,16 @@ class Trainer:
         src = self.train_src
         idx = np_.stack(list(src.epoch_batches(self.rng,
                                                self.config.batch_size)))
+        idx = jax.numpy.asarray(idx)
+        if self.mesh is not None:
+            # shard the within-step batch axis over "data": the store is
+            # replicated, so each device gathers only its batch shard
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            idx = jax.device_put(idx, NamedSharding(self.mesh,
+                                                    P(None, "data")))
         self.key, ekey = jax.random.split(self.key)
         self.state, stacked = self.scan_epoch(
-            self.state, src.images, src.masks, jax.numpy.asarray(idx), ekey)
+            self.state, src.images, src.masks, idx, ekey)
         stacked = jax.device_get(stacked)
         # reduce the per-step stacked metrics exactly like accumulate()
         n = stacked.n.sum()

@@ -145,3 +145,34 @@ def test_trainer_end_to_end_on_mesh(tmp_path, eight_devices):
     tr.train()
     m = tr.test(visualize=False)
     assert 0.0 <= m["acc"] <= 1.0
+
+
+def test_fused_epoch_on_mesh(tmp_path, eight_devices):
+    """fused_epoch + mesh: batch axis sharded over "data" inside the
+    scanned program; results match the single-device fused run."""
+    import os
+
+    from ddti_tpu.core import Config, create_logger
+    from ddti_tpu.data import DeviceDataSource
+    from ddti_tpu.train import Trainer
+
+    def run(mesh):
+        cfg = Config(epochs=1, batch_size=8, image_size=32, store_size=32,
+                     lr=1e-3, model_type="UNet", fused_epoch=True,
+                     base_dir=str(tmp_path / f"m{mesh is not None}"))
+        cfg.make_dirs()
+        logger = create_logger(os.path.join(cfg.log_dir, "log.log"))
+        srcs = tuple(
+            DeviceDataSource(*generate_ddti_like(n, (32, 32), s))
+            for n, s in ((16, 0), (8, 1), (8, 2)))
+        model = create_model("UNet", base_filters=8, depth=3)
+        tr = Trainer(cfg, srcs, logger, model, mesh=mesh)
+        tr.train_one_epoch(0)
+        _, iou = tr.validate(0)
+        return jax.device_get(tr.state), iou
+
+    s1, iou1 = run(None)
+    mesh = make_mesh({"data": 8}, eight_devices)
+    s2, iou2 = run(mesh)
+    assert int(s1.step) == int(s2.step)
+    assert iou1 == pytest.approx(iou2, abs=0.05)
