@@ -67,7 +67,7 @@ def bench(batch: int = 128, size: int = 256, steps: int = 20,
     float(m.loss)  # forces completion of the whole dependent chain
     train_ips = batch * steps / (time.perf_counter() - t0)
 
-    # inference throughput
+    # eval throughput (forward + losses + metric counts, the val loop cost)
     for _ in range(warmup):
         m = eval_step(state, images, masks)
     float(m.loss)
@@ -76,7 +76,27 @@ def bench(batch: int = 128, size: int = 256, steps: int = 20,
     float(last.loss)
     infer_ips = batch * steps / (time.perf_counter() - t0)
 
+    # pure serving throughput (forward + threshold only)
+    @jax.jit
+    def serve(params, batch_stats, images_u8):
+        x = images_u8.astype(jnp.bfloat16) / 255.0
+        logits = state.apply_fn({"params": params,
+                                 "batch_stats": batch_stats}, x,
+                                train=False)
+        return (jax.nn.sigmoid(logits.astype(jnp.float32)) > 0.5
+                ).astype(jnp.uint8)
+
+    for _ in range(warmup):
+        p = serve(state.params, state.batch_stats, images)
+    int(p[0, 0, 0, 0])
+    t0 = time.perf_counter()
+    last = [serve(state.params, state.batch_stats, images)
+            for _ in range(steps)][-1]
+    int(last[0, 0, 0, 0])
+    serve_ips = batch * steps / (time.perf_counter() - t0)
+
     return {"train_ips": train_ips, "infer_ips": infer_ips,
+            "serve_ips": serve_ips,
             "backend": jax.default_backend(), "batch": batch, "size": size}
 
 
@@ -98,6 +118,8 @@ def main() -> int:
         "vs_baseline": round(r["train_ips"] / TORCH_CPU_TRAIN_IPS, 1),
         "infer_images_per_sec_per_chip": round(r["infer_ips"], 2),
         "infer_vs_baseline": round(r["infer_ips"] / TORCH_CPU_INFER_IPS, 1),
+        "serve_images_per_sec_per_chip": round(r["serve_ips"], 2),
+        "serve_vs_baseline": round(r["serve_ips"] / TORCH_CPU_INFER_IPS, 1),
         "backend": r["backend"],
         "batch": r["batch"],
         "image_size": r["size"],
