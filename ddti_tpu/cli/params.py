@@ -9,6 +9,13 @@ import sys
 
 def main(argv=None) -> int:
     import jax
+
+    # parameter counting needs no accelerator; eager init over a TPU
+    # tunnel is needlessly slow
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from ddti_tpu.models import MODEL_REGISTRY
