@@ -27,3 +27,10 @@ from .torch_interop import (  # noqa: F401
     load_pth,
     save_pth,
 )
+from .export import (  # noqa: F401
+    export_serving,
+    load_serving,
+    load_serving_file,
+    make_serve_fn,
+    save_serving,
+)

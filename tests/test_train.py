@@ -258,3 +258,29 @@ def test_trainer_exports_reference_pth(tmp_path):
     for a, b in zip(jax.tree.leaves(jax.device_get(tr.state.params)),
                     jax.tree.leaves(p)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_serving_export_roundtrip(tmp_path):
+    """StableHLO serving artifact: serialize, reload, outputs match the
+    live model exactly."""
+    from ddti_tpu.train.export import (
+        load_serving_file,
+        make_serve_fn,
+        save_serving,
+    )
+
+    model = create_model("ResUNet", base_filters=8, depth=3)
+    v = model.init({"params": jax.random.PRNGKey(0)},
+                   jnp.zeros((1, 32, 32, 1)), train=False)
+    path = os.path.join(tmp_path, "serve.stablehlo")
+    save_serving(path, model, v["params"], v["batch_stats"], batch=2,
+                 size=32)
+    assert os.path.getsize(path) > 1000
+
+    fn = load_serving_file(path)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 1))
+    got = np.asarray(fn(x))
+    want = np.asarray(make_serve_fn(model, v["params"],
+                                    v["batch_stats"])(x))
+    np.testing.assert_array_equal(got, want)
+    assert got.dtype == np.uint8
