@@ -35,3 +35,10 @@ def eight_devices():
     if len(devs) < 8:
         pytest.skip("needs 8 fake CPU devices (XLA_FLAGS not applied)")
     return devs[:8]
+
+# persistent compilation cache: repeat test runs skip recompiles
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/ddti_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+except Exception:
+    pass
