@@ -75,6 +75,10 @@ def get_parser() -> argparse.ArgumentParser:
                    help="strict-parity mode: run the PIL/cv2 host "
                         "augmentation chain (reference oracle) instead of "
                         "the on-device pipeline")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize conv-block activations in the "
+                        "backward pass (fits f32 512x512 batch-16 training "
+                        "on one 16GB chip)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (the axon sitecustomize pins "
                         "the TPU tunnel; env vars alone cannot override it)")
@@ -196,6 +200,8 @@ def main(argv=None) -> int:
     if cfg.use_amp_autocast:
         import jax.numpy as jnp
         model_kwargs["dtype"] = jnp.bfloat16
+    if args.remat:
+        model_kwargs["remat"] = True
     if cfg.model_type == "TransUNet":
         model_kwargs.setdefault("image_size", cfg.image_size)
     model = create_model(cfg.model_type, **model_kwargs)
