@@ -36,6 +36,8 @@ def main(argv=None) -> int:
     ap.add_argument("--overlay", action="store_true",
                     help="also write contour overlays")
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--fold_bn", action="store_true",
+                    help="fold BatchNorm into conv kernels before serving")
     args = ap.parse_args(argv)
 
     import jax
@@ -75,6 +77,9 @@ def main(argv=None) -> int:
              "batch_stats": stats,
              "opt_state": None})
         params, stats = restored["params"], restored["batch_stats"]
+    if args.fold_bn:
+        from ddti_tpu.train.fold_bn import fold_batchnorm
+        params, stats = fold_batchnorm(model, params, stats)
     variables = {"params": params, "batch_stats": stats}
 
     os.makedirs(args.output_dir, exist_ok=True)

@@ -33,9 +33,14 @@ def make_serve_fn(model, params: Any, batch_stats: Any,
 
 def export_serving(model, params: Any, batch_stats: Any, batch: int,
                    size: int, in_channels: int = 1,
-                   threshold: float = 0.5) -> bytes:
+                   threshold: float = 0.5, fold_bn: bool = False) -> bytes:
     """Serialize the inference function (weights baked in) for the input
-    shape (batch, size, size, in_channels)."""
+    shape (batch, size, size, in_channels). ``fold_bn=True`` folds
+    BatchNorm into the conv kernels first (train/fold_bn.py) so the
+    exported graph carries no normalization arithmetic."""
+    if fold_bn:
+        from ddti_tpu.train.fold_bn import fold_batchnorm
+        params, batch_stats = fold_batchnorm(model, params, batch_stats)
     serve = make_serve_fn(model, params, batch_stats, threshold)
     spec = jax.ShapeDtypeStruct((batch, size, size, in_channels),
                                 jnp.float32)

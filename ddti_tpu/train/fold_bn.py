@@ -1,0 +1,130 @@
+"""Inference-time BatchNorm folding.
+
+Folds every Conv -> BatchNorm pair into the conv kernel so the served graph
+does no normalization arithmetic at all: the conv kernel absorbs
+``gamma / sqrt(var + eps)`` per output channel and the BatchNorm collapses
+to a pure per-channel bias add (scale=1, mean=0, var=1-eps), which XLA
+fuses into the conv epilogue. Checkpoint/param structure is unchanged, so
+folded weights remain loadable by the unmodified model and exportable via
+``train/export.py``.
+
+The torch reference (/root/reference) has no deployment path at all; this
+is part of the serving capability layer on top of its Trainer.test().
+
+Pairing is by the zoo's naming convention (``convN``/``bnN``,
+``<name>``/``<name>_bn``). The one model family where that adjacency does
+NOT hold is LegacyUNet's Conv->ReLU->BN blocks (models/legacy.py:37-51) —
+folding through a ReLU is invalid — so ``fold_batchnorm`` numerically
+validates the folded model against the original on a tiny example and
+raises if they diverge, rather than silently corrupting weights.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ddti_tpu.models.blocks import BN_EPS
+
+
+def _bn_partner(name: str) -> str | None:
+    """Conv sibling name for a BatchNorm child name, per zoo convention."""
+    if name.startswith("bn") and name[2:].isdigit():
+        return "conv" + name[2:]
+    if name.endswith("_bn"):
+        return name[: -len("_bn")]
+    return None
+
+
+def _fold_tree(params: dict, stats: dict, eps: float, folded: list) -> None:
+    """Recursively fold conv->bn pairs in one module dict, in place."""
+    for name in list(params.keys()):
+        child = params[name]
+        if not isinstance(child, dict):
+            continue
+        is_bn = ("scale" in child and "bias" in child
+                 and isinstance(stats.get(name), dict)
+                 and "mean" in stats[name] and "var" in stats[name])
+        if is_bn:
+            conv_name = _bn_partner(name)
+            conv = params.get(conv_name) if conv_name else None
+            if (conv is None or "kernel" not in conv
+                    or np.ndim(conv["kernel"]) != 4):
+                continue  # unpaired BN — leave untouched (still correct)
+            gamma = jnp.asarray(child["scale"], jnp.float32)
+            beta = jnp.asarray(child["bias"], jnp.float32)
+            mean = jnp.asarray(stats[name]["mean"], jnp.float32)
+            var = jnp.asarray(stats[name]["var"], jnp.float32)
+            factor = gamma / jnp.sqrt(var + eps)  # per out-channel
+
+            kernel = jnp.asarray(conv["kernel"], jnp.float32)
+            conv["kernel"] = (kernel * factor).astype(conv["kernel"].dtype)
+            bias = beta - mean * factor
+            if "bias" in conv:  # conv bias rides through BN's affine map
+                bias = bias + jnp.asarray(conv["bias"], jnp.float32) * factor
+                conv["bias"] = jnp.zeros_like(conv["bias"])
+            # BN becomes the identity-plus-bias: (x-0)/sqrt((1-eps)+eps)=x.
+            child["scale"] = jnp.ones_like(child["scale"])
+            child["bias"] = bias.astype(child["bias"].dtype)
+            stats[name]["mean"] = jnp.zeros_like(stats[name]["mean"])
+            stats[name]["var"] = jnp.full_like(stats[name]["var"], 1.0 - eps)
+            folded.append(name)
+        else:
+            sub_stats = stats.get(name)
+            _fold_tree(child, sub_stats if isinstance(sub_stats, dict) else {},
+                       eps, folded)
+
+
+def fold_batchnorm(model, params: Any, batch_stats: Any, *,
+                   example: Any | None = None, eps: float = BN_EPS,
+                   atol: float = 1e-3, rtol: float = 0.01):
+    """Return ``(folded_params, folded_batch_stats)`` with every
+    Conv->BatchNorm pair absorbed into the conv kernel.
+
+    When ``example`` is given (or by default, a 1x32x32xC zeros+noise batch
+    inferred from the model), the folded weights are validated against the
+    originals in eval mode and a ``ValueError`` is raised on divergence —
+    this rejects models whose BN does not directly follow its conv (e.g.
+    LegacyUNet's Conv->ReLU->BN order).
+
+    The validation pass runs under ``jax.default_matmul_precision
+    ("highest")``: at the MXU's default (bf16-input) precision, folded vs.
+    original weights legitimately differ by ~1e-3 on TPU from rounding
+    alone, which would blur the line to a real misfold (~3-50% relative,
+    measured on LegacyUNet); at highest precision rounding drops below
+    1e-5 and the threshold ``atol + rtol * max|logit|`` separates cleanly.
+    """
+    orig_params, orig_stats = params, batch_stats
+    # tree_map rebuilds every dict level, so in-place edits below are safe.
+    params = jax.device_get(jax.tree_util.tree_map(lambda x: x, params))
+    batch_stats = jax.device_get(
+        jax.tree_util.tree_map(lambda x: x, batch_stats))
+    folded: list = []
+    _fold_tree(params, batch_stats, eps, folded)
+
+    if model is not None and folded:
+        if example is None:
+            c = int(getattr(model, "in_channels", 1))
+            example = jax.random.uniform(jax.random.PRNGKey(0),
+                                         (1, 32, 32, c), jnp.float32)
+
+        def _logits(p, s):
+            with jax.default_matmul_precision("highest"):
+                out = model.apply({"params": p, "batch_stats": s}, example,
+                                  train=False)
+            return out[0] if isinstance(out, tuple) else out
+
+        want = np.asarray(_logits(orig_params, orig_stats), np.float32)
+        got = np.asarray(_logits(params, batch_stats), np.float32)
+        err = float(np.max(np.abs(want - got)))
+        tol = atol + rtol * float(np.max(np.abs(want)))
+        if not np.isfinite(err) or err > tol:
+            raise ValueError(
+                f"BatchNorm folding changed the model output (max abs err "
+                f"{err:.3e} > tol {tol:.3e}); this model's BN layers do not "
+                f"directly follow their convs (e.g. LegacyUNet's "
+                f"Conv->ReLU->BN order) and cannot be folded.")
+    return params, batch_stats
