@@ -59,6 +59,8 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr", type=float, default=1e-5)
     p.add_argument("--weight_decay", type=float, default=1e-2)
     p.add_argument("--save_interval", default=20, type=int)
+    p.add_argument("--max_keep_checkpoints", default=3, type=int,
+                   help="rotation depth of the periodic checkpoint manager")
     p.add_argument("--early_stop_patience", default=50, type=int)
     p.add_argument("--alpha", type=float, default=2)
 
@@ -226,10 +228,24 @@ def main(argv=None) -> int:
                                                   batch_stats=stats)
             logger.info(f"Imported torch weights from {cfg.checkpoint_path}")
         elif args.resume:
-            # full resume: params + BN stats + optimizer + step
-            trainer.state = restore_checkpoint(cfg.checkpoint_path,
-                                               trainer.state)
-            logger.info(f"Resumed full state from {cfg.checkpoint_path}")
+            # full resume: params + BN stats + optimizer + step. A managed
+            # (rotated) checkpoint root — directory of numeric step dirs —
+            # resumes from its newest step.
+            cp = cfg.checkpoint_path
+            if os.path.isdir(cp) and any(
+                    d.isdigit() for d in os.listdir(cp)):
+                from ddti_tpu.train.checkpoint import ManagedCheckpointer
+                mgr = ManagedCheckpointer(cp)
+                restored = mgr.restore_latest(trainer.state)
+                mgr.close()
+                if restored is None:
+                    raise FileNotFoundError(
+                        f"no checkpoint steps found under {cp}")
+                trainer.state, step = restored
+                logger.info(f"Resumed full state from {cp} step {step}")
+            else:
+                trainer.state = restore_checkpoint(cp, trainer.state)
+                logger.info(f"Resumed full state from {cp}")
         else:
             # reference-style warm start: weights/stats only
             restored = restore_checkpoint(cfg.checkpoint_path, trainer.state)

@@ -65,6 +65,7 @@ class Config:
     weight_decay: float = 1e-2    # parsed-but-unused in the reference; the
     # torch AdamW default (0.01) applied regardless — we reproduce that.
     save_interval: int = 20
+    max_keep_checkpoints: int = 3  # rotation depth of periodic checkpoints
     early_stop_patience: int = 50
     alpha: float = 2.0
 

@@ -48,6 +48,66 @@ def restore_checkpoint(path: str, state):
                          opt_state=restored["opt_state"])
 
 
+class ManagedCheckpointer:
+    """Orbax ``CheckpointManager`` wrapper for long runs: step-indexed
+    checkpoint rotation (``max_to_keep``), asynchronous saves (training
+    continues while the previous checkpoint writes), per-step metrics, and
+    restore-latest for crash recovery.
+
+    The reference's save policy is best+last only
+    (/root/reference/utils/trainer.py:184-202) with no rotation and no
+    recovery from a mid-run crash; this supplies the production-grade path
+    (Trainer uses it for the ``save_interval`` periodic checkpoints).
+    """
+
+    def __init__(self, directory: str, max_to_keep: int = 3,
+                 async_save: bool = True):
+        import orbax.checkpoint as ocp
+
+        self._ocp = ocp
+        self.directory = os.path.abspath(directory)
+        self.manager = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep,
+                enable_async_checkpointing=async_save,
+                create=True,
+            ),
+        )
+
+    def save(self, step: int, state, metrics: dict | None = None) -> bool:
+        """Queue a save of the full train state at ``step``. Returns whether
+        a save was performed (False if the manager's policy skipped it)."""
+        return self.manager.save(
+            int(step), args=self._ocp.args.StandardSave(
+                _tree_dict(jax.device_get(state))),
+            metrics=metrics)
+
+    def latest_step(self) -> int | None:
+        return self.manager.latest_step()
+
+    def restore_latest(self, state):
+        """Restore the newest checkpoint into ``state``'s structure.
+        Returns ``(new_state, step)``, or ``None`` if nothing is saved."""
+        step = self.manager.latest_step()
+        if step is None:
+            return None
+        target = jax.device_get(_tree_dict(state))
+        restored = self.manager.restore(
+            step, args=self._ocp.args.StandardRestore(target))
+        return state.replace(
+            step=restored["step"], params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"]), step
+
+    def wait(self) -> None:
+        self.manager.wait_until_finished()
+
+    def close(self) -> None:
+        self.manager.wait_until_finished()
+        self.manager.close()
+
+
 def save_params_npz(path: str, params: Any, batch_stats: Any) -> None:
     """Light-weight flat .npz export of weights (+BN stats) — the analogue
     of the reference's bare ``state_dict`` .pth files."""

@@ -27,7 +27,8 @@ from ddti_tpu.data.dataset import DeviceDataSource
 from ddti_tpu.eval.metrics import epoch_metrics_from_counts, metrics_from_counts
 from ddti_tpu.eval.visualize import save_boundary_grids
 from ddti_tpu.utils import EarlyStopping
-from .checkpoint import save_checkpoint, save_params_npz
+from .checkpoint import (ManagedCheckpointer, save_checkpoint,
+                         save_params_npz)
 from .state import TrainState, create_train_state
 from .steps import (
     accumulate,
@@ -102,6 +103,7 @@ class Trainer:
         self.rng = np.random.default_rng(config.seed)
         self.key = jax.random.PRNGKey(config.seed)
         self.best_val_iou = -np.inf
+        self._ckpt_manager = None  # lazy ManagedCheckpointer (rotation)
 
     # ------------------------------------------------------------------
 
@@ -226,11 +228,15 @@ class Trainer:
             val_loss, val_iou = self.validate(epoch)
 
             # periodic artifacts (makes the reference's parsed-but-unused
-            # save_interval flag live): rolling checkpoint + confusion plot
+            # save_interval flag live): rotated async checkpoints (Orbax
+            # CheckpointManager, max_to_keep newest kept) + confusion plot
             if cfg.save_interval and (epoch + 1) % cfg.save_interval == 0:
-                periodic = os.path.join(cfg.model_dir,
-                                        f"{cfg.model_type}_epoch")
-                save_checkpoint(periodic, self.state)
+                if self._ckpt_manager is None:
+                    self._ckpt_manager = ManagedCheckpointer(
+                        os.path.join(cfg.model_dir, "periodic"),
+                        max_to_keep=getattr(cfg, "max_keep_checkpoints", 3))
+                self._ckpt_manager.save(epoch + 1, self.state,
+                                        metrics={"val_iou": float(val_iou)})
                 try:
                     from ddti_tpu.eval.confusion import save_confusion_matrix
                     c = self._last_val_counts
@@ -260,6 +266,8 @@ class Trainer:
         save_params_npz(last + ".npz", self.state.params,
                         self.state.batch_stats)
         self._maybe_export_pth(last + ".pth")
+        if self._ckpt_manager is not None:
+            self._ckpt_manager.close()
         self.writer.close()
 
     def _maybe_export_pth(self, path: str) -> None:
