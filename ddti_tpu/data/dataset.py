@@ -57,13 +57,21 @@ class MedicalDataset:
 
 
 def decode_to_store(dataset: MedicalDataset, store_size=(512, 512),
-                    dtype=np.uint8, cache_dir: str | None = None
+                    dtype=np.uint8, cache_dir: str | None = None,
+                    use_native: bool = True
                     ) -> tuple[np.ndarray, np.ndarray]:
     """Decode + canonical-resize the whole dataset to two uint8 arrays
     (N, H, W, 1). Grayscale ('L') conversion like PIL gives for DDTI jpgs.
 
     With ``cache_dir`` the decoded store is memoized as raw ``.u8`` files
-    (the native-loader format), so subsequent runs skip PIL entirely.
+    (the native-loader format), so subsequent runs skip decoding entirely.
+
+    ``use_native`` (default) ingests all-JPEG datasets through the C++
+    libjpeg path (parallel decode + PIL-convention resize). Grayscale
+    JPEGs match PIL within +-1 level; RGB-encoded JPEGs can differ by a
+    few levels because libjpeg reads the Y channel directly while PIL
+    round-trips YCbCr->RGB->L. Pass ``use_native=False`` for the strict
+    PIL oracle.
     """
     h, w = store_size
     n = len(dataset)
@@ -76,14 +84,32 @@ def decode_to_store(dataset: MedicalDataset, store_size=(512, 512),
             images = np.fromfile(ip, np.uint8).reshape(n, h, w, 1)
             masks = np.fromfile(mp, np.uint8).reshape(n, h, w, 1)
             return images, masks
-    images = np.zeros((n, h, w, 1), dtype)
-    masks = np.zeros((n, h, w, 1), dtype)
-    for i in range(n):
-        img, mask = dataset.open_pair(i)
-        img = img.convert("L").resize((w, h), Image.BILINEAR)
-        mask = mask.convert("L").resize((w, h), Image.BILINEAR)
-        images[i, ..., 0] = np.asarray(img, dtype)
-        masks[i, ..., 0] = np.asarray(mask, dtype)
+    images, masks = None, None
+    img_paths = [os.path.join(dataset.img_dir, nm)
+                 for nm in dataset.img_names]
+    mask_paths = [os.path.join(dataset.mask_dir, nm)
+                  for nm in dataset.mask_names]
+    if use_native and dtype == np.uint8 and all(
+            p.lower().endswith((".jpg", ".jpeg"))
+            for p in img_paths + mask_paths):
+        # native cold-start path: parallel libjpeg decode + PIL-convention
+        # resize in C++ threads (runtime/host_loader.cpp:decode_jpegs)
+        try:
+            from ddti_tpu.runtime import decode_jpegs, native_available
+            if native_available():
+                images = decode_jpegs(img_paths, h, w)
+                masks = decode_jpegs(mask_paths, h, w)
+        except Exception:
+            images, masks = None, None  # fall back to PIL below
+    if images is None:
+        images = np.zeros((n, h, w, 1), dtype)
+        masks = np.zeros((n, h, w, 1), dtype)
+        for i in range(n):
+            img, mask = dataset.open_pair(i)
+            img = img.convert("L").resize((w, h), Image.BILINEAR)
+            mask = mask.convert("L").resize((w, h), Image.BILINEAR)
+            images[i, ..., 0] = np.asarray(img, dtype)
+            masks[i, ..., 0] = np.asarray(mask, dtype)
     if cache_dir:
         os.makedirs(cache_dir, exist_ok=True)
         images[..., 0].tofile(ip)

@@ -14,8 +14,11 @@
 // Build: make -C ddti_tpu/runtime   (produces libhostloader.so)
 
 #include <atomic>
+#include <cmath>
 #include <condition_variable>
+#include <csetjmp>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <fcntl.h>
 #include <mutex>
@@ -26,6 +29,8 @@
 #include <thread>
 #include <unistd.h>
 #include <vector>
+
+#include <jpeglib.h>
 
 namespace {
 
@@ -194,9 +199,186 @@ class Loader {
   bool stop_ = false;
 };
 
+// ---------------------------------------------------------------------------
+// Native JPEG ingestion: decode grayscale + PIL-convention triangle-filter
+// resize, parallel across threads. Replaces the PIL cold-start loop in
+// ddti_tpu.data.dataset.decode_to_store (the only remaining host hot path
+// that wasn't native). libjpeg grayscale output takes the Y channel of
+// YCbCr JPEGs directly — the same thing PIL's convert("L") yields for the
+// grayscale-stored DDTI frames.
+
+struct JpegErrorMgr {
+  jpeg_error_mgr mgr;
+  jmp_buf jb;
+};
+
+static void jpeg_error_exit(j_common_ptr cinfo) {
+  longjmp(reinterpret_cast<JpegErrorMgr*>(cinfo->err)->jb, 1);
+}
+
+// Separable triangle-filter resample, matching PIL BILINEAR semantics:
+// the filter support scales with the downscale factor (area-averaging),
+// unlike naive bilinear sampling. float accumulation, round-half-up.
+// Weight windows for one axis: bounds[o] = {xmin, count}, normalized.
+struct ResampleWeights {
+  std::vector<int> xmin, count;
+  std::vector<float> w;  // ragged, offsets[o] indexes into it
+  std::vector<size_t> off;
+
+  void build(int len_in, int len_out) {
+    const double scale = static_cast<double>(len_in) / len_out;
+    const double fscale = scale < 1.0 ? 1.0 : scale;
+    xmin.resize(len_out);
+    count.resize(len_out);
+    off.resize(len_out);
+    w.clear();
+    for (int o = 0; o < len_out; ++o) {
+      const double center = (o + 0.5) * scale;
+      int lo = static_cast<int>(center - fscale + 0.5);
+      int hi = static_cast<int>(center + fscale + 0.5);
+      if (lo < 0) lo = 0;
+      if (hi > len_in) hi = len_in;
+      off[o] = w.size();
+      double total = 0.0;
+      for (int x = lo; x < hi; ++x) {
+        const double t = std::abs((x + 0.5 - center) / fscale);
+        const double wgt = t < 1.0 ? 1.0 - t : 0.0;
+        w.push_back(static_cast<float>(wgt));
+        total += wgt;
+      }
+      if (total <= 0.0) {  // degenerate window: nearest sample
+        w.resize(off[o]);
+        int x = static_cast<int>(center);
+        if (x >= len_in) x = len_in - 1;
+        lo = x;
+        hi = x + 1;
+        w.push_back(1.0f);
+        total = 1.0;
+      }
+      for (size_t k = off[o]; k < w.size(); ++k)
+        w[k] = static_cast<float>(w[k] / total);
+      xmin[o] = lo;
+      count[o] = hi - lo;
+    }
+  }
+};
+
+static void resize_pil_bilinear(const std::vector<float>& src, int sh, int sw,
+                                uint8_t* dst, int dh, int dw) {
+  ResampleWeights wx, wy;
+  wx.build(sw, dw);
+  wy.build(sh, dh);
+  // horizontal: contiguous tap reads per row
+  std::vector<float> tmp(static_cast<size_t>(sh) * dw);
+  for (int j = 0; j < sh; ++j) {
+    const float* s = src.data() + static_cast<size_t>(j) * sw;
+    float* d = tmp.data() + static_cast<size_t>(j) * dw;
+    for (int o = 0; o < dw; ++o) {
+      const float* wp = wx.w.data() + wx.off[o];
+      const float* sp = s + wx.xmin[o];
+      float acc = 0.f;
+      for (int k = 0; k < wx.count[o]; ++k) acc += wp[k] * sp[k];
+      d[o] = acc;
+    }
+  }
+  // vertical: row-wise AXPY (vectorizes over the full output row)
+  std::vector<float> row(dw);
+  for (int o = 0; o < dh; ++o) {
+    std::memset(row.data(), 0, sizeof(float) * dw);
+    const float* wp = wy.w.data() + wy.off[o];
+    for (int k = 0; k < wy.count[o]; ++k) {
+      const float wk = wp[k];
+      const float* s = tmp.data() +
+          static_cast<size_t>(wy.xmin[o] + k) * dw;
+      for (int x = 0; x < dw; ++x) row[x] += wk * s[x];
+    }
+    uint8_t* d = dst + static_cast<size_t>(o) * dw;
+    for (int x = 0; x < dw; ++x) {
+      float v = row[x] + 0.5f;
+      if (v < 0.f) v = 0.f;
+      if (v > 255.f) v = 255.f;
+      d[x] = static_cast<uint8_t>(v);
+    }
+  }
+}
+
+// Decode one JPEG file to grayscale at native size; true on success.
+static bool decode_one_jpeg(const char* path, std::vector<float>& pixels,
+                            int& h, int& w) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return false;
+  jpeg_decompress_struct cinfo;
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_error_exit;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(f);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_GRAYSCALE;
+  jpeg_start_decompress(&cinfo);
+  h = cinfo.output_height;
+  w = cinfo.output_width;
+  pixels.resize(static_cast<size_t>(h) * w);
+  std::vector<uint8_t> row(w);
+  uint8_t* rowp = row.data();
+  while (cinfo.output_scanline < cinfo.output_height) {
+    const int y = cinfo.output_scanline;
+    jpeg_read_scanlines(&cinfo, &rowp, 1);
+    float* out = pixels.data() + static_cast<size_t>(y) * w;
+    for (int x = 0; x < w; ++x) out[x] = row[x];
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  std::fclose(f);
+  return true;
+}
+
 }  // namespace
 
 extern "C" {
+
+// Decode ``n`` NUL-separated JPEG paths to grayscale, resize each to
+// (h, w) with PIL-BILINEAR semantics, and write them contiguously into
+// ``out`` (n*h*w bytes). Parallel across ``num_threads``. Returns the
+// number of successfully decoded images (== n on full success); failed
+// slots are zero-filled.
+long decode_jpegs(const char* paths, int n, int h, int w, uint8_t* out,
+                  int num_threads) {
+  std::vector<const char*> files;
+  files.reserve(n);
+  const char* p = paths;
+  for (int i = 0; i < n; ++i) {
+    files.push_back(p);
+    p += std::strlen(p) + 1;
+  }
+  if (num_threads < 1) num_threads = 1;
+  std::atomic<int> next{0}, ok{0};
+  const size_t item = static_cast<size_t>(h) * w;
+  auto worker = [&] {
+    std::vector<float> pixels;
+    int sh, sw;
+    while (true) {
+      const int i = next.fetch_add(1);
+      if (i >= n) return;
+      uint8_t* dst = out + static_cast<size_t>(i) * item;
+      if (decode_one_jpeg(files[i], pixels, sh, sw)) {
+        resize_pil_bilinear(pixels, sh, sw, dst, h, w);
+        ok.fetch_add(1);
+      } else {
+        std::memset(dst, 0, item);
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 0; t < num_threads; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return ok.load();
+}
 
 void* loader_create(const char* imgs_path, const char* masks_path, int n,
                     int h, int w, int batch, uint64_t seed, int num_threads,

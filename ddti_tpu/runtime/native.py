@@ -46,8 +46,37 @@ def _load():
                                     ctypes.c_void_p]
         lib.loader_destroy.restype = None
         lib.loader_destroy.argtypes = [ctypes.c_void_p]
+        lib.decode_jpegs.restype = ctypes.c_long
+        lib.decode_jpegs.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int]
         _lib = lib
     return _lib
+
+
+def decode_jpegs(paths, h: int, w: int,
+                 num_threads: int | None = None) -> np.ndarray:
+    """Decode a list of JPEG files to grayscale and resize each to (h, w)
+    with PIL-BILINEAR semantics, in parallel C++ threads (libjpeg). Returns
+    a (N, h, w, 1) uint8 array. Raises on any undecodable file.
+
+    This is the native cold-start ingestion path: the equivalent of
+    ``Image.open().convert("L").resize((w, h), BILINEAR)`` per file
+    (reference behavior at /root/reference/utils/transforms.py:143-150 +
+    data_loader.py:20-27) without touching PIL.
+    """
+    lib = _load()
+    paths = [os.fspath(p) for p in paths]
+    n = len(paths)
+    out = np.empty((n, h, w, 1), np.uint8)
+    blob = b"".join(p.encode() + b"\0" for p in paths)
+    if num_threads is None:
+        num_threads = min(16, os.cpu_count() or 1)
+    ok = lib.decode_jpegs(blob, n, h, w,
+                          out.ctypes.data_as(ctypes.c_void_p), num_threads)
+    if ok != n:
+        raise OSError(f"native JPEG decode failed for {n - ok} of {n} files")
+    return out
 
 
 def native_available() -> bool:

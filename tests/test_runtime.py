@@ -104,3 +104,69 @@ def test_native_source_feeds_trainer(tmp_path):
     loss, iou = tr.validate(0)
     assert np.isfinite(loss)
     train_src.loader.close()
+
+
+# ---------------------------------------------------------------------------
+# native JPEG ingestion (decode_jpegs: libjpeg decode + PIL-convention
+# triangle resize in C++ threads)
+
+@pytest.fixture(scope="module")
+def jpeg_dir(tmp_path_factory):
+    from PIL import Image
+    d = tmp_path_factory.mktemp("jpegs")
+    rng = np.random.default_rng(3)
+    paths = []
+    for i, (h, w) in enumerate([(300, 400), (512, 512), (123, 77)]):
+        a = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        p = str(d / f"g{i}.jpg")
+        Image.fromarray(a, "L").save(p, quality=92)
+        paths.append(p)
+    return paths
+
+
+@pytest.mark.parametrize("target", [(512, 512), (256, 256), (600, 600)])
+def test_decode_jpegs_matches_pil(jpeg_dir, target):
+    """Grayscale JPEGs through the native path match PIL's
+    convert('L').resize(BILINEAR) within one gray level at down-, up- and
+    same-scale targets."""
+    from PIL import Image
+    from ddti_tpu.runtime import decode_jpegs
+
+    h, w = target
+    got = decode_jpegs(jpeg_dir, h, w)
+    assert got.shape == (len(jpeg_dir), h, w, 1)
+    for i, p in enumerate(jpeg_dir):
+        ref = np.asarray(Image.open(p).convert("L")
+                         .resize((w, h), Image.BILINEAR)).astype(int)
+        diff = np.abs(got[i, ..., 0].astype(int) - ref)
+        assert diff.max() <= 1, f"{p}: max diff {diff.max()}"
+
+
+def test_decode_jpegs_missing_file_raises(jpeg_dir, tmp_path):
+    from ddti_tpu.runtime import decode_jpegs
+
+    with pytest.raises(OSError, match="failed for 1 of"):
+        decode_jpegs(jpeg_dir + [str(tmp_path / "nope.jpg")], 64, 64)
+
+
+def test_decode_to_store_native_matches_pil(tmp_path):
+    """decode_to_store's native JPEG fast path agrees with the PIL oracle
+    within one level on a filename-paired dataset layout."""
+    from PIL import Image
+    from ddti_tpu.data import MedicalDataset
+    from ddti_tpu.data.dataset import decode_to_store
+
+    img_d, mask_d = tmp_path / "imgs", tmp_path / "masks"
+    img_d.mkdir(), mask_d.mkdir()
+    images, masks = generate_ddti_like(6, (96, 96), 1)
+    for i in range(6):
+        Image.fromarray(images[i, ..., 0], "L").save(
+            str(img_d / f"case{i}.jpg"), quality=95)
+        Image.fromarray(masks[i, ..., 0], "L").save(
+            str(mask_d / f"case{i}_mask.jpg"), quality=95)
+
+    ds = MedicalDataset(str(img_d), str(mask_d))
+    im_nat, ma_nat = decode_to_store(ds, (64, 64), use_native=True)
+    im_pil, ma_pil = decode_to_store(ds, (64, 64), use_native=False)
+    assert np.abs(im_nat.astype(int) - im_pil.astype(int)).max() <= 1
+    assert np.abs(ma_nat.astype(int) - ma_pil.astype(int)).max() <= 1
