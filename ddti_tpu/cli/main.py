@@ -71,6 +71,16 @@ def get_parser() -> argparse.ArgumentParser:
                    help="bf16 compute policy on TPU")
 
     # TPU-native additions
+    p.add_argument("--multihost", action="store_true",
+                   help="join a multi-host (DCN) run via "
+                        "jax.distributed.initialize before device use")
+    p.add_argument("--coordinator", default=None,
+                   help="coordinator host:port (env "
+                        "JAX_COORDINATOR_ADDRESS; omit on TPU pods)")
+    p.add_argument("--num_processes", type=int, default=None,
+                   help="total process count (env JAX_NUM_PROCESSES)")
+    p.add_argument("--process_id", type=int, default=None,
+                   help="this process's rank (env JAX_PROCESS_ID)")
     p.add_argument("--mode", default="test", choices=["train", "test", "both"],
                    help="the reference's checked-in behavior is test-only")
     p.add_argument("--host_augment", action="store_true",
@@ -177,6 +187,15 @@ def main(argv=None) -> int:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+
+    if args.multihost:
+        # join the global runtime BEFORE first device use; after this,
+        # jax.devices() spans every host and the mesh/pjit path is
+        # unchanged (DP collectives ride ICI within a slice, DCN across)
+        from ddti_tpu.parallel import initialize_multihost, spec_from
+        initialize_multihost(spec_from(args.coordinator,
+                                       args.num_processes,
+                                       args.process_id))
 
     from ddti_tpu.core import create_logger, set_seed
     from ddti_tpu.models import create_model

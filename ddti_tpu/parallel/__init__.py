@@ -5,3 +5,9 @@ from .mesh import (  # noqa: F401
     shard_batch,
     train_state_sharding,
 )
+from .multihost import (  # noqa: F401
+    MultihostSpec,
+    initialize_multihost,
+    process_local_batch,
+    spec_from,
+)
