@@ -81,6 +81,9 @@ def get_parser() -> argparse.ArgumentParser:
                    help="total process count (env JAX_NUM_PROCESSES)")
     p.add_argument("--process_id", type=int, default=None,
                    help="this process's rank (env JAX_PROCESS_ID)")
+    p.add_argument("--export_serving", action="store_true",
+                   help="after training, write a StableHLO serving artifact "
+                        "(weights baked in, loadable without model code)")
     p.add_argument("--mode", default="test", choices=["train", "test", "both"],
                    help="the reference's checked-in behavior is test-only")
     p.add_argument("--host_augment", action="store_true",

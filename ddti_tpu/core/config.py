@@ -66,6 +66,7 @@ class Config:
     # torch AdamW default (0.01) applied regardless — we reproduce that.
     save_interval: int = 20
     max_keep_checkpoints: int = 3  # rotation depth of periodic checkpoints
+    export_serving: bool = False   # write a StableHLO serving artifact
     early_stop_patience: int = 50
     alpha: float = 2.0
 

@@ -266,6 +266,17 @@ class Trainer:
         save_params_npz(last + ".npz", self.state.params,
                         self.state.batch_stats)
         self._maybe_export_pth(last + ".pth")
+        if getattr(cfg, "export_serving", False):
+            try:
+                from .export import save_serving
+                path = os.path.join(cfg.model_dir,
+                                    f"{cfg.model_type}_serving.stablehlo")
+                save_serving(path, self.model, self.state.params,
+                             self.state.batch_stats, batch=cfg.batch_size,
+                             size=cfg.image_size)
+                self.logger.info(f"--Serving artifact exported to {path}")
+            except Exception as e:  # export must never fail the run
+                self.logger.warning(f"serving export failed: {e}")
         if self._ckpt_manager is not None:
             self._ckpt_manager.close()
         self.writer.close()

@@ -284,3 +284,25 @@ def test_serving_export_roundtrip(tmp_path):
                                     v["batch_stats"])(x))
     np.testing.assert_array_equal(got, want)
     assert got.dtype == np.uint8
+
+
+def test_trainer_export_serving_artifact(tmp_path):
+    """cfg.export_serving writes a StableHLO artifact at end of training
+    that loads and predicts without the model code (train/export.py)."""
+    cfg = _tiny_cfg(tmp_path, epochs=1, export_serving=True, batch_size=4)
+    cfg.make_dirs()
+    logger = create_logger(os.path.join(cfg.log_dir, "train_log.log"))
+    srcs = tuple(
+        DeviceDataSource(*generate_ddti_like(n, (32, 32), s))
+        for n, s in ((8, 0), (4, 1), (4, 2)))
+    model = create_model("UNet", base_filters=8, depth=3)
+    tr = Trainer(cfg, srcs, logger, model)
+    tr.train()
+    path = os.path.join(cfg.model_dir, "UNet_serving.stablehlo")
+    assert os.path.isfile(path)
+    from ddti_tpu.train.export import load_serving_file
+    fn = load_serving_file(path)
+    x = np.random.default_rng(0).uniform(0, 1, (4, 32, 32, 1)).astype(
+        np.float32)
+    out = np.asarray(fn(x))
+    assert out.shape == (4, 32, 32, 1) and out.dtype == np.uint8
