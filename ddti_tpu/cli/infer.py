@@ -38,9 +38,14 @@ def main(argv=None) -> int:
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--fold_bn", action="store_true",
                     help="fold BatchNorm into conv kernels before serving")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend")
     args = ap.parse_args(argv)
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
     from PIL import Image
