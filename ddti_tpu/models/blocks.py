@@ -234,7 +234,10 @@ class TransformerEncoderLayer(nn.Module):
     mlp_ratio: int = 4
     dropout: float = 0.1
     attend_batch_axis: bool = False
-    use_flash_attention: bool = False
+    # None = auto: use the Pallas flash kernels (fwd + dq/dk/dv bwd) once
+    # the sequence is long enough that the (S, S) score matrix dominates
+    # memory; short sequences are faster as two plain MXU matmuls.
+    use_flash_attention: bool | None = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -252,7 +255,10 @@ class TransformerEncoderLayer(nn.Module):
             return t.reshape(b, s, h, hd).transpose(0, 2, 1, 3)
 
         q, k, v = heads(q), heads(k), heads(v)
-        if self.use_flash_attention:
+        use_flash = self.use_flash_attention
+        if use_flash is None:
+            use_flash = s >= 1024 and s % 256 == 0 and hd % 8 == 0
+        if use_flash:
             # Pallas tiled online-softmax kernel: O(S*D) memory — use for
             # long bottleneck sequences (shallow depth at high res).
             from ddti_tpu.ops.attention import flash_attention

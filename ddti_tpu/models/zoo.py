@@ -191,7 +191,8 @@ class TransUNet(_EncoderDecoderBase):
     batch_axis_attention: bool = False
     # Pallas flash attention for long bottleneck sequences (depth 3 at
     # 512x512 -> 4096 tokens); short sequences are faster with plain XLA.
-    use_flash_attention: bool = False
+    # None = auto: flash (forward AND Pallas backward) when S >= 1024.
+    use_flash_attention: bool | None = None
 
     def setup(self):
         ch = self.channels

@@ -4,17 +4,25 @@
 softmax). Right choice for short sequences (the default TransUNet depth-5
 bottleneck is 256 tokens).
 
-``flash_attention``: Pallas TPU flash kernel — tiled online-softmax
-attention that never materializes the (S, S) score matrix. Worthwhile for
-the shallow-depth / high-res configs (depth 3 at 512x512 -> 4096 tokens,
-where naive scores are 16M elements per head per image). Forward is the
-Pallas kernel; backward recomputes attention blockwise via XLA (activation
-memory stays O(S * D), compute 2x — the standard flash tradeoff without a
-hand-written backward kernel).
+``flash_attention``: Pallas TPU flash kernels — tiled online-softmax
+attention that never materializes the (S, S) score matrix, in EITHER
+direction. Forward is the classic single-pass online-softmax kernel and
+additionally writes the per-row logsumexp; backward is two Pallas kernels
+(dk/dv over key tiles, dq over query tiles) that recompute the probability
+tiles blockwise from (q, k, lse) — FlashAttention-2 style. Activation
+memory is O(S*D) and per-kernel working set O(BQ*BK); compute is ~2x the
+forward (the standard flash recompute tradeoff). Worthwhile for the
+shallow-depth / high-res configs (depth 3 at 512x512 -> 4096 tokens, where
+naive scores are 16M elements per head per image, forward AND backward).
 
 Layout: q, k, v are (B, H, S, D) with D the head dim. S must be a multiple
-of the block size (the caller pads; TransUNet token counts are powers of
-two). The kernel accumulates in f32 regardless of input dtype.
+of the block sizes (the caller pads; TransUNet token counts are powers of
+two). The logsumexp residual is stored (S, B*H) so every kernel touches it
+as a (rows, 1) column tile — no sublane<->lane relayouts anywhere. All
+accumulation is f32 regardless of input dtype.
+
+Replaces the capability of /root/reference/models/mod.py:297-320 (torch
+nn.TransformerEncoderLayer self-attention) for long sequences.
 """
 
 from __future__ import annotations
@@ -44,8 +52,15 @@ def attention_reference(q, k, v):
                       preferred_element_type=jnp.float32).astype(q.dtype)
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, sm_scale):
-    """One (BLOCK_Q, D) query tile against all K/V tiles, online softmax."""
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
+                sm_scale):
+    """One (BLOCK_Q, D) query tile against all K/V tiles, online softmax.
+    Also writes the (BLOCK_Q, 1) logsumexp column for the backward pass."""
     q = q_ref[0].astype(jnp.float32) * sm_scale        # (BQ, D)
     bq = q.shape[0]
     d = q.shape[1]
@@ -71,65 +86,203 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, sm_scale):
     m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((bq, 1), jnp.float32)
     acc0 = jnp.zeros((bq, d), jnp.float32)
-    _, l, acc = jax.lax.fori_loop(0, num_k, body, (m0, l0, acc0))
+    m, l, acc = jax.lax.fori_loop(0, num_k, body, (m0, l0, acc0))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
+    lse_ref[:] = m + jnp.log(l)                         # (BQ, 1) column
 
 
 def _flash_forward(q, k, v, block_q: int, block_k: int,
                    interpret: bool = False):
+    """Returns (o of q.shape, lse of (S, B*H) f32)."""
     b, h, s, d = q.shape
     sm_scale = 1.0 / (d ** 0.5)
     bh = b * h
     qf = q.reshape(bh, s, d)
     kf = k.reshape(bh, s, d)
     vf = v.reshape(bh, s, d)
-    kernel = functools.partial(_flash_kernel, block_k=block_k,
+    kernel = functools.partial(_fwd_kernel, block_k=block_k,
                                sm_scale=sm_scale)
-    if interpret:
-        spec_kw = {}
-        extra = dict(interpret=True)
-    else:
-        spec_kw = dict(memory_space=pltpu.VMEM)
-        extra = {}
-    out = pl.pallas_call(
+    spec_kw, extra = _spec_kw(interpret)
+    o, lse = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((bh, s, d), q.dtype),
+        out_shape=(jax.ShapeDtypeStruct((bh, s, d), q.dtype),
+                   jax.ShapeDtypeStruct((s, bh), jnp.float32)),
         grid=(bh, s // block_q),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), **spec_kw),
             pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0), **spec_kw),
             pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0), **spec_kw),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
-                               **spec_kw),
+        out_specs=(
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), **spec_kw),
+            pl.BlockSpec((block_q, 1), lambda i, j: (j, i), **spec_kw),
+        ),
         **extra,
     )(qf, kf, vf)
-    return out.reshape(b, h, s, d)
+    return o.reshape(b, h, s, d), lse
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def flash_attention(q, k, v, block_q: int = 256, block_k: int = 256):
-    """Flash attention; falls back to XLA off-TPU or on odd shapes."""
+# ---------------------------------------------------------------------------
+# backward (FlashAttention-2 style blockwise recompute)
+# ---------------------------------------------------------------------------
+
+
+def _dkdv_kernel(q_ref, do_ref, o_ref, lse_ref, k_ref, v_ref,
+                 dk_ref, dv_ref, *, block_q: int, sm_scale):
+    """One (BLOCK_K, D) key/value tile; loops over all query tiles."""
+    k = k_ref[0].astype(jnp.float32)                   # (BK, D)
+    v = v_ref[0].astype(jnp.float32)
+    bk, d = k.shape
+    s_total = q_ref.shape[1]
+    num_q = s_total // block_q
+
+    def body(i, carry):
+        dk, dv = carry
+        sl = pl.ds(i * block_q, block_q)
+        q = q_ref[0, sl, :].astype(jnp.float32) * sm_scale   # (BQ, D)
+        do = do_ref[0, sl, :].astype(jnp.float32)
+        o = o_ref[0, sl, :].astype(jnp.float32)
+        lse = lse_ref[sl, :]                                  # (BQ, 1)
+        delta = jnp.sum(do * o, axis=1, keepdims=True)        # (BQ, 1)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        p = jnp.exp(s - lse)                                  # (BQ, BK)
+        dv = dv + jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)                                 # (BQ, BK)
+        # dK = dS^T (sm_scale * Q) — q is already scaled above
+        dk = dk + jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        return dk, dv
+
+    dk0 = jnp.zeros((bk, d), jnp.float32)
+    dv0 = jnp.zeros((bk, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, num_q, body, (dk0, dv0))
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _dq_kernel(q_ref, do_ref, o_ref, lse_ref, k_ref, v_ref, dq_ref,
+               *, block_k: int, sm_scale):
+    """One (BLOCK_Q, D) query tile; loops over all key/value tiles."""
+    q = q_ref[0].astype(jnp.float32) * sm_scale        # (BQ, D)
+    do = do_ref[0].astype(jnp.float32)
+    o = o_ref[0].astype(jnp.float32)
+    lse = lse_ref[:]                                   # (BQ, 1)
+    delta = jnp.sum(do * o, axis=1, keepdims=True)     # (BQ, 1)
+    bq, d = q.shape
+    s_total = k_ref.shape[1]
+    num_k = s_total // block_k
+
+    def body(i, dq):
+        sl = pl.ds(i * block_k, block_k)
+        k = k_ref[0, sl, :].astype(jnp.float32)        # (BK, D)
+        v = v_ref[0, sl, :].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        p = jnp.exp(s - lse)                           # (BQ, BK)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        return dq + jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+
+    dq = jax.lax.fori_loop(0, num_k, body, jnp.zeros((bq, d), jnp.float32))
+    dq_ref[0] = (dq * sm_scale).astype(dq_ref.dtype)
+
+
+def _flash_backward(q, k, v, o, lse, g, block_q: int, block_k: int,
+                    interpret: bool = False):
+    b, h, s, d = q.shape
+    sm_scale = 1.0 / (d ** 0.5)
+    bh = b * h
+    qf, kf, vf, of, gf = (t.reshape(bh, s, d) for t in (q, k, v, o, g))
+    spec_kw, extra = _spec_kw(interpret)
+
+    full = pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0), **spec_kw)
+    lse_full = pl.BlockSpec((s, 1), lambda i, j: (0, i), **spec_kw)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkdv_kernel, block_q=block_q, sm_scale=sm_scale),
+        out_shape=(jax.ShapeDtypeStruct((bh, s, d), k.dtype),
+                   jax.ShapeDtypeStruct((bh, s, d), v.dtype)),
+        grid=(bh, s // block_k),
+        in_specs=[
+            full, full, full, lse_full,
+            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0), **spec_kw),
+            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0), **spec_kw),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0), **spec_kw),
+            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0), **spec_kw),
+        ),
+        **extra,
+    )(qf, gf, of, lse, kf, vf)
+
+    qtile = pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), **spec_kw)
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, block_k=block_k, sm_scale=sm_scale),
+        out_shape=jax.ShapeDtypeStruct((bh, s, d), q.dtype),
+        grid=(bh, s // block_q),
+        in_specs=[
+            qtile, qtile, qtile,
+            pl.BlockSpec((block_q, 1), lambda i, j: (j, i), **spec_kw),
+            full, full,
+        ],
+        out_specs=qtile,
+        **extra,
+    )(qf, gf, of, lse, kf, vf)
+
+    rs = lambda t: t.reshape(b, h, s, d)
+    return rs(dq), rs(dk), rs(dv)
+
+
+# ---------------------------------------------------------------------------
+# public op
+# ---------------------------------------------------------------------------
+
+
+def _spec_kw(interpret: bool):
+    if interpret:
+        return {}, dict(interpret=True)
+    return dict(memory_space=pltpu.VMEM), {}
+
+
+def _fallback(q, block_q: int, block_k: int, interpret: bool) -> bool:
     s, d = q.shape[-2], q.shape[-1]
-    if (pltpu is None or jax.default_backend() in ("cpu", "gpu")
-            or s % block_q or s % block_k or d % 8):
+    bad_shape = bool(s % block_q or s % block_k or d % 8)
+    if interpret:
+        return bad_shape
+    return (pltpu is None or jax.default_backend() in ("cpu", "gpu")
+            or bad_shape)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def flash_attention(q, k, v, block_q: int = 256, block_k: int = 256,
+                    interpret: bool = False):
+    """Flash attention; falls back to XLA off-TPU or on odd shapes.
+    ``interpret=True`` forces the Pallas kernels in interpreter mode (CPU
+    testing)."""
+    if _fallback(q, block_q, block_k, interpret):
         return attention_reference(q, k, v)
-    return _flash_forward(q, k, v, block_q, block_k)
+    return _flash_forward(q, k, v, block_q, block_k, interpret)[0]
 
 
-def _fwd(q, k, v, block_q, block_k):
-    return flash_attention(q, k, v, block_q, block_k), (q, k, v)
+def _vjp_fwd(q, k, v, block_q, block_k, interpret):
+    if _fallback(q, block_q, block_k, interpret):
+        return attention_reference(q, k, v), (q, k, v, None, None)
+    o, lse = _flash_forward(q, k, v, block_q, block_k, interpret)
+    return o, (q, k, v, o, lse)
 
 
-def _bwd(block_q, block_k, res, g):
-    # Blockwise recompute backward via XLA (memory O(S*D + BQ*S)).
-    q, k, v = res
-
-    def naive(q_, k_, v_):
-        return attention_reference(q_, k_, v_)
-
-    _, vjp = jax.vjp(naive, q, k, v)
-    return vjp(g)
+def _vjp_bwd(block_q, block_k, interpret, res, g):
+    q, k, v, o, lse = res
+    if o is None:  # fallback path: differentiate the naive formulation
+        _, vjp = jax.vjp(attention_reference, q, k, v)
+        return vjp(g)
+    return _flash_backward(q, k, v, o, lse, g, block_q, block_k, interpret)
 
 
-flash_attention.defvjp(_fwd, _bwd)
+flash_attention.defvjp(_vjp_fwd, _vjp_bwd)

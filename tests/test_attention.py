@@ -50,6 +50,66 @@ def test_flash_gradients(qkv):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+def test_flash_pallas_forward_interpret(qkv):
+    # force the actual Pallas kernel (interpreter mode) on CPU
+    q, k, v = qkv
+    a = np.asarray(flash_attention(q, k, v, 16, 16, True))
+    b = np.asarray(attention_reference(q, k, v))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_flash_pallas_backward_interpret(qkv):
+    # Pallas dq/dk/dv kernels (blockwise recompute) vs XLA autodiff of the
+    # naive formulation, at 1e-5
+    q, k, v = qkv
+
+    def loss(fn):
+        return lambda *a: jnp.sum(jnp.sin(fn(*a)))
+
+    g_ref = jax.grad(loss(attention_reference), argnums=(0, 1, 2))(q, k, v)
+    g_fl = jax.grad(loss(lambda *a: flash_attention(*a, 16, 16, True)),
+                    argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_ref, g_fl):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_flash_backward_no_quadratic_buffer():
+    # The whole point of the flash backward: no (S, S) score buffer may
+    # appear anywhere in the grad jaxpr (S=1024 here; naive scores would be
+    # a 2*4*1024*1024 intermediate).
+    b, h, s, d = 2, 4, 1024, 16
+    key = jax.random.PRNGKey(0)
+    q, k, v = (jax.random.normal(kk, (b, h, s, d), jnp.float32)
+               for kk in jax.random.split(key, 3))
+
+    def loss(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, 256, 256, True))
+
+    jaxpr = jax.make_jaxpr(jax.grad(loss, argnums=(0, 1, 2)))(q, k, v)
+    quad = s * s
+    import numpy as _np
+
+    def walk(jp):
+        for eqn in jp.eqns:
+            for var in eqn.outvars:
+                aval = getattr(var, "aval", None)
+                if aval is not None and hasattr(aval, "shape"):
+                    assert int(_np.prod(aval.shape or (1,))) < quad, (
+                        f"quadratic buffer {aval.shape} in {eqn.primitive}")
+            for v_ in eqn.params.values():
+                if hasattr(v_, "jaxpr"):
+                    walk(v_.jaxpr)
+
+    walk(jaxpr.jaxpr)
+
+
+def test_flash_pallas_bf16_interpret(qkv):
+    q, k, v = (t.astype(jnp.bfloat16) for t in qkv)
+    a = np.asarray(flash_attention(q, k, v, 16, 16, True), np.float32)
+    b = np.asarray(attention_reference(q, k, v), np.float32)
+    np.testing.assert_allclose(a, b, atol=2e-2)
+
+
 def test_transunet_flash_flag_forward():
     kw = dict(base_filters=8, depth=3, num_transformer_layers=1,
               num_heads=4, embed_dim=32, image_size=32)
