@@ -173,8 +173,20 @@ def fused_flip_rotate(img: jnp.ndarray, mask: jnp.ndarray,
     return out[0], out[1]
 
 
-def resize_bilinear_hw(img: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
-    """Bilinear resize of (..., H, W) to (..., h, w) (half-pixel centers,
-    no antialias) — torch F.interpolate(align_corners=False) semantics."""
+def resize_bilinear_hw(img: jnp.ndarray, h: int, w: int, *,
+                       antialias: bool = True) -> jnp.ndarray:
+    """Bilinear resize of (..., H, W) to (..., h, w), half-pixel centers.
+
+    ``antialias=True`` (default) widens the triangle filter by the
+    downscale ratio — the PIL ``Image.BILINEAR`` convention the reference's
+    eval/train resize inherits by operating on PIL images
+    (/root/reference/utils/transforms.py:143-150). Verified within 1 gray
+    level of PIL on 512->256 and 512->200 downscales
+    (tests/test_augment_parity.py::test_device_downscale_matches_pil).
+    ``antialias=False`` is plain source-point sampling — exact torch
+    ``F.interpolate(align_corners=False)`` semantics. The two conventions
+    are identical on upscale (the filter is never widened there).
+    """
     out_shape = img.shape[:-2] + (h, w)
-    return jax.image.resize(img, out_shape, method="linear")
+    return jax.image.resize(img, out_shape, method="linear",
+                            antialias=antialias)

@@ -85,3 +85,38 @@ def test_identity_when_all_probs_zero(sample):
     fm = np.asarray(mask, np.float32) / 255.0
     np.testing.assert_allclose(di[0], fi, atol=1e-6)
     np.testing.assert_allclose(dm[0], fm, atol=1e-6)
+
+
+def test_device_downscale_matches_pil():
+    """The store!=image_size path: device downscale must follow the PIL
+    bilinear convention (area-weighted triangle filter) the reference's
+    eval/train Resize inherits from operating on PIL images
+    (/root/reference/utils/transforms.py:143-150). Within 1 gray level."""
+    from ddti_tpu.ops.resample import resize_bilinear_hw
+
+    imgs, _ = generate_ddti_like(2, (128, 128), 7)
+    for out in (64, 50):  # power-of-two and odd ratios
+        for i in range(imgs.shape[0]):
+            src = imgs[i, :, :, 0]
+            pil = np.asarray(
+                Image.fromarray(src.astype(np.float32), "F").resize(
+                    (out, out), Image.BILINEAR), np.float32)
+            dev = np.asarray(resize_bilinear_hw(
+                jnp.asarray(src, jnp.float32), out, out))
+            assert np.abs(dev - pil).max() <= 1.0
+
+
+def test_device_downscale_noaa_matches_torch():
+    """antialias=False is exact torch F.interpolate(align_corners=False)."""
+    import torch
+    import torch.nn.functional as F
+
+    from ddti_tpu.ops.resample import resize_bilinear_hw
+
+    imgs, _ = generate_ddti_like(1, (128, 128), 9)
+    src = imgs[0, :, :, 0].astype(np.float32)
+    tor = F.interpolate(torch.from_numpy(src[None, None]), (50, 50),
+                        mode="bilinear", align_corners=False)[0, 0].numpy()
+    dev = np.asarray(resize_bilinear_hw(jnp.asarray(src), 50, 50,
+                                        antialias=False))
+    np.testing.assert_allclose(dev, tor, atol=1e-3)
