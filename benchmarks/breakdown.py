@@ -11,7 +11,7 @@ Writes benchmarks/breakdown.json. Run from /root/repo (sitecustomize).
 
 from __future__ import annotations
 
-import glob
+
 import json
 import os
 import time
@@ -69,8 +69,12 @@ def main():
         print(f"{name}: {val:.2f}", flush=True)
 
     # --- full fused step first (aug included, uint8 in) ----------------
+    # keep the spare copy on HOST: two device-resident states + the bs128
+    # step working set would exceed the 16G HBM
+    host_state = jax.device_get(state)
     step = make_train_step(cfg, aug_cfg)
-    st = jax.tree.map(jnp.copy, state)
+    st = state
+    del state
 
     def run_full():
         nonlocal st
@@ -91,6 +95,7 @@ def main():
     results["top_ops"] = parse_trace(logdir)
     jax.tree.map(lambda a: a.delete(), st)
     del st
+    state = jax.device_put(host_state)
 
     # --- component programs (no donation so state is reusable) ---------
     @jax.jit
@@ -163,40 +168,12 @@ def main():
 
 
 def parse_trace(logdir):
-    """Top HLO ops by self time from the xplane protobuf."""
+    """Top HLO ops by self time (ddti_tpu.core.xplane wire-format parser)."""
     try:
-        from tensorboard_plugin_profile.protobuf import xplane_pb2
-    except Exception:
-        try:
-            from tsl.profiler.protobuf import xplane_pb2  # noqa
-        except Exception as e:
-            return f"xplane proto unavailable: {e}"
-    paths = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
-                      recursive=True)
-    if not paths:
-        return "no xplane.pb found"
-    xspace = xplane_pb2.XSpace()
-    with open(paths[0], "rb") as f:
-        xspace.ParseFromString(f.read())
-    agg = {}
-    for plane in xspace.planes:
-        if "TPU" not in plane.name and "tpu" not in plane.name.lower():
-            continue
-        meta = {m.id: m.name for m in plane.event_metadata.values()}
-        for line in plane.lines:
-            if "XLA Ops" not in line.name and "xla" not in line.name.lower():
-                continue
-            for ev in line.events:
-                name = meta.get(ev.metadata_id, str(ev.metadata_id))
-                d = agg.setdefault(name, [0.0, 0])
-                d[0] += ev.duration_ps / 1e9  # -> ms
-                d[1] += 1
-    top = sorted(agg.items(), key=lambda kv: -kv[1][0])[:40]
-    total = sum(v[0] for v in agg.values())
-    return {"total_op_ms_over_capture": round(total, 2),
-            "planes": [p.name for p in xspace.planes],
-            "ops": [{"name": k, "ms": round(v[0], 3), "count": v[1]}
-                    for k, v in top]}
+        from ddti_tpu.core.xplane import summarize
+        return summarize(logdir, top=40)
+    except Exception as e:
+        return f"xplane parse failed: {e}"
 
 
 if __name__ == "__main__":

@@ -71,6 +71,11 @@ def get_parser() -> argparse.ArgumentParser:
                    help="bf16 compute policy on TPU")
 
     # TPU-native additions
+    p.add_argument("--mesh", default=None, type=str,
+                   help="explicit device mesh, e.g. 'data=4,model=2' — "
+                        "'data' shards the batch (DP), 'model' spatially "
+                        "partitions H (GSPMD inserts the conv halo "
+                        "exchanges); overrides --use_data_parallel")
     p.add_argument("--multihost", action="store_true",
                    help="join a multi-host (DCN) run via "
                         "jax.distributed.initialize before device use")
@@ -231,7 +236,13 @@ def main(argv=None) -> int:
     model = create_model(cfg.model_type, **model_kwargs)
 
     mesh = None
-    if cfg.use_data_parallel and len(jax.devices()) > 1:
+    if args.mesh:
+        from ddti_tpu.parallel import make_mesh, parse_mesh_spec
+        cfg.mesh_shape = parse_mesh_spec(args.mesh)
+        mesh = make_mesh(cfg.mesh_shape)
+        logger.info(f"Using explicit mesh {cfg.mesh_shape} over "
+                    f"{len(jax.devices())} devices...")
+    elif cfg.use_data_parallel and len(jax.devices()) > 1:
         from ddti_tpu.parallel import make_mesh
         mesh = make_mesh()
         logger.info(f"Using {len(jax.devices())} devices for training...")

@@ -1,6 +1,7 @@
 from .mesh import (  # noqa: F401
     batch_sharding,
     make_mesh,
+    parse_mesh_spec,
     replicated,
     shard_batch,
     train_state_sharding,

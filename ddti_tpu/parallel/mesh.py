@@ -41,6 +41,24 @@ def make_mesh(shape: Optional[dict] = None,
     return Mesh(dev_array, names)
 
 
+def parse_mesh_spec(spec: str) -> dict:
+    """Parse a ``--mesh`` CLI value like ``'data=4,model=2'`` into a mesh
+    shape dict (insertion order = mesh axis order)."""
+    out = {}
+    for part in spec.split(","):
+        if not part.strip():
+            continue
+        name, _, val = part.partition("=")
+        name = name.strip()
+        if not name or not val.strip().isdigit():
+            raise ValueError(f"bad mesh spec {spec!r}; expected "
+                             f"'data=N[,model=M]'")
+        out[name] = int(val)
+    if not out:
+        raise ValueError("empty mesh spec")
+    return out
+
+
 def batch_sharding(mesh: Mesh, spatial: bool = False) -> NamedSharding:
     """Sharding for (N, H, W, C) batches: N over "data", optionally H over
     "model"."""

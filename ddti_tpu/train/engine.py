@@ -81,7 +81,12 @@ class Trainer:
             from ddti_tpu.parallel import batch_sharding, replicated
             rep = replicated(mesh)
             self.state = jax.device_put(self.state, rep)
-            self._batch_sh = batch_sharding(mesh)
+            # spatial partitioning (H over "model") engages automatically
+            # when the mesh carries a non-trivial "model" axis (--mesh
+            # data=N,model=M); GSPMD emits the conv halo exchanges
+            spatial = ("model" in mesh.axis_names
+                       and mesh.shape["model"] > 1)
+            self._batch_sh = batch_sharding(mesh, spatial=spatial)
             # replicate device-resident stores so gathers stay local; the
             # per-step batch is then resharded onto the data axis (a local
             # slice, no collective)

@@ -116,3 +116,26 @@ def test_fused_flip_rotate_equals_sequential(img_u8):
                                    jnp.float32(ang))
         np.testing.assert_allclose(np.asarray(fi), np.asarray(si), atol=1e-5)
         np.testing.assert_allclose(np.asarray(fm), np.asarray(sm), atol=1e-5)
+
+
+def test_xplane_parser_roundtrip(tmp_path):
+    """core.xplane decodes a jax.profiler capture (CPU plane here; TPU
+    planes share the schema) without the TF/TensorBoard stack."""
+    import jax
+
+    from ddti_tpu.core.xplane import find_xplane, parse_xspace
+
+    logdir = str(tmp_path / "tr")
+    jax.profiler.start_trace(logdir)
+    x = jax.jit(lambda a: a * 2 + 1)(jax.numpy.ones((256, 256)))
+    float(x[0, 0])
+    jax.profiler.stop_trace()
+    path = find_xplane(logdir)
+    assert path is not None
+    planes = parse_xspace(path)
+    assert planes, "no planes decoded"
+    names = [p["name"] for p in planes]
+    assert any("CPU" in n or "TPU" in n for n in names), names
+    # at least one plane carries named events
+    assert any(p["event_names"] and any(e for _, e in p["lines"])
+               for p in planes)

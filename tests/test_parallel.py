@@ -176,3 +176,76 @@ def test_fused_epoch_on_mesh(tmp_path, eight_devices):
     s2, iou2 = run(mesh)
     assert int(s1.step) == int(s2.step)
     assert iou1 == pytest.approx(iou2, abs=0.05)
+
+
+def test_parse_mesh_spec():
+    from ddti_tpu.parallel import parse_mesh_spec
+
+    assert parse_mesh_spec("data=4,model=2") == {"data": 4, "model": 2}
+    assert parse_mesh_spec("data=8") == {"data": 8}
+    with pytest.raises(ValueError):
+        parse_mesh_spec("data=four")
+    with pytest.raises(ValueError):
+        parse_mesh_spec("")
+
+
+def test_trainer_spatial_mesh_sharding(tmp_path, eight_devices):
+    """--mesh data=4,model=2 as a *product* path: the Trainer must shard
+    batches (N over data, H over model) and train/validate end-to-end."""
+    import os
+
+    from ddti_tpu.core import create_logger
+    from ddti_tpu.data import DeviceDataSource
+    from ddti_tpu.train import Trainer
+
+    mesh = make_mesh({"data": 4, "model": 2}, eight_devices)
+    cfg = Config(epochs=1, batch_size=8, image_size=32, store_size=32,
+                 lr=1e-3, model_type="UNet", base_dir=str(tmp_path))
+    cfg.make_dirs()
+    logger = create_logger(os.path.join(cfg.log_dir, "train_log.log"))
+    srcs = tuple(
+        DeviceDataSource(*generate_ddti_like(n, (32, 32), s))
+        for n, s in ((16, 0), (8, 1), (8, 2)))
+    model = create_model("UNet", base_filters=8, depth=3)
+    tr = Trainer(cfg, srcs, logger, model, mesh=mesh)
+    assert tr._batch_sh.spec == P("data", "model", None, None)
+    tr.train_one_epoch(0)
+    _, iou = tr.validate(0)
+    assert 0.0 <= iou <= 1.0
+
+
+def test_spatial_partition_512(eight_devices):
+    """The benchmark-resolution spatial case: one DP x spatial train step at
+    512x512 on the 8-device mesh (H sharded 2-way -> 256-row halo shards)."""
+    mesh = make_mesh({"data": 4, "model": 2}, eight_devices)
+    cfg = Config(batch_size=4, image_size=512, store_size=512, lr=1e-3)
+    model = create_model("UNet", base_filters=4, depth=3)
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               (1, 512, 512, 1), cfg.lr, steps_per_epoch=10)
+    im, ma = generate_ddti_like(4, (512, 512), 0)
+    sh = batch_sharding(mesh, spatial=True)
+    state = jax.device_put(state, replicated(mesh))
+    step = make_train_step(cfg, aug_config_from(cfg))
+    with mesh:
+        _, m = step(state, jax.device_put(jnp.asarray(im), sh),
+                    jax.device_put(jnp.asarray(ma), sh),
+                    jax.random.PRNGKey(1))
+    assert np.isfinite(float(m.loss))
+
+
+def test_cli_mesh_flag_end_to_end(tmp_path):
+    """python main.py --mesh data=4,model=2: the dryrun capability as a
+    user-invokable product feature."""
+    import os
+
+    from ddti_tpu.cli.main import main
+
+    rc = main(["--mode", "train", "--synthetic", "--epochs", "1",
+               "--image_size", "32", "--store_size", "32",
+               "--model_type", "UNet", "--base_filters", "8",
+               "--depth", "3", "--batch_size", "8", "--lr", "1e-3",
+               "--mesh", "data=4,model=2", "--base_dir", str(tmp_path)])
+    assert rc == 0
+    run = tmp_path / os.listdir(tmp_path)[0]
+    log = (run / "log" / "train_log.log").read_text()
+    assert "explicit mesh {'data': 4, 'model': 2}" in log
