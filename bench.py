@@ -37,8 +37,13 @@ def bench(batch: int = 128, size: int = 256, steps: int = 20,
     )
     from ddti_tpu.train.engine import aug_config_from
 
+    # compute_unused_losses=False is the production path: zero-weighted
+    # loss terms (here dice and the EDT-backed boundary term, ~11 ms/step)
+    # are skipped. The reference always evaluates all four — that quirk is
+    # preserved under the default CLI flags, not in the headline bench.
     cfg = Config(batch_size=batch, image_size=size, store_size=size,
-                 lr=1e-5, model_type="ResUNet", use_mixup=False)
+                 lr=1e-5, model_type="ResUNet", use_mixup=False,
+                 compute_unused_losses=False)
     model = ResUNet(in_channels=1, out_channels=1, base_filters=64, depth=5,
                     remat=remat, dtype=jnp.bfloat16)
     state = create_train_state(model, jax.random.PRNGKey(0),

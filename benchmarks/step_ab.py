@@ -1,0 +1,56 @@
+#!/usr/bin/env python3
+"""A/B full-train-step variants on the real TPU: integrated v1 warp +
+production loss path as the new base, then remat and batch-size sweeps.
+Each variant is its own donated-step program; state is freed between."""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def run(name, batch=128, remat=False, steps=12):
+    from ddti_tpu.core import Config
+    from ddti_tpu.data import generate_ddti_like
+    from ddti_tpu.models import ResUNet
+    from ddti_tpu.train import create_train_state, make_train_step
+    from ddti_tpu.train.engine import aug_config_from
+
+    S = 256
+    cfg = Config(batch_size=batch, image_size=S, store_size=S, lr=1e-5,
+                 model_type="ResUNet", use_mixup=False,
+                 compute_unused_losses=False)
+    model = ResUNet(in_channels=1, out_channels=1, base_filters=64, depth=5,
+                    dtype=jnp.bfloat16, remat=remat)
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, S, S, 1),
+                               cfg.lr, steps_per_epoch=100)
+    im, ma = generate_ddti_like(batch, (S, S), 0)
+    im, ma = jnp.asarray(im), jnp.asarray(ma)
+    step = make_train_step(cfg, aug_config_from(cfg))
+    key = jax.random.PRNGKey(1)
+    for _ in range(3):
+        state, m = step(state, im, ma, key)
+    float(m.loss)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, m = step(state, im, ma, key)
+    float(m.loss)
+    ms = (time.perf_counter() - t0) / steps * 1e3
+    print(f"{name}: {ms:.1f} ms/step -> {batch / ms * 1e3:.1f} img/s",
+          flush=True)
+    jax.tree.map(lambda a: a.delete(), state)
+
+
+if __name__ == "__main__":
+    which = sys.argv[1:] or ["base", "remat", "bs64", "bs96", "bs192"]
+    if "base" in which:
+        run("base bs128          ", 128)
+    if "remat" in which:
+        run("remat bs128         ", 128, remat=True)
+    if "bs64" in which:
+        run("bs64                ", 64)
+    if "bs96" in which:
+        run("bs96                ", 96)
+    if "bs192" in which:
+        run("bs192               ", 192)

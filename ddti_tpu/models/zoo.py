@@ -364,13 +364,30 @@ def create_model(model_type: str, **kwargs):
     reference left dead at /root/reference/main.py:124-140). Legacy variants
     (LegacyUNet, TripleBranchImprovedVNet) resolve too.
 
-    Also accepts the legacy ``features=[...]`` channel-list API of the old
-    zoo (/root/reference/models/mores.py): a geometric list like
-    [64, 128, 256, 512] maps onto (base_filters=64, depth=4).
+    The mores.py legacy zoo is ported faithfully under ``Mores*`` names
+    (MoresUNet, MoresVNet2D, MoresResUNet, MoresASPPUNet,
+    MoresAttentionUNet, MoresTransUNet, MoresImprovedVNet) — those keep
+    their own architectural details (decoder concat order, channel-keeping
+    downsampling, conv-SE blocks; see models/mores.py). For the ACTIVE
+    names, a ``features=[...]`` kwarg is additionally accepted as an
+    adapter onto the parametric zoo: a geometric list like [64, 128, 256,
+    512] maps onto (base_filters=64, depth=4) — an approximation of the
+    legacy call convention, NOT a port of the legacy architectures
+    (QUIRKS #18).
     """
     registry = dict(MODEL_REGISTRY)
     registry.update(_legacy_registry())
+    from .mores import MORES_REGISTRY
+    registry.update(MORES_REGISTRY)
+    # torch ctor aliases used by the legacy models
+    for alias, canon in (("num_classes", "out_channels"),
+                         ("base_num_filters", "base_filters")):
+        if alias in kwargs:
+            kwargs.setdefault(canon, kwargs.pop(alias))
     features = kwargs.pop("features", None)
+    if model_type in MORES_REGISTRY and features is not None:
+        kwargs["features"] = tuple(features)
+        features = None
     if features is not None:
         feats = list(features)
         if any(feats[i + 1] != feats[i] * 2 for i in range(len(feats) - 1)):

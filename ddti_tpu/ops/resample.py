@@ -167,8 +167,15 @@ def fused_flip_rotate(img: jnp.ndarray, mask: jnp.ndarray,
     valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
     yc = jnp.clip(yi, 0, h - 1)
     xc = jnp.clip(xi, 0, w - 1)
-    pair = jnp.stack([img, mask])          # one gather for both planes
-    out = pair[:, yc, xc]
+    # FLAT single-axis gather with a (2,)-slice per index: one i32 index
+    # vector (instead of (y, x) index pairs, whose [N,2] tensor XLA lays
+    # out pathologically) and each index fetches both planes. Measured
+    # 92 -> 77.5 ms per 128x256^2 batch on v5e (benchmarks/warp_ab.py);
+    # XLA's per-element gather floor dominates either way — see
+    # benchmarks/PERF_NOTES.md for the full lowering study.
+    lin = (yc * w + xc).reshape(-1)
+    pair = jnp.stack([img.reshape(-1), mask.reshape(-1)])
+    out = jnp.take(pair, lin, axis=1, mode="clip").reshape(2, h, w)
     out = jnp.where(valid[None], out, 0.0)
     return out[0], out[1]
 

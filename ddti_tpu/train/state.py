@@ -36,12 +36,40 @@ class TrainState(struct.PyTreeNode):
                             opt_state=new_opt_state)
 
 
+def flat_fused(inner: optax.GradientTransformation
+               ) -> optax.GradientTransformation:
+    """Run ``inner`` over ONE contiguous flat vector instead of per-leaf.
+
+    Numerics are identical — the update is elementwise; optimizer state
+    (m, v) is stored flat. MEASURED NEGATIVE on v5e for the 130M-param
+    flagship (537.8 vs 523.7 ms/step, benchmarks/opt_ab.py): the
+    ravel/unravel concat+slice traffic costs more than the per-leaf
+    kernel-launch overhead it removes. Kept opt-in for small-param
+    models where launch overhead dominates."""
+    from jax.flatten_util import ravel_pytree
+
+    def init(params):
+        flat, _ = ravel_pytree(params)
+        return inner.init(flat)
+
+    def update(grads, state, params=None):
+        flat_g, unravel = ravel_pytree(grads)
+        flat_p = ravel_pytree(params)[0] if params is not None else None
+        upd, new_state = inner.update(flat_g, state, flat_p)
+        return unravel(upd), new_state
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(lr: float, steps_per_epoch: int,
                    weight_decay: float = 1e-2,
-                   t_0: int = 20, t_mult: int = 2) -> tuple:
+                   t_0: int = 20, t_mult: int = 2,
+                   fused: bool = False) -> tuple:
     sched = cosine_warm_restarts(lr, steps_per_epoch, t_0, t_mult)
     tx = optax.adamw(learning_rate=sched, b1=0.9, b2=0.999, eps=1e-8,
                      weight_decay=weight_decay)
+    if fused:
+        tx = flat_fused(tx)
     return tx, sched
 
 
