@@ -19,6 +19,16 @@ import os
 import sys
 
 
+def _str2bool(v: str) -> bool:
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("true", "1", "yes", "y", "t"):
+        return True
+    if v.lower() in ("false", "0", "no", "n", "f"):
+        return False
+    raise argparse.ArgumentTypeError(f"expected a boolean, got {v!r}")
+
+
 def get_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         formatter_class=argparse.ArgumentDefaultsHelpFormatter)
@@ -64,10 +74,13 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--early_stop_patience", default=50, type=int)
     p.add_argument("--alpha", type=float, default=2)
 
-    # other config (reference: use_data_parallel / use_amp_autocast)
-    p.add_argument("--use_data_parallel", type=bool, default=True,
+    # other config (reference: use_data_parallel / use_amp_autocast).
+    # The reference declares these as type=bool, so `--use_data_parallel
+    # False` parses TRUTHY (bool("False") is True, /root/reference/main.py:
+    # 59-60). We accept real booleans instead (QUIRKS #19).
+    p.add_argument("--use_data_parallel", type=_str2bool, default=True,
                    help="shard the batch over all local devices")
-    p.add_argument("--use_amp_autocast", type=bool, default=False,
+    p.add_argument("--use_amp_autocast", type=_str2bool, default=False,
                    help="bf16 compute policy on TPU")
 
     # TPU-native additions
@@ -76,6 +89,12 @@ def get_parser() -> argparse.ArgumentParser:
                         "'data' shards the batch (DP), 'model' spatially "
                         "partitions H (GSPMD inserts the conv halo "
                         "exchanges); overrides --use_data_parallel")
+    p.add_argument("--native_loader", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="stream train batches through the C++ threaded "
+                        "mmap loader instead of a device-resident store; "
+                        "auto = when the train store exceeds 2 GiB "
+                        "(too large to pin in HBM alongside training)")
     p.add_argument("--multihost", action="store_true",
                    help="join a multi-host (DCN) run via "
                         "jax.distributed.initialize before device use")
@@ -128,12 +147,23 @@ def build_config(args: argparse.Namespace):
     return cfg
 
 
-def load_sources(cfg):
-    """Build the three DeviceDataSources (train/val/test)."""
+NATIVE_AUTO_BYTES = 2 << 30  # stores past this stream via the C++ loader
+
+
+def load_sources(cfg, native: str = "auto"):
+    """Build the three data sources (train/val/test).
+
+    Val/test are always device-resident stores; the TRAIN split streams
+    through the native C++ threaded mmap loader (runtime/host_loader.cpp)
+    when ``native`` is "on", or "auto" and the store is too large to pin
+    in HBM alongside training — the TPU-native equivalent of the
+    reference's DataLoader worker processes
+    (/root/reference/data/data_loader.py:29-33)."""
     from ddti_tpu.data import (
         DeviceDataSource,
         MedicalDataset,
         decode_to_store,
+        decode_to_store_files,
         generate_ddti_like,
     )
 
@@ -147,8 +177,19 @@ def load_sources(cfg):
         for split in ("train", "val", "test"):
             ds = MedicalDataset(os.path.join(root, split),
                                 os.path.join(root, f"{split}_mask"))
-            sources.append(DeviceDataSource(
-                *decode_to_store(ds, size, cache_dir=cache)))
+            use_native = split == "train" and (
+                native == "on"
+                or (native == "auto" and len(ds) * size[0] * size[1]
+                    > NATIVE_AUTO_BYTES))
+            if use_native:
+                from ddti_tpu.runtime import NativeBatchLoader, NativeSource
+                ip, mp, n = decode_to_store_files(ds, size, cache_dir=cache)
+                sources.append(NativeSource(NativeBatchLoader(
+                    ip, mp, n, size[0], size[1], cfg.batch_size,
+                    seed=cfg.seed)))
+            else:
+                sources.append(DeviceDataSource(
+                    *decode_to_store(ds, size, cache_dir=cache)))
     else:
         for n, seed in ((64, 0), (16, 10_000), (16, 20_000)):
             sources.append(DeviceDataSource(*generate_ddti_like(
@@ -223,7 +264,7 @@ def main(argv=None) -> int:
             DeviceDataSource(*generate_ddti_like(n, size, cfg.seed + s))
             for n, s in ((64, 0), (16, 10_000), (16, 20_000)))
     else:
-        sources = load_sources(cfg)
+        sources = load_sources(cfg, native=args.native_loader)
 
     model_kwargs = dict(cfg.model_kwargs)
     if cfg.use_amp_autocast:

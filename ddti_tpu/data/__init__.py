@@ -4,6 +4,7 @@ from .dataset import (  # noqa: F401
     HostBatchIterator,
     MedicalDataset,
     decode_to_store,
+    decode_to_store_files,
     synthetic_source,
 )
 from .synthetic import generate_ddti_like, write_synthetic_dataset  # noqa: F401

@@ -117,6 +117,25 @@ def decode_to_store(dataset: MedicalDataset, store_size=(512, 512),
     return images, masks
 
 
+def decode_to_store_files(dataset: MedicalDataset, store_size=(512, 512),
+                          cache_dir: str = ".store_cache"
+                          ) -> tuple[str, str, int]:
+    """Ensure the raw ``.u8`` store files for ``dataset`` exist (decoding
+    if needed) and return ``(imgs_path, masks_path, n)`` — the handles the
+    native threaded batch loader mmaps. This is the streaming-ingestion
+    entry: the arrays never need to stay resident in host or device memory
+    (contrast decode_to_store, which returns them)."""
+    h, w = store_size
+    n = len(dataset)
+    tag = f"{os.path.basename(dataset.img_dir)}_{n}_{h}x{w}"
+    ip = os.path.join(cache_dir, f"{tag}_imgs.u8")
+    mp = os.path.join(cache_dir, f"{tag}_masks.u8")
+    if not (os.path.isfile(ip) and os.path.isfile(mp)
+            and os.path.getsize(ip) == n * h * w):
+        decode_to_store(dataset, store_size, cache_dir=cache_dir)
+    return ip, mp, n
+
+
 class DeviceDataSource:
     """The whole dataset resident in device memory as uint8; per-step
     batches are device-side gathers (uint8 -> float conversion happens in

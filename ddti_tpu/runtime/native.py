@@ -147,6 +147,13 @@ class NativeSource:
         self.loader = loader
         self.batch_size = loader.batch
 
+    def num_batches(self, batch_size: int | None = None) -> int:
+        """Steps per epoch (Trainer schedule sizing)."""
+        if batch_size not in (None, self.loader.batch):
+            raise ValueError(f"native loader was built for batch "
+                             f"{self.loader.batch}, got {batch_size}")
+        return self.loader.steps_per_epoch
+
     def __iter__(self):
         for _ in range(self.loader.steps_per_epoch):
             imgs, masks, _ = self.loader.next()

@@ -77,6 +77,7 @@ class Trainer:
                 config.lr, steps_per_epoch, config.weight_decay)
         self.state = state
         self._batch_sh = None
+        self._multihost = mesh is not None and jax.process_count() > 1
         if mesh is not None:
             from ddti_tpu.parallel import batch_sharding, replicated
             rep = replicated(mesh)
@@ -87,11 +88,20 @@ class Trainer:
             spatial = ("model" in mesh.axis_names
                        and mesh.shape["model"] > 1)
             self._batch_sh = batch_sharding(mesh, spatial=spatial)
-            # replicate device-resident stores so gathers stay local; the
-            # per-step batch is then resharded onto the data axis (a local
-            # slice, no collective)
             for src in (self.train_src, self.val_src, self.test_src):
-                if hasattr(src, "images"):
+                if not hasattr(src, "images"):
+                    continue
+                if self._multihost:
+                    # each process keeps the store on ITS host; per-step
+                    # batches are assembled from process-local rows via
+                    # make_array_from_process_local_data — no cross-host
+                    # data movement (replaces the single-host device_put)
+                    src.images = np.asarray(src.images)
+                    src.masks = np.asarray(src.masks)
+                else:
+                    # replicate device-resident stores so gathers stay
+                    # local; the per-step batch is then resharded onto the
+                    # data axis (a local slice, no collective)
                     src.images = jax.device_put(src.images, rep)
                     src.masks = jax.device_put(src.masks, rep)
 
@@ -141,6 +151,19 @@ class Trainer:
     def _is_device_src(src) -> bool:
         return hasattr(src, "epoch_batches")
 
+    def _shard_multihost(self, images, masks):
+        """Multi-host feeding: every process holds the full host batch
+        (identical RNG streams) but materializes only ITS rows on device;
+        jax assembles the global batch-sharded array without cross-host
+        copies (parallel/multihost.py:process_local_batch)."""
+        from ddti_tpu.parallel import process_local_batch
+        pid = jax.process_index()
+        per = images.shape[0] // jax.process_count()
+        lo = pid * per
+        return process_local_batch(
+            (np.asarray(images)[lo:lo + per],
+             np.asarray(masks)[lo:lo + per]), self.mesh)
+
     def _iter_batches(self, src, shuffle: bool):
         """Unify device-resident and host-streaming sources: yields device
         batch arrays (uint8 store batches or host-augmented float batches —
@@ -148,6 +171,10 @@ class Trainer:
         if self._is_device_src(src):
             for idx in src.epoch_batches(self.rng, self.config.batch_size,
                                          shuffle=shuffle):
+                if self._multihost:  # host store -> process-local shards
+                    yield self._shard_multihost(src.images[idx],
+                                                src.masks[idx])
+                    continue
                 batch = gather_batch(src.images, src.masks,
                                      jax.numpy.asarray(idx))
                 if self._batch_sh is not None:
@@ -156,6 +183,9 @@ class Trainer:
                 yield batch
         else:
             for images, masks in src:
+                if self._multihost:
+                    yield self._shard_multihost(images, masks)
+                    continue
                 batch = (jax.numpy.asarray(images),
                          jax.numpy.asarray(masks))
                 if self._batch_sh is not None:
@@ -164,8 +194,8 @@ class Trainer:
                 yield batch
 
     def train_one_epoch(self, epoch: int):
-        if self.scan_epoch is not None and self._is_device_src(
-                self.train_src):
+        if (self.scan_epoch is not None and not self._multihost
+                and self._is_device_src(self.train_src)):
             return self._train_one_epoch_fused(epoch)
         total = None
         # same key derivation as the fused-epoch path: one epoch key, one

@@ -197,3 +197,44 @@ def test_sweep_config_dir_end_to_end(tmp_path):
     runs = sorted(os.listdir(exp))
     assert any(r.startswith("UNet_") for r in runs)
     assert any(r.startswith("VNet2D_") for r in runs)
+
+
+def test_main_native_loader_end_to_end(tmp_path):
+    """--native_loader on: the train split streams through the C++ mmap
+    loader (Trainer's host-streaming path), val/test stay device-resident."""
+    import pytest
+
+    from ddti_tpu.data.synthetic import write_synthetic_dataset
+    from ddti_tpu.runtime import native_available
+
+    if not native_available():
+        pytest.skip("native runtime unavailable (no g++/make)")
+    from ddti_tpu.cli.main import main
+
+    root = tmp_path / "ds"
+    write_synthetic_dataset(str(root), n_train=16, n_val=4, n_test=4,
+                            size=(32, 32), seed=0)
+    rc = main(["--mode", "both", "--epochs", "1", "--image_size", "32",
+               "--store_size", "32", "--model_type", "UNet",
+               "--base_filters", "8", "--depth", "3", "--batch_size", "8",
+               "--lr", "1e-3", "--native_loader", "on",
+               "--dataset_path", str(root),
+               "--base_dir", str(tmp_path / "exp")])
+    assert rc == 0
+    run = (tmp_path / "exp") / os.listdir(tmp_path / "exp")[0]
+    log = (run / "log" / "train_log.log").read_text()
+    assert "Train Epoch: 1" in log
+    assert (root / ".store_cache").is_dir()  # raw .u8 store materialized
+
+
+def test_use_data_parallel_false_parses_false():
+    """QUIRKS #19: the reference's type=bool makes '--use_data_parallel
+    False' truthy; our parser treats booleans as booleans."""
+    from ddti_tpu.cli.main import get_parser
+
+    p = get_parser()
+    assert p.parse_args(["--use_data_parallel", "False"]
+                        ).use_data_parallel is False
+    assert p.parse_args(["--use_data_parallel", "true"]
+                        ).use_data_parallel is True
+    assert p.parse_args([]).use_data_parallel is True

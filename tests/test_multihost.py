@@ -91,3 +91,69 @@ def test_two_process_dcn_reduction(tmp_path):
     for rank, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {rank} failed:\n{out}"
         assert f"RANK{rank} SUM 96.0" in out, out
+
+
+_TRAINER_WORKER = r"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+from ddti_tpu.parallel import initialize_multihost, make_mesh, spec_from
+
+initialize_multihost(spec_from())
+assert jax.process_count() == 2
+
+from ddti_tpu.core import Config, create_logger
+from ddti_tpu.data import DeviceDataSource, generate_ddti_like
+from ddti_tpu.models import create_model
+from ddti_tpu.train import Trainer
+
+mesh = make_mesh({"data": 2})
+cfg = Config(epochs=1, batch_size=8, image_size=32, store_size=32,
+             lr=1e-3, model_type="UNet",
+             base_dir=os.environ["RUN_DIR"])
+cfg.make_dirs()
+logger = create_logger(os.path.join(cfg.log_dir, "log.log"))
+srcs = tuple(DeviceDataSource(*generate_ddti_like(n, (32, 32), s))
+             for n, s in ((16, 0), (8, 1), (8, 2)))
+model = create_model("UNet", base_filters=8, depth=3)
+tr = Trainer(cfg, srcs, logger, model, mesh=mesh)
+assert tr._multihost
+tr.train_one_epoch(0)
+_, iou = tr.validate(0)
+print(f"RANK{jax.process_index()} IOU {iou:.6f}", flush=True)
+"""
+
+
+def test_two_process_trainer_epoch(tmp_path):
+    """Full Trainer epoch over a 2-process DCN runtime: batches are fed as
+    process-local shards (engine._shard_multihost) and both ranks converge
+    to the identical validation IoU."""
+    if sys.platform != "linux":
+        pytest.skip("linux only")
+    script = tmp_path / "worker.py"
+    script.write_text(_TRAINER_WORKER)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    procs = []
+    for rank in range(2):
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env.update(JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+                   JAX_NUM_PROCESSES="2", JAX_PROCESS_ID=str(rank),
+                   RUN_DIR=str(tmp_path / f"run{rank}"),
+                   PYTHONPATH=repo + os.pathsep + env.get("PYTHONPATH", ""))
+        procs.append(subprocess.Popen(
+            [sys.executable, str(script)], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=repo))
+    outs = [p.communicate(timeout=420)[0] for p in procs]
+    ious = []
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {rank} failed:\n{out[-3000:]}"
+        line = [ln for ln in out.splitlines() if f"RANK{rank} IOU" in ln]
+        assert line, out
+        ious.append(float(line[0].split()[-1]))
+    assert ious[0] == ious[1]
