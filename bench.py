@@ -81,22 +81,21 @@ def bench(batch: int = 128, size: int = 256, steps: int = 20,
     float(last.loss)
     infer_ips = batch * steps / (time.perf_counter() - t0)
 
-    # pure serving throughput (forward + threshold only)
-    @jax.jit
-    def serve(params, batch_stats, images_u8):
-        x = images_u8.astype(jnp.bfloat16) / 255.0
-        logits = state.apply_fn({"params": params,
-                                 "batch_stats": batch_stats}, x,
-                                train=False)
-        return (jax.nn.sigmoid(logits.astype(jnp.float32)) > 0.5
-                ).astype(jnp.uint8)
+    # serving throughput, measured from the DEPLOYMENT artifact: BN folded
+    # into conv kernels, serialized to StableHLO (weights baked in),
+    # deserialized and AOT-compiled to a loaded executable — uint8 images
+    # in, binarized uint8 masks out, no Python model code on the hot path.
+    from ddti_tpu.train.export import aot_compile_serving, export_serving
 
+    blob = export_serving(model, state.params, state.batch_stats,
+                          batch=batch, size=size, fold_bn=True,
+                          input_dtype=jnp.uint8)
+    serve = aot_compile_serving(blob)
     for _ in range(warmup):
-        p = serve(state.params, state.batch_stats, images)
+        p = serve(images)
     int(p[0, 0, 0, 0])
     t0 = time.perf_counter()
-    last = [serve(state.params, state.batch_stats, images)
-            for _ in range(steps)][-1]
+    last = [serve(images) for _ in range(steps)][-1]
     int(last[0, 0, 0, 0])
     serve_ips = batch * steps / (time.perf_counter() - t0)
 

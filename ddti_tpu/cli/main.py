@@ -69,6 +69,9 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr", type=float, default=1e-5)
     p.add_argument("--weight_decay", type=float, default=1e-2)
     p.add_argument("--save_interval", default=20, type=int)
+    p.add_argument("--log_every", default=20, type=int,
+                   help="in-epoch progress interval in steps (loss + "
+                        "img/s, the tqdm-equivalent); 0 disables")
     p.add_argument("--max_keep_checkpoints", default=3, type=int,
                    help="rotation depth of the periodic checkpoint manager")
     p.add_argument("--early_stop_patience", default=50, type=int)

@@ -65,6 +65,7 @@ class Config:
     weight_decay: float = 1e-2    # parsed-but-unused in the reference; the
     # torch AdamW default (0.01) applied regardless — we reproduce that.
     save_interval: int = 20
+    log_every: int = 20  # in-epoch INFO progress interval (steps); 0 = off
     max_keep_checkpoints: int = 3  # rotation depth of periodic checkpoints
     export_serving: bool = False   # write a StableHLO serving artifact
     early_stop_patience: int = 50

@@ -201,6 +201,15 @@ class Trainer:
         # same key derivation as the fused-epoch path: one epoch key, one
         # fold_in per step (keeps the two modes bit-identical)
         self.key, ekey = jax.random.split(self.key)
+        # tqdm-equivalent in-epoch progress (the reference wraps its loader
+        # in tqdm, /root/reference/utils/trainer.py:57): every step at
+        # DEBUG (file log), every log_every steps at INFO with wall-clock
+        # images/sec. Loss is only read back at the INFO interval so the
+        # fast path stays sync-free.
+        import time as _time
+        log_every = int(getattr(self.config, "log_every", 20) or 0)
+        t0 = _time.perf_counter()
+        n_imgs = 0
         for i, (images, masks) in enumerate(
                 self._iter_batches(self.train_src, shuffle=True)):
             # uint8 batches are raw store data -> full on-device
@@ -211,6 +220,15 @@ class Trainer:
             step_key = jax.random.fold_in(ekey, i)
             self.state, m = step(self.state, images, masks, step_key)
             total = accumulate(total, m)
+            n_imgs += int(images.shape[0])
+            if log_every and (i + 1) % log_every == 0:
+                ips = n_imgs / max(_time.perf_counter() - t0, 1e-9)
+                self.logger.info(
+                    f"Epoch {epoch + 1} step {i + 1}: "
+                    f"loss {float(m.loss):.4f} — {ips:.1f} img/s")
+            else:
+                self.logger.debug(f"Epoch {epoch + 1} step {i + 1} done "
+                                  f"({n_imgs} imgs)")
         total = jax.device_get(total)
         em = epoch_metrics_from_counts(total.counts)
         self._log_epoch("Train", epoch, self._avgs(total), em)

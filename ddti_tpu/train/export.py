@@ -17,12 +17,18 @@ from jax import export as jax_export
 
 
 def make_serve_fn(model, params: Any, batch_stats: Any,
-                  threshold: float = 0.5):
-    """Closed-over inference function: float [0,1] images -> uint8 masks."""
+                  threshold: float = 0.5, input_dtype=jnp.float32):
+    """Closed-over inference function -> uint8 masks. With
+    ``input_dtype=jnp.uint8`` the function is the full serving entry:
+    raw [0,255] bytes in, binarized masks out (the uint8->model-dtype
+    conversion is baked into the artifact)."""
 
     variables = {"params": params, "batch_stats": batch_stats}
 
     def serve(images):
+        if images.dtype == jnp.uint8:
+            compute = getattr(model, "dtype", jnp.float32)
+            images = images.astype(compute) / 255.0
         out = model.apply(variables, images, train=False)
         logits = out[0] if isinstance(out, tuple) else out
         probs = jax.nn.sigmoid(logits.astype(jnp.float32))
@@ -33,7 +39,8 @@ def make_serve_fn(model, params: Any, batch_stats: Any,
 
 def export_serving(model, params: Any, batch_stats: Any, batch: int,
                    size: int, in_channels: int = 1,
-                   threshold: float = 0.5, fold_bn: bool = False) -> bytes:
+                   threshold: float = 0.5, fold_bn: bool = False,
+                   input_dtype=jnp.float32) -> bytes:
     """Serialize the inference function (weights baked in) for the input
     shape (batch, size, size, in_channels). ``fold_bn=True`` folds
     BatchNorm into the conv kernels first (train/fold_bn.py) so the
@@ -41,9 +48,10 @@ def export_serving(model, params: Any, batch_stats: Any, batch: int,
     if fold_bn:
         from ddti_tpu.train.fold_bn import fold_batchnorm
         params, batch_stats = fold_batchnorm(model, params, batch_stats)
-    serve = make_serve_fn(model, params, batch_stats, threshold)
+    serve = make_serve_fn(model, params, batch_stats, threshold,
+                          input_dtype)
     spec = jax.ShapeDtypeStruct((batch, size, size, in_channels),
-                                jnp.float32)
+                                input_dtype)
     exported = jax_export.export(jax.jit(serve))(spec)
     return exported.serialize()
 
@@ -52,6 +60,17 @@ def load_serving(blob: bytes):
     """Rehydrate a serialized artifact into a callable."""
     exported = jax_export.deserialize(blob)
     return exported.call
+
+
+def aot_compile_serving(blob: bytes):
+    """Deserialize AND ahead-of-time compile the artifact for its exported
+    input shapes; returns the loaded executable (a jax Compiled object —
+    no Python model code, no retracing at call time). This is the
+    deployment path bench.py measures."""
+    exported = jax_export.deserialize(blob)
+    specs = [jax.ShapeDtypeStruct(a.shape, a.dtype)
+             for a in exported.in_avals]
+    return jax.jit(exported.call).lower(*specs).compile()
 
 
 def save_serving(path: str, model, params, batch_stats, batch: int,

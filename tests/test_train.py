@@ -306,3 +306,62 @@ def test_trainer_export_serving_artifact(tmp_path):
         np.float32)
     out = np.asarray(fn(x))
     assert out.shape == (4, 32, 32, 1) and out.dtype == np.uint8
+
+
+def test_serving_aot_uint8_artifact():
+    """The deployment artifact bench.py measures: uint8-in (conversion
+    baked in), BN folded, deserialized + AOT-compiled to a loaded
+    executable; output matches the live serve path."""
+    from ddti_tpu.train.export import (
+        aot_compile_serving,
+        export_serving,
+        make_serve_fn,
+    )
+
+    model = create_model("ResUNet", base_filters=8, depth=3)
+    v = model.init({"params": jax.random.PRNGKey(0)},
+                   jnp.zeros((1, 32, 32, 1)), train=False)
+    blob = export_serving(model, v["params"], v["batch_stats"], batch=2,
+                          size=32, fold_bn=True, input_dtype=jnp.uint8)
+    exe = aot_compile_serving(blob)
+    x = np.random.default_rng(0).integers(0, 256, (2, 32, 32, 1)).astype(
+        np.uint8)
+    got = np.asarray(exe(x))
+    assert got.dtype == np.uint8 and got.shape == (2, 32, 32, 1)
+    live = np.asarray(make_serve_fn(model, v["params"], v["batch_stats"],
+                                    input_dtype=jnp.uint8)(jnp.asarray(x)))
+    # BN folding shifts logits ~1e-3 under MXU default precision; allow a
+    # handful of threshold-boundary pixels to flip
+    assert (got != live).mean() < 0.01
+
+
+def test_step_progress_and_tb_scalars(tmp_path):
+    """(a) tqdm-equivalent per-step progress lines reach the log; (b) all
+    9 TensorBoard scalars per phase actually land in the event file
+    (reference writes them at trainer.py:111-119,162-170)."""
+    import glob
+
+    cfg = _tiny_cfg(tmp_path, epochs=1, batch_size=4, log_every=1)
+    cfg.make_dirs()
+    logger = create_logger(os.path.join(cfg.log_dir, "train_log.log"))
+    srcs = tuple(
+        DeviceDataSource(*generate_ddti_like(n, (32, 32), s))
+        for n, s in ((8, 0), (4, 1), (4, 2)))
+    model = create_model("UNet", base_filters=8, depth=3)
+    tr = Trainer(cfg, srcs, logger, model)
+    tr.train_one_epoch(0)
+    tr.validate(0)
+    tr.writer.close()
+
+    log = open(os.path.join(cfg.log_dir, "train_log.log")).read()
+    assert "Epoch 1 step 1: loss" in log and "img/s" in log
+
+    events = glob.glob(os.path.join(cfg.result_dir, "events.out.tfevents*"))
+    assert events, "no TB event file written"
+    raw = b"".join(open(p, "rb").read() for p in events)
+    for tag in ("BCE Loss", "Dice Loss", "Focal Loss", "Boundary Loss",
+                "Acc", "Precision", "Recall", "F1", "IoU"):
+        for phase in ("Train", "Validate"):
+            # tensorboardX sanitizes spaces in tags to underscores
+            t = f"{tag}/{phase}".replace(" ", "_").encode()
+            assert t in raw, f"{tag}/{phase} missing"
