@@ -85,17 +85,21 @@ def bench(batch: int = 128, size: int = 256, steps: int = 20,
     # into conv kernels, serialized to StableHLO (weights baked in),
     # deserialized and AOT-compiled to a loaded executable — uint8 images
     # in, binarized uint8 masks out, no Python model code on the hot path.
-    from ddti_tpu.train.export import aot_compile_serving, export_serving
+    from ddti_tpu.train.export import (
+        aot_compile_serving,
+        export_serving_program,
+    )
 
-    blob = export_serving(model, state.params, state.batch_stats,
-                          batch=batch, size=size, fold_bn=True,
-                          input_dtype=jnp.uint8)
+    blob, variables = export_serving_program(
+        model, state.params, state.batch_stats, batch=batch, size=size,
+        fold_bn=True, input_dtype=jnp.uint8)
     serve = aot_compile_serving(blob)
+    variables = jax.device_put(variables)
     for _ in range(warmup):
-        p = serve(images)
+        p = serve(variables, images)
     int(p[0, 0, 0, 0])
     t0 = time.perf_counter()
-    last = [serve(images) for _ in range(steps)][-1]
+    last = [serve(variables, images) for _ in range(steps)][-1]
     int(last[0, 0, 0, 0])
     serve_ips = batch * steps / (time.perf_counter() - t0)
 

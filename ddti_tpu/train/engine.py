@@ -321,13 +321,24 @@ class Trainer:
         self._maybe_export_pth(last + ".pth")
         if getattr(cfg, "export_serving", False):
             try:
-                from .export import save_serving
+                from .export import export_serving_program, save_serving
                 path = os.path.join(cfg.model_dir,
                                     f"{cfg.model_type}_serving.stablehlo")
                 save_serving(path, self.model, self.state.params,
                              self.state.batch_stats, batch=cfg.batch_size,
                              size=cfg.image_size)
-                self.logger.info(f"--Serving artifact exported to {path}")
+                # weights-as-arguments program (flagship-scale deployment:
+                # pair with the saved .npz weights; see train/export.py)
+                blob, _ = export_serving_program(
+                    self.model, self.state.params, self.state.batch_stats,
+                    batch=cfg.batch_size, size=cfg.image_size)
+                ppath = os.path.join(
+                    cfg.model_dir, f"{cfg.model_type}_serving_program"
+                                   ".stablehlo")
+                with open(ppath, "wb") as f:
+                    f.write(blob)
+                self.logger.info(f"--Serving artifacts exported to {path} "
+                                 f"and {ppath}")
             except Exception as e:  # export must never fail the run
                 self.logger.warning(f"serving export failed: {e}")
         if self._ckpt_manager is not None:

@@ -56,6 +56,40 @@ def export_serving(model, params: Any, batch_stats: Any, batch: int,
     return exported.serialize()
 
 
+def export_serving_program(model, params: Any, batch_stats: Any, batch: int,
+                           size: int, in_channels: int = 1,
+                           threshold: float = 0.5, fold_bn: bool = False,
+                           input_dtype=jnp.float32) -> tuple[bytes, dict]:
+    """Weights-as-ARGUMENTS export: returns ``(blob, variables)`` where the
+    StableHLO program takes ``(variables, images)``. This is the
+    production split — a small program artifact plus a weight bundle —
+    and the only loadable form at flagship scale here: baking 130M f32
+    params into the module as constants exceeds the remote-compile
+    tunnel's request limit (HTTP 413). Use ``export_serving`` (baked) for
+    small models / self-contained artifacts."""
+    if fold_bn:
+        from ddti_tpu.train.fold_bn import fold_batchnorm
+        params, batch_stats = fold_batchnorm(model, params, batch_stats)
+    variables = {"params": params, "batch_stats": batch_stats}
+
+    def serve(variables, images):
+        if images.dtype == jnp.uint8:
+            compute = getattr(model, "dtype", jnp.float32)
+            images = images.astype(compute) / 255.0
+        out = model.apply(variables, images, train=False)
+        logits = out[0] if isinstance(out, tuple) else out
+        probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+        return (probs > threshold).astype(jnp.uint8)
+
+    var_specs = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.asarray(a).dtype),
+        variables)
+    img_spec = jax.ShapeDtypeStruct((batch, size, size, in_channels),
+                                    input_dtype)
+    exported = jax_export.export(jax.jit(serve))(var_specs, img_spec)
+    return exported.serialize(), variables
+
+
 def load_serving(blob: bytes):
     """Rehydrate a serialized artifact into a callable."""
     exported = jax_export.deserialize(blob)
@@ -65,12 +99,13 @@ def load_serving(blob: bytes):
 def aot_compile_serving(blob: bytes):
     """Deserialize AND ahead-of-time compile the artifact for its exported
     input shapes; returns the loaded executable (a jax Compiled object —
-    no Python model code, no retracing at call time). This is the
-    deployment path bench.py measures."""
+    no Python model code, no retracing at call time). Works for both the
+    baked-weights and weights-as-arguments artifact forms."""
     exported = jax_export.deserialize(blob)
     specs = [jax.ShapeDtypeStruct(a.shape, a.dtype)
              for a in exported.in_avals]
-    return jax.jit(exported.call).lower(*specs).compile()
+    args, kwargs = jax.tree.unflatten(exported.in_tree, specs)
+    return jax.jit(exported.call).lower(*args, **kwargs).compile()
 
 
 def save_serving(path: str, model, params, batch_stats, batch: int,

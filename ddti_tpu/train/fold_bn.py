@@ -110,11 +110,18 @@ def fold_batchnorm(model, params: Any, batch_stats: Any, *,
             c = int(getattr(model, "in_channels", 1))
             example = jax.random.uniform(jax.random.PRNGKey(0),
                                          (1, 32, 32, c), jnp.float32)
+        # validate in f32 even for bf16-compute models: the fold math acts
+        # on the f32 master params, and bf16 activations would inflate
+        # legitimate rounding past the misfold threshold
+        vmodel = model
+        if getattr(model, "dtype", jnp.float32) != jnp.float32:
+            import dataclasses as _dc
+            vmodel = _dc.replace(model, dtype=jnp.float32)
 
         def _logits(p, s):
             with jax.default_matmul_precision("highest"):
-                out = model.apply({"params": p, "batch_stats": s}, example,
-                                  train=False)
+                out = vmodel.apply({"params": p, "batch_stats": s}, example,
+                                   train=False)
             return out[0] if isinstance(out, tuple) else out
 
         want = np.asarray(_logits(orig_params, orig_stats), np.float32)

@@ -327,6 +327,14 @@ def test_serving_aot_uint8_artifact():
     x = np.random.default_rng(0).integers(0, 256, (2, 32, 32, 1)).astype(
         np.uint8)
     got = np.asarray(exe(x))
+    # weights-as-arguments form (the flagship-scale deployment split)
+    from ddti_tpu.train.export import export_serving_program
+    blob2, variables = export_serving_program(
+        model, v["params"], v["batch_stats"], batch=2, size=32,
+        fold_bn=True, input_dtype=jnp.uint8)
+    exe2 = aot_compile_serving(blob2)
+    got2 = np.asarray(exe2(variables, x))
+    np.testing.assert_array_equal(got2, got)
     assert got.dtype == np.uint8 and got.shape == (2, 32, 32, 1)
     live = np.asarray(make_serve_fn(model, v["params"], v["batch_stats"],
                                     input_dtype=jnp.uint8)(jnp.asarray(x)))
