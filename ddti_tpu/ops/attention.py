@@ -17,9 +17,10 @@ naive scores are 16M elements per head per image, forward AND backward).
 
 Layout: q, k, v are (B, H, S, D) with D the head dim. S must be a multiple
 of the block sizes (the caller pads; TransUNet token counts are powers of
-two). The logsumexp residual is stored (S, B*H) so every kernel touches it
-as a (rows, 1) column tile — no sublane<->lane relayouts anywhere. All
-accumulation is f32 regardless of input dtype.
+two). The logsumexp residual is stored (B*H, S, 1) so every kernel touches
+it as a (rows, 1) column tile — no sublane<->lane relayouts anywhere, and
+the trailing block dimension equals the array's (a Mosaic block-shape
+requirement). All accumulation is f32 regardless of input dtype.
 
 Replaces the capability of /root/reference/models/mod.py:297-320 (torch
 nn.TransformerEncoderLayer self-attention) for long sequences.
@@ -88,12 +89,12 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
     acc0 = jnp.zeros((bq, d), jnp.float32)
     m, l, acc = jax.lax.fori_loop(0, num_k, body, (m0, l0, acc0))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
-    lse_ref[:] = m + jnp.log(l)                         # (BQ, 1) column
+    lse_ref[0] = m + jnp.log(l)                         # (BQ, 1) column
 
 
 def _flash_forward(q, k, v, block_q: int, block_k: int,
                    interpret: bool = False):
-    """Returns (o of q.shape, lse of (S, B*H) f32)."""
+    """Returns (o of q.shape, lse of (B*H, S, 1) f32)."""
     b, h, s, d = q.shape
     sm_scale = 1.0 / (d ** 0.5)
     bh = b * h
@@ -106,7 +107,7 @@ def _flash_forward(q, k, v, block_q: int, block_k: int,
     o, lse = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((bh, s, d), q.dtype),
-                   jax.ShapeDtypeStruct((s, bh), jnp.float32)),
+                   jax.ShapeDtypeStruct((bh, s, 1), jnp.float32)),
         grid=(bh, s // block_q),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), **spec_kw),
@@ -115,7 +116,7 @@ def _flash_forward(q, k, v, block_q: int, block_k: int,
         ],
         out_specs=(
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), **spec_kw),
-            pl.BlockSpec((block_q, 1), lambda i, j: (j, i), **spec_kw),
+            pl.BlockSpec((1, block_q, 1), lambda i, j: (i, j, 0), **spec_kw),
         ),
         **extra,
     )(qf, kf, vf)
@@ -142,7 +143,7 @@ def _dkdv_kernel(q_ref, do_ref, o_ref, lse_ref, k_ref, v_ref,
         q = q_ref[0, sl, :].astype(jnp.float32) * sm_scale   # (BQ, D)
         do = do_ref[0, sl, :].astype(jnp.float32)
         o = o_ref[0, sl, :].astype(jnp.float32)
-        lse = lse_ref[sl, :]                                  # (BQ, 1)
+        lse = lse_ref[0, sl, :]                               # (BQ, 1)
         delta = jnp.sum(do * o, axis=1, keepdims=True)        # (BQ, 1)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
@@ -170,7 +171,7 @@ def _dq_kernel(q_ref, do_ref, o_ref, lse_ref, k_ref, v_ref, dq_ref,
     q = q_ref[0].astype(jnp.float32) * sm_scale        # (BQ, D)
     do = do_ref[0].astype(jnp.float32)
     o = o_ref[0].astype(jnp.float32)
-    lse = lse_ref[:]                                   # (BQ, 1)
+    lse = lse_ref[0]                                   # (BQ, 1)
     delta = jnp.sum(do * o, axis=1, keepdims=True)     # (BQ, 1)
     bq, d = q.shape
     s_total = k_ref.shape[1]
@@ -202,7 +203,7 @@ def _flash_backward(q, k, v, o, lse, g, block_q: int, block_k: int,
     spec_kw, extra = _spec_kw(interpret)
 
     full = pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0), **spec_kw)
-    lse_full = pl.BlockSpec((s, 1), lambda i, j: (0, i), **spec_kw)
+    lse_full = pl.BlockSpec((1, s, 1), lambda i, j: (i, 0, 0), **spec_kw)
 
     dk, dv = pl.pallas_call(
         functools.partial(_dkdv_kernel, block_q=block_q, sm_scale=sm_scale),
@@ -228,7 +229,7 @@ def _flash_backward(q, k, v, o, lse, g, block_q: int, block_k: int,
         grid=(bh, s // block_q),
         in_specs=[
             qtile, qtile, qtile,
-            pl.BlockSpec((block_q, 1), lambda i, j: (j, i), **spec_kw),
+            pl.BlockSpec((1, block_q, 1), lambda i, j: (i, j, 0), **spec_kw),
             full, full,
         ],
         out_specs=qtile,
