@@ -10,7 +10,7 @@ import jax
 import jax.numpy as jnp
 
 
-def run(name, batch=128, remat=False, steps=12):
+def run(name, batch=128, remat=False, steps=12, **cfg_extra):
     from ddti_tpu.core import Config
     from ddti_tpu.data import generate_ddti_like
     from ddti_tpu.models import ResUNet
@@ -20,7 +20,7 @@ def run(name, batch=128, remat=False, steps=12):
     S = 256
     cfg = Config(batch_size=batch, image_size=S, store_size=S, lr=1e-5,
                  model_type="ResUNet", use_mixup=False,
-                 compute_unused_losses=False)
+                 compute_unused_losses=False, **cfg_extra)
     model = ResUNet(in_channels=1, out_channels=1, base_filters=64, depth=5,
                     dtype=jnp.bfloat16, remat=remat)
     state = create_train_state(model, jax.random.PRNGKey(0), (1, S, S, 1),
@@ -54,3 +54,7 @@ if __name__ == "__main__":
         run("bs96                ", 96)
     if "bs192" in which:
         run("bs192               ", 192)
+    if "shared" in which:
+        run("shared-geometry bs128", 128, aug_shared_geometry=True)
+    if "bs256remat" in which:
+        run("bs256 + remat       ", 256, remat=True)

@@ -1,10 +1,13 @@
 """Batch inference CLI — the serving-style entry point the reference lacks.
 
-Loads a checkpoint (Orbax dir, .npz export, or reference-format .pth) and
-predicts nodule masks for every image in a directory, either resized to the
-training resolution (reference behavior) or at native resolution via
-sliding-window tiling. Writes ``<name>_pred.png`` masks and optional
-contour overlays.
+Loads a checkpoint (Orbax dir, .npz export, reference-format .pth, or a
+``.stablehlo`` serving bundle from ``--export_serving``) and predicts nodule
+masks for every image in a directory, either resized to the training
+resolution (reference behavior) or at native resolution via sliding-window
+tiling. Writes ``<name>_pred.png`` masks and optional contour overlays.
+With a ``.stablehlo`` artifact no model code runs at all — the AOT-compiled
+program (plus its sibling ``.npz`` weight bundle for weights-as-arguments
+exports) is the entire model.
 
 Usage:
   python -m ddti_tpu.cli.infer --checkpoint ck --input_dir imgs \
@@ -40,6 +43,10 @@ def main(argv=None) -> int:
                     help="fold BatchNorm into conv kernels before serving")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend")
+    ap.add_argument("--weights", default=None,
+                    help="weight bundle (.npz) for a weights-as-arguments "
+                         ".stablehlo serving program; defaults to the "
+                         "program path with .stablehlo -> .npz")
     args = ap.parse_args(argv)
 
     import jax
@@ -49,6 +56,9 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
     import numpy as np
     from PIL import Image
+
+    if args.checkpoint.endswith(".stablehlo"):
+        return _infer_serving_bundle(args)
 
     from ddti_tpu.models import create_model
 
@@ -145,6 +155,63 @@ def main(argv=None) -> int:
     dt = time.perf_counter() - t0
     print(f"predicted {n_done} images in {dt:.1f}s "
           f"({n_done / max(dt, 1e-9):.1f} img/s)")
+    return 0
+
+
+def _infer_serving_bundle(args) -> int:
+    """Serve straight from the deployment artifact ``--export_serving``
+    writes (StableHLO program + .npz weight bundle): no model code, no
+    checkpoint surgery, fixed exported batch/size (partial batches are
+    zero-padded). The deployment analogue of the reference's test loop
+    (/root/reference/utils/trainer.py:190-260), which always rebuilds the
+    torch model to predict."""
+    import numpy as np
+    from PIL import Image
+
+    from ddti_tpu.train.export import load_serving_bundle
+
+    if args.sliding_window:
+        print("--sliding_window is not available for .stablehlo serving "
+              "artifacts (the program's input shape is fixed at export)")
+        return 1
+
+    serve, batch_n, size, in_dtype = load_serving_bundle(
+        args.checkpoint, args.weights)
+    names = sorted(n for n in os.listdir(args.input_dir)
+                   if n.lower().endswith((".jpg", ".jpeg", ".png", ".bmp")))
+    if not names:
+        print(f"no images in {args.input_dir}")
+        return 1
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    t0 = time.perf_counter()
+    n_done = 0
+    for start in range(0, len(names), batch_n):
+        chunk = names[start:start + batch_n]
+        arrs, metas = [], []
+        for name in chunk:
+            img = Image.open(os.path.join(args.input_dir, name)).convert("L")
+            metas.append((name, img.size))
+            img = img.resize((size, size), Image.BILINEAR)
+            a = np.asarray(img, np.uint8)[..., None]
+            if in_dtype != np.uint8:
+                a = a.astype(in_dtype) / np.asarray(255, in_dtype)
+            arrs.append(a)
+        x = np.stack(arrs)
+        if len(chunk) < batch_n:  # pad the tail to the exported batch
+            pad = np.zeros((batch_n - len(chunk),) + x.shape[1:], x.dtype)
+            x = np.concatenate([x, pad])
+        preds = np.asarray(serve(x))[:len(chunk)]
+        for p, (name, orig_size) in zip(preds, metas):
+            m = Image.fromarray((p[..., 0] * 255).astype(np.uint8))
+            m = m.resize(orig_size, Image.NEAREST)
+            m.save(os.path.join(args.output_dir,
+                                os.path.splitext(name)[0] + "_pred.png"))
+            n_done += 1
+    dt = time.perf_counter() - t0
+    print(f"served {n_done} images in {dt:.1f}s "
+          f"({n_done / max(dt, 1e-9):.1f} img/s) "
+          f"[artifact batch={batch_n} size={size}]")
     return 0
 
 

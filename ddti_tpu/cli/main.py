@@ -48,6 +48,9 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_mixup", action="store_true")
     p.add_argument("--mixup_alpha", type=float, default=0.2)
     p.add_argument("--mixup_prob", type=float, default=0.3)
+    p.add_argument("--aug_shared_geometry", action="store_true",
+                   help="one flip/rotation draw per batch (TPU-fast warp; "
+                        "diverges from the reference's per-image draws)")
 
     # model config
     p.add_argument("--model_type", default="ResUNet", type=str)

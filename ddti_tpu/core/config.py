@@ -46,6 +46,9 @@ class Config:
     use_mixup: bool = False
     mixup_alpha: float = 0.2
     mixup_prob: float = 0.3
+    # one flip/rotation draw per BATCH instead of per image: ~11x faster
+    # warp gather on TPU, batch-correlated geometry (QUIRKS.md divergence)
+    aug_shared_geometry: bool = False
 
     # model
     model_type: str = "ResUNet"

@@ -69,6 +69,12 @@ class AugmentConfig:
     clahe_grid: tuple = (4, 4)
     brightness: tuple = (0.5, 1.5)
     out_size: tuple = (512, 512)
+    # Opt-in perf mode: ONE flip/rotation draw for the whole batch. The
+    # shared gather index vectorizes ~11x better than per-image indices on
+    # TPU (6.6 vs 73 ms per 128x256^2 batch — benchmarks/PERF_NOTES.md),
+    # at the cost of batch-correlated geometry: a deliberate divergence
+    # from the reference's per-image draws (QUIRKS.md), default OFF.
+    shared_geometry: bool = False
 
 
 def _u(key, lo, hi, shape=()):
@@ -171,8 +177,19 @@ def _clahe_one(key, img, cfg):
     return jnp.where(_gate(key, cfg.p_clahe), out, img)
 
 
-def _augment_one(key, img, mask, cfg: AugmentConfig):
-    """img, mask: (H, W) float32 in [0,1]."""
+def _draw_warp(k_flip, k_rot, cfg: AugmentConfig):
+    """Flip gates + gated rotation angle for one warp draw."""
+    kh, kv = jax.random.split(k_flip)
+    k_gate, k_ang = jax.random.split(k_rot)
+    fh = _gate(kh, cfg.p_flip)
+    fv = _gate(kv, cfg.p_flip)
+    ang = _u(k_ang, -180.0, 180.0) * _gate(k_gate, cfg.p_rotate)
+    return fh, fv, ang
+
+
+def _augment_one(key, img, mask, cfg: AugmentConfig, warp=None):
+    """img, mask: (H, W) float32 in [0,1]. ``warp`` (fh, fv, ang) overrides
+    the per-image flip/rotation draw (the shared_geometry path)."""
     keys = jax.random.split(key, 8)
     if cfg.p_crop > 0:
         img, mask = _crop_one(keys[7], img, mask, cfg)
@@ -180,12 +197,9 @@ def _augment_one(key, img, mask, cfg: AugmentConfig):
         img, mask = _elastic_one(keys[0], img, mask, cfg)
     # flip + rotate fused into one warp; draw the gates/angle with the same
     # key layout as the sequential path so streams stay reproducible
-    k_flip, k_rot = keys[1], keys[2]
-    kh, kv = jax.random.split(k_flip)
-    k_gate, k_ang = jax.random.split(k_rot)
-    fh = _gate(kh, cfg.p_flip)
-    fv = _gate(kv, cfg.p_flip)
-    ang = _u(k_ang, -180.0, 180.0) * _gate(k_gate, cfg.p_rotate)
+    if warp is None:
+        warp = _draw_warp(keys[1], keys[2], cfg)
+    fh, fv, ang = warp
     img, mask = fused_flip_rotate(img, mask, fh, fv, ang)
     img = _brightness_one(keys[3], img, cfg)
     if cfg.use_speckle:
@@ -204,8 +218,14 @@ def augment_batch(key: jax.Array, images: jnp.ndarray, masks: jnp.ndarray,
     (N, out_h, out_w, 1)."""
     n = images.shape[0]
     keys = jax.random.split(key, n)
+    warp = None
+    if cfg.shared_geometry:
+        # one batch-wide draw; closed over, so vmap leaves it unbatched and
+        # XLA sees a batch-invariant gather index (the fast vector path)
+        kf1, kf2 = jax.random.split(jax.random.fold_in(key, 1))
+        warp = _draw_warp(kf1, kf2, cfg)
     img2, mask2 = jax.vmap(
-        lambda k, i, m: _augment_one(k, i, m, cfg)
+        lambda k, i, m: _augment_one(k, i, m, cfg, warp)
     )(keys, images[..., 0], masks[..., 0])
     oh, ow = cfg.out_size
     if (oh, ow) != img2.shape[1:3]:  # identity resize elided

@@ -46,6 +46,7 @@ def aug_config_from(config) -> AugmentConfig:
         use_elastic=config.use_elastic, use_speckle=config.use_speckle,
         use_tgc=config.use_tgc, use_clahe=config.use_clahe,
         p_crop=float(getattr(config, "p_crop", 0.0)),
+        shared_geometry=bool(getattr(config, "aug_shared_geometry", False)),
         out_size=(config.image_size, config.image_size))
 
 
@@ -328,8 +329,10 @@ class Trainer:
                              self.state.batch_stats, batch=cfg.batch_size,
                              size=cfg.image_size)
                 # weights-as-arguments program (flagship-scale deployment:
-                # pair with the saved .npz weights; see train/export.py)
-                blob, _ = export_serving_program(
+                # small StableHLO program + paired .npz weight bundle; see
+                # train/export.py). cli/infer.py consumes this pair directly
+                # (--checkpoint <...>.stablehlo).
+                blob, variables = export_serving_program(
                     self.model, self.state.params, self.state.batch_stats,
                     batch=cfg.batch_size, size=cfg.image_size)
                 ppath = os.path.join(
@@ -337,6 +340,9 @@ class Trainer:
                                    ".stablehlo")
                 with open(ppath, "wb") as f:
                     f.write(blob)
+                save_params_npz(ppath[: -len(".stablehlo")] + ".npz",
+                                variables["params"],
+                                variables["batch_stats"])
                 self.logger.info(f"--Serving artifacts exported to {path} "
                                  f"and {ppath}")
             except Exception as e:  # export must never fail the run

@@ -108,6 +108,48 @@ def aot_compile_serving(blob: bytes):
     return jax.jit(exported.call).lower(*args, **kwargs).compile()
 
 
+def load_serving_bundle(program_path: str, weights_path: str | None = None):
+    """Rehydrate a weights-as-arguments serving bundle (the pair
+    ``--export_serving`` writes: ``<model>_serving_program.stablehlo`` +
+    sibling ``.npz``) into ``(fn, batch, size, in_dtype)`` where
+    ``fn(images[batch, size, size, C]) -> uint8 masks`` is an AOT-compiled
+    executable with the weights closed over — no model code involved.
+
+    Baked-weights artifacts (single input) are accepted too; ``weights_path``
+    is then ignored. For two-input programs ``weights_path`` defaults to the
+    program path with ``.stablehlo`` swapped for ``.npz``."""
+    import os
+
+    from jax import export as jax_export
+
+    with open(program_path, "rb") as f:
+        exported = jax_export.deserialize(f.read())
+    specs = [jax.ShapeDtypeStruct(a.shape, a.dtype)
+             for a in exported.in_avals]
+    args, kwargs = jax.tree.unflatten(exported.in_tree, specs)
+    compiled = jax.jit(exported.call).lower(*args, **kwargs).compile()
+
+    if len(args) == 1:  # baked weights: fn(images)
+        img_spec = args[0]
+        fn = compiled
+    else:  # weights-as-arguments: fn(variables, images)
+        var_template, img_spec = args
+        if weights_path is None:
+            base, _ = os.path.splitext(program_path)
+            weights_path = base + ".npz"
+        from ddti_tpu.train.checkpoint import load_params_npz
+        params, stats = load_params_npz(
+            weights_path, var_template["params"],
+            var_template["batch_stats"])
+        variables = jax.device_put({"params": params, "batch_stats": stats})
+
+        def fn(images):
+            return compiled(variables, images)
+
+    batch, size = img_spec.shape[0], img_spec.shape[1]
+    return fn, batch, size, img_spec.dtype
+
+
 def save_serving(path: str, model, params, batch_stats, batch: int,
                  size: int, **kw) -> None:
     with open(path, "wb") as f:

@@ -55,6 +55,38 @@ def test_flip_always_on_matches_manual(batch):
                                np.asarray(fm)[:, ::-1, ::-1], atol=1e-6)
 
 
+def test_shared_geometry_one_draw_per_batch(batch):
+    """shared_geometry=True: every image in the batch gets the SAME
+    flip/rotation. Feed one image replicated — all outputs must be
+    identical (with per-image draws, PRNGKey(3) produces distinct warps,
+    asserted as the control)."""
+    fi, fm = batch
+    rep_i = jnp.broadcast_to(fi[:1], fi.shape)
+    rep_m = jnp.broadcast_to(fm[:1], fm.shape)
+    cfg = AugmentConfig(p_flip=1.0, p_rotate=1.0, p_brightness=0.0,
+                        out_size=(64, 64), shared_geometry=True)
+    ai, am = augment_batch(jax.random.PRNGKey(3), rep_i, rep_m, cfg)
+    assert bool(jnp.all(ai == ai[:1])) and bool(jnp.all(am == am[:1]))
+    # something actually happened (not the identity warp)
+    assert not bool(jnp.all(ai == rep_i))
+    # control: per-image draws differ across the batch
+    cfg_pi = AugmentConfig(p_flip=1.0, p_rotate=1.0, p_brightness=0.0,
+                           out_size=(64, 64))
+    bi, _ = augment_batch(jax.random.PRNGKey(3), rep_i, rep_m, cfg_pi)
+    assert not bool(jnp.all(bi == bi[:1]))
+
+
+def test_shared_geometry_off_stream_unchanged(batch):
+    """Adding the flag must not perturb the default per-image PRNG
+    stream (flag-off results are bit-identical to the historical path)."""
+    fi, fm = batch
+    cfg_on_then_off = AugmentConfig(out_size=(64, 64), shared_geometry=False)
+    cfg_plain = AugmentConfig(out_size=(64, 64))
+    a = augment_batch(jax.random.PRNGKey(11), fi, fm, cfg_on_then_off)
+    b = augment_batch(jax.random.PRNGKey(11), fi, fm, cfg_plain)
+    assert bool(jnp.all(a[0] == b[0])) and bool(jnp.all(a[1] == b[1]))
+
+
 def test_mask_stays_binary_under_geometry(batch):
     fi, fm = batch
     # binary input masks + nearest mask resampling + identity resize

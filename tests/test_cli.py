@@ -146,6 +146,62 @@ def test_infer_cli_end_to_end(tmp_path):
     assert len(os.listdir(out2)) == 3
 
 
+def test_infer_cli_serving_bundle(tmp_path):
+    """Serving-bundle path: --checkpoint <program>.stablehlo + paired .npz
+    drives inference with no model code (ROADMAP #7). Covers the padded
+    partial batch (3 images through a batch-2 program) and the baked-weights
+    single-file artifact."""
+    import jax
+    import jax.numpy as jnp
+
+    from ddti_tpu.cli.infer import main as infer_main
+    from ddti_tpu.data.synthetic import write_synthetic_dataset
+    from ddti_tpu.models import create_model
+    from ddti_tpu.train.checkpoint import save_params_npz
+    from ddti_tpu.train.export import (
+        export_serving,
+        export_serving_program,
+    )
+
+    root = str(tmp_path / "ds")
+    write_synthetic_dataset(root, n_train=3, n_val=1, n_test=1,
+                            size=(32, 32))
+    model = create_model("UNet", base_filters=8, depth=3)
+    v = model.init({"params": jax.random.PRNGKey(0)},
+                   jnp.zeros((1, 32, 32, 1)), train=False)
+
+    blob, variables = export_serving_program(
+        model, v["params"], v["batch_stats"], batch=2, size=32)
+    prog = str(tmp_path / "m_serving_program.stablehlo")
+    with open(prog, "wb") as f:
+        f.write(blob)
+    save_params_npz(str(tmp_path / "m_serving_program.npz"),
+                    variables["params"], variables["batch_stats"])
+
+    out = str(tmp_path / "preds")
+    rc = infer_main(["--checkpoint", prog, "--input_dir",
+                     os.path.join(root, "train"), "--output_dir", out])
+    assert rc == 0
+    assert len(os.listdir(out)) == 3
+
+    # baked-weights artifact: one file, no .npz needed
+    baked = str(tmp_path / "baked.stablehlo")
+    with open(baked, "wb") as f:
+        f.write(export_serving(model, v["params"], v["batch_stats"],
+                               batch=2, size=32, input_dtype=jnp.uint8))
+    out2 = str(tmp_path / "preds_baked")
+    rc = infer_main(["--checkpoint", baked, "--input_dir",
+                     os.path.join(root, "train"), "--output_dir", out2])
+    assert rc == 0
+    assert len(os.listdir(out2)) == 3
+
+    # sliding_window is rejected for fixed-shape artifacts
+    rc = infer_main(["--checkpoint", prog, "--input_dir",
+                     os.path.join(root, "train"), "--output_dir", out,
+                     "--sliding_window"])
+    assert rc == 1
+
+
 def test_config_snapshot_contents(tmp_path):
     from ddti_tpu.core import Config
 
