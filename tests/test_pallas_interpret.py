@@ -36,8 +36,13 @@ def test_flash_kernel_interpret_matches_reference(s, d, blocks):
     q, k, v = (jax.random.normal(kk, (1, 2, s, d), jnp.float32)
                for kk in jax.random.split(key, 3))
     want = np.asarray(attention_reference(q, k, v))
-    got = np.asarray(_flash_forward(q, k, v, *blocks, interpret=True))
-    np.testing.assert_allclose(got, want, atol=2e-5)
+    o, lse = _flash_forward(q, k, v, *blocks, interpret=True)
+    np.testing.assert_allclose(np.asarray(o), want, atol=2e-5)
+    # the (B*H, S, 1) logsumexp residual must match the naive computation
+    scores = np.einsum("bhqd,bhkd->bhqk", np.asarray(q),
+                       np.asarray(k)) / np.sqrt(d)
+    want_lse = np.log(np.exp(scores).sum(-1)).reshape(2, s, 1)
+    np.testing.assert_allclose(np.asarray(lse), want_lse, atol=1e-4)
 
 
 def test_flash_kernel_interpret_bf16():
@@ -46,5 +51,5 @@ def test_flash_kernel_interpret_bf16():
                for kk in jax.random.split(key, 3))
     want = np.asarray(attention_reference(q, k, v)).astype(np.float32)
     got = np.asarray(_flash_forward(q, k, v, 64, 64,
-                                    interpret=True)).astype(np.float32)
+                                    interpret=True)[0]).astype(np.float32)
     np.testing.assert_allclose(got, want, atol=2e-2)
