@@ -72,6 +72,28 @@ def bench(batch: int = 128, size: int = 256, steps: int = 20,
     float(m.loss)  # forces completion of the whole dependent chain
     train_ips = batch * steps / (time.perf_counter() - t0)
 
+    # train throughput with --aug_shared_geometry (one flip/rotation draw
+    # per batch -> batch-invariant gather index, the TPU-fast warp path;
+    # QUIRKS #20 opt-in divergence). Reported as a secondary metric.
+    cfg_sg = Config(batch_size=batch, image_size=size, store_size=size,
+                    lr=1e-5, model_type="ResUNet", use_mixup=False,
+                    compute_unused_losses=False, aug_shared_geometry=True)
+    train_step_sg = make_train_step(cfg_sg, aug_config_from(cfg_sg))
+    state_sg = create_train_state(model, jax.random.PRNGKey(0),
+                                  (1, size, size, 1), cfg.lr,
+                                  steps_per_epoch=100)
+    for _ in range(warmup):
+        key, k = jax.random.split(key)
+        state_sg, m = train_step_sg(state_sg, images, masks, k)
+    float(m.loss)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        key, k = jax.random.split(key)
+        state_sg, m = train_step_sg(state_sg, images, masks, k)
+    float(m.loss)
+    train_sg_ips = batch * steps / (time.perf_counter() - t0)
+    jax.tree.map(lambda a: a.delete(), state_sg)
+
     # eval throughput (forward + losses + metric counts, the val loop cost)
     for _ in range(warmup):
         m = eval_step(state, images, masks)
@@ -103,8 +125,8 @@ def bench(batch: int = 128, size: int = 256, steps: int = 20,
     int(last[0, 0, 0, 0])
     serve_ips = batch * steps / (time.perf_counter() - t0)
 
-    return {"train_ips": train_ips, "infer_ips": infer_ips,
-            "serve_ips": serve_ips,
+    return {"train_ips": train_ips, "train_sg_ips": train_sg_ips,
+            "infer_ips": infer_ips, "serve_ips": serve_ips,
             "backend": jax.default_backend(), "batch": batch, "size": size}
 
 
@@ -124,6 +146,7 @@ def main() -> int:
         "value": round(r["train_ips"], 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(r["train_ips"] / TORCH_CPU_TRAIN_IPS, 1),
+        "train_shared_geometry_images_per_sec": round(r["train_sg_ips"], 2),
         "infer_images_per_sec_per_chip": round(r["infer_ips"], 2),
         "infer_vs_baseline": round(r["infer_ips"] / TORCH_CPU_INFER_IPS, 1),
         "serve_images_per_sec_per_chip": round(r["serve_ips"], 2),

@@ -119,7 +119,13 @@ def save_params_npz(path: str, params: Any, batch_stats: Any) -> None:
         for kp, leaf in leaves:
             key = prefix + "".join(
                 f"/{getattr(k, 'key', getattr(k, 'idx', k))}" for k in kp)
-            flat[key] = np.asarray(leaf)
+            arr = np.asarray(leaf)
+            if arr.dtype == jax.numpy.bfloat16:
+                # numpy's npz format can't round-trip ml_dtypes.bfloat16
+                # (loads as void); store the raw bits with a key marker
+                key += "::bf16"
+                arr = arr.view(np.uint16)
+            flat[key] = arr
     np.savez(path, **flat)
 
 
@@ -135,7 +141,10 @@ def load_params_npz(path: str, params: Any, batch_stats: Any):
         for kp, leaf in leaves:
             key = prefix + "".join(
                 f"/{getattr(k, 'key', getattr(k, 'idx', k))}" for k in kp)
-            arr = data[key]
+            if key in data.files:
+                arr = data[key]
+            else:  # bf16 leaves are stored as raw uint16 bits
+                arr = data[key + "::bf16"].view(jax.numpy.bfloat16)
             if arr.shape != leaf.shape:
                 raise ValueError(f"shape mismatch for {key}: "
                                  f"{arr.shape} vs {leaf.shape}")

@@ -332,9 +332,13 @@ class Trainer:
                 # small StableHLO program + paired .npz weight bundle; see
                 # train/export.py). cli/infer.py consumes this pair directly
                 # (--checkpoint <...>.stablehlo).
+                wd = (jax.numpy.bfloat16
+                      if getattr(cfg, "serving_dtype", "f32") == "bf16"
+                      else None)
                 blob, variables = export_serving_program(
                     self.model, self.state.params, self.state.batch_stats,
-                    batch=cfg.batch_size, size=cfg.image_size)
+                    batch=cfg.batch_size, size=cfg.image_size,
+                    weights_dtype=wd)
                 ppath = os.path.join(
                     cfg.model_dir, f"{cfg.model_type}_serving_program"
                                    ".stablehlo")

@@ -343,6 +343,32 @@ def test_serving_aot_uint8_artifact():
     assert (got != live).mean() < 0.01
 
 
+def test_serving_export_bf16_weights():
+    """weights_dtype=bf16 halves the deployment bundle; predictions must
+    agree with the f32-weights artifact on all but threshold-boundary
+    pixels (weights are bf16 in the conv fusions either way)."""
+    from ddti_tpu.train.export import (
+        aot_compile_serving,
+        export_serving_program,
+    )
+
+    model = create_model("ResUNet", base_filters=8, depth=3)
+    v = model.init({"params": jax.random.PRNGKey(0)},
+                   jnp.zeros((1, 32, 32, 1)), train=False)
+    x = np.random.default_rng(0).integers(0, 256, (2, 32, 32, 1)).astype(
+        np.uint8)
+    outs, nbytes = [], []
+    for wd in (None, jnp.bfloat16):
+        blob, variables = export_serving_program(
+            model, v["params"], v["batch_stats"], batch=2, size=32,
+            fold_bn=True, input_dtype=jnp.uint8, weights_dtype=wd)
+        outs.append(np.asarray(aot_compile_serving(blob)(variables, x)))
+        nbytes.append(sum(np.asarray(a).nbytes
+                          for a in jax.tree.leaves(variables)))
+    assert nbytes[1] < 0.6 * nbytes[0]
+    assert (outs[0] != outs[1]).mean() < 0.01
+
+
 def test_step_progress_and_tb_scalars(tmp_path):
     """(a) tqdm-equivalent per-step progress lines reach the log; (b) all
     9 TensorBoard scalars per phase actually land in the event file
