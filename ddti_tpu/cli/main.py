@@ -111,10 +111,14 @@ def get_parser() -> argparse.ArgumentParser:
                    help="total process count (env JAX_NUM_PROCESSES)")
     p.add_argument("--process_id", type=int, default=None,
                    help="this process's rank (env JAX_PROCESS_ID)")
-    p.add_argument("--serving_dtype", choices=["f32", "bf16"], default="f32",
-                   help="weight dtype in the exported serving bundle; bf16 "
-                        "halves the .npz (throughput is identical — weight "
-                        "prefetch overlaps compute, benchmarks/PERF_NOTES.md)")
+    p.add_argument("--serving_dtype", choices=["f32", "bf16", "int8"],
+                   default="f32",
+                   help="exported serving bundle precision; bf16 halves the "
+                        ".npz (throughput identical — weight prefetch "
+                        "overlaps compute); int8 quantizes every conv to "
+                        "the MXU's s8 path (per-channel weights, one-batch "
+                        "activation calibration, ~4x smaller bundle; "
+                        "train/quantize.py)")
     p.add_argument("--export_serving", action="store_true",
                    help="after training, write a StableHLO serving artifact "
                         "(weights baked in, loadable without model code)")

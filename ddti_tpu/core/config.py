@@ -71,7 +71,7 @@ class Config:
     log_every: int = 20  # in-epoch INFO progress interval (steps); 0 = off
     max_keep_checkpoints: int = 3  # rotation depth of periodic checkpoints
     export_serving: bool = False   # write a StableHLO serving artifact
-    serving_dtype: str = "f32"     # exported bundle weight dtype (f32|bf16)
+    serving_dtype: str = "f32"     # exported bundle precision (f32|bf16|int8)
     early_stop_patience: int = 50
     alpha: float = 2.0
 

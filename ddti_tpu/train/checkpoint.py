@@ -108,13 +108,14 @@ class ManagedCheckpointer:
         self.manager.close()
 
 
-def save_params_npz(path: str, params: Any, batch_stats: Any) -> None:
-    """Light-weight flat .npz export of weights (+BN stats) — the analogue
-    of the reference's bare ``state_dict`` .pth files."""
+def save_variables_npz(path: str, variables: dict) -> None:
+    """Flat .npz export of a flax variables dict (any collections — params,
+    batch_stats, quantization tables, ...) — the analogue of the
+    reference's bare ``state_dict`` .pth files."""
     import numpy as np
 
     flat = {}
-    for prefix, tree in (("params", params), ("batch_stats", batch_stats)):
+    for prefix, tree in variables.items():
         leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
         for kp, leaf in leaves:
             key = prefix + "".join(
@@ -129,8 +130,9 @@ def save_params_npz(path: str, params: Any, batch_stats: Any) -> None:
     np.savez(path, **flat)
 
 
-def load_params_npz(path: str, params: Any, batch_stats: Any):
-    """Load an .npz export back into matching pytrees."""
+def load_variables_npz(path: str, template: dict) -> dict:
+    """Load a ``save_variables_npz`` export back into pytrees matching the
+    ``template`` variables dict (leaves only supply shape/dtype)."""
     import numpy as np
 
     data = np.load(path)
@@ -151,4 +153,17 @@ def load_params_npz(path: str, params: Any, batch_stats: Any):
             new.append(arr.astype(leaf.dtype))
         return jax.tree_util.tree_unflatten(treedef, new)
 
-    return rebuild("params", params), rebuild("batch_stats", batch_stats)
+    return {prefix: rebuild(prefix, tree)
+            for prefix, tree in template.items()}
+
+
+def save_params_npz(path: str, params: Any, batch_stats: Any) -> None:
+    """Two-collection convenience wrapper over ``save_variables_npz``."""
+    save_variables_npz(path, {"params": params, "batch_stats": batch_stats})
+
+
+def load_params_npz(path: str, params: Any, batch_stats: Any):
+    """Two-collection convenience wrapper over ``load_variables_npz``."""
+    out = load_variables_npz(path, {"params": params,
+                                    "batch_stats": batch_stats})
+    return out["params"], out["batch_stats"]

@@ -152,6 +152,19 @@ class Trainer:
     def _is_device_src(src) -> bool:
         return hasattr(src, "epoch_batches")
 
+    def _calibration_batch(self):
+        """One validation batch in serving-input form (f32 [0,1] at
+        image_size) — the int8 activation-scale calibration input."""
+        from ddti_tpu.data.augment import eval_preprocess
+        size = self.config.image_size
+        for images, _masks in self._iter_batches(self.val_src,
+                                                 shuffle=False):
+            if images.dtype == jax.numpy.uint8:
+                images = images.astype(jax.numpy.float32) / 255.0
+            images, _ = eval_preprocess(images, images, (size, size))
+            return images
+        raise ValueError("empty validation source; cannot calibrate int8")
+
     def _shard_multihost(self, images, masks):
         """Multi-host feeding: every process holds the full host batch
         (identical RNG streams) but materializes only ITS rows on device;
@@ -332,21 +345,32 @@ class Trainer:
                 # small StableHLO program + paired .npz weight bundle; see
                 # train/export.py). cli/infer.py consumes this pair directly
                 # (--checkpoint <...>.stablehlo).
-                wd = (jax.numpy.bfloat16
-                      if getattr(cfg, "serving_dtype", "f32") == "bf16"
-                      else None)
-                blob, variables = export_serving_program(
-                    self.model, self.state.params, self.state.batch_stats,
-                    batch=cfg.batch_size, size=cfg.image_size,
-                    weights_dtype=wd)
+                sd = getattr(cfg, "serving_dtype", "f32")
+                if sd == "int8":
+                    # int8 MXU serving (train/quantize.py): BN-folded,
+                    # per-channel int8 weights, activation scales from one
+                    # calibration batch of validation images
+                    from .quantize import export_serving_int8
+                    blob, variables = export_serving_int8(
+                        self.model, self.state.params,
+                        self.state.batch_stats, batch=cfg.batch_size,
+                        size=cfg.image_size,
+                        calib_images=self._calibration_batch(),
+                        input_dtype=jax.numpy.float32)
+                else:
+                    wd = jax.numpy.bfloat16 if sd == "bf16" else None
+                    blob, variables = export_serving_program(
+                        self.model, self.state.params,
+                        self.state.batch_stats, batch=cfg.batch_size,
+                        size=cfg.image_size, weights_dtype=wd)
                 ppath = os.path.join(
                     cfg.model_dir, f"{cfg.model_type}_serving_program"
                                    ".stablehlo")
                 with open(ppath, "wb") as f:
                     f.write(blob)
-                save_params_npz(ppath[: -len(".stablehlo")] + ".npz",
-                                variables["params"],
-                                variables["batch_stats"])
+                from .checkpoint import save_variables_npz
+                save_variables_npz(ppath[: -len(".stablehlo")] + ".npz",
+                                   variables)
                 self.logger.info(f"--Serving artifacts exported to {path} "
                                  f"and {ppath}")
             except Exception as e:  # export must never fail the run

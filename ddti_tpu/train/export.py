@@ -150,11 +150,11 @@ def load_serving_bundle(program_path: str, weights_path: str | None = None):
         if weights_path is None:
             base, _ = os.path.splitext(program_path)
             weights_path = base + ".npz"
-        from ddti_tpu.train.checkpoint import load_params_npz
-        params, stats = load_params_npz(
-            weights_path, var_template["params"],
-            var_template["batch_stats"])
-        variables = jax.device_put({"params": params, "batch_stats": stats})
+        from ddti_tpu.train.checkpoint import load_variables_npz
+        # the template carries whatever collections the program was exported
+        # with (params/batch_stats, plus e.g. "quant" for int8 bundles)
+        variables = jax.device_put(
+            load_variables_npz(weights_path, var_template))
 
         def fn(images):
             return compiled(variables, images)

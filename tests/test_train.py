@@ -308,6 +308,36 @@ def test_trainer_export_serving_artifact(tmp_path):
     assert out.shape == (4, 32, 32, 1) and out.dtype == np.uint8
 
 
+def test_trainer_export_serving_int8(tmp_path):
+    """--serving_dtype int8: end of training writes an int8-quantized
+    weights-as-arguments bundle (calibrated on a val batch) that
+    load_serving_bundle serves from directly (train/quantize.py)."""
+    cfg = _tiny_cfg(tmp_path, epochs=1, export_serving=True, batch_size=4,
+                    serving_dtype="int8")
+    cfg.make_dirs()
+    logger = create_logger(os.path.join(cfg.log_dir, "train_log.log"))
+    srcs = tuple(
+        DeviceDataSource(*generate_ddti_like(n, (32, 32), s))
+        for n, s in ((8, 0), (4, 1), (4, 2)))
+    model = create_model("UNet", base_filters=8, depth=3)
+    tr = Trainer(cfg, srcs, logger, model)
+    tr.train()
+    ppath = os.path.join(cfg.model_dir, "UNet_serving_program.stablehlo")
+    assert os.path.isfile(ppath) and os.path.isfile(
+        ppath[: -len(".stablehlo")] + ".npz")
+    import numpy as _np
+
+    npz = _np.load(ppath[: -len(".stablehlo")] + ".npz")
+    assert any(k.startswith("quant/") for k in npz.files), npz.files[:5]
+    from ddti_tpu.train.export import load_serving_bundle
+    fn, batch, size, dt = load_serving_bundle(ppath)
+    assert (batch, size) == (4, 32) and dt == jnp.float32
+    x = _np.random.default_rng(0).uniform(0, 1, (4, 32, 32, 1)).astype(
+        _np.float32)
+    out = _np.asarray(fn(jnp.asarray(x)))
+    assert out.shape == (4, 32, 32, 1) and out.dtype == _np.uint8
+
+
 def test_serving_aot_uint8_artifact():
     """The deployment artifact bench.py measures: uint8-in (conversion
     baked in), BN folded, deserialized + AOT-compiled to a loaded
