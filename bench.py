@@ -125,8 +125,30 @@ def bench(batch: int = 128, size: int = 256, steps: int = 20,
     int(last[0, 0, 0, 0])
     serve_ips = batch * steps / (time.perf_counter() - t0)
 
+    # int8-quantized serving bundle (--serving_dtype int8): per-channel
+    # int8 conv weights on the MXU's s8 path, calibrated activations
+    # (train/quantize.py). Secondary metric.
+    from ddti_tpu.train.quantize import export_serving_int8
+
+    try:
+        blob_q, variables_q = export_serving_int8(
+            model, state.params, state.batch_stats, batch=batch, size=size,
+            calib_images=images.astype(jnp.float32) / 255.0)
+        serve_q = aot_compile_serving(blob_q)
+        variables_q = jax.device_put(variables_q)
+        for _ in range(warmup):
+            p = serve_q(variables_q, images)
+        int(p[0, 0, 0, 0])
+        t0 = time.perf_counter()
+        last = [serve_q(variables_q, images) for _ in range(steps)][-1]
+        int(last[0, 0, 0, 0])
+        serve_int8_ips = batch * steps / (time.perf_counter() - t0)
+    except Exception:  # secondary metric must never sink the bench
+        serve_int8_ips = 0.0
+
     return {"train_ips": train_ips, "train_sg_ips": train_sg_ips,
             "infer_ips": infer_ips, "serve_ips": serve_ips,
+            "serve_int8_ips": serve_int8_ips,
             "backend": jax.default_backend(), "batch": batch, "size": size}
 
 
@@ -151,6 +173,9 @@ def main() -> int:
         "infer_vs_baseline": round(r["infer_ips"] / TORCH_CPU_INFER_IPS, 1),
         "serve_images_per_sec_per_chip": round(r["serve_ips"], 2),
         "serve_vs_baseline": round(r["serve_ips"] / TORCH_CPU_INFER_IPS, 1),
+        "serve_int8_images_per_sec_per_chip": round(r["serve_int8_ips"], 2),
+        "serve_int8_vs_baseline": round(
+            r["serve_int8_ips"] / TORCH_CPU_INFER_IPS, 1),
         "backend": r["backend"],
         "batch": r["batch"],
         "image_size": r["size"],

@@ -66,8 +66,14 @@ def main():
             print(f"step {i + 1}: loss {float(m.loss):.4f} "
                   f"({time.perf_counter() - t0:.0f}s)")
 
-    images_u8 = jnp.asarray((np.asarray(te_img) * 255).astype(np.uint8))
-    calib = jnp.asarray(te_img[:BATCH])
+    # serve the TRAINING images: the model is confident there (memorized),
+    # so the masks are non-trivial and the f32-vs-int8 comparison is
+    # meaningful; held-out synthetic images get near-empty predictions.
+    # generate_ddti_like returns uint8 [0,255] directly.
+    del te_img
+    images_u8 = tr_img
+    te_mask = tr_mask
+    calib = tr_img.astype(jnp.float32) / 255.0
 
     blob, variables = export_serving_program(
         model, state.params, state.batch_stats, batch=BATCH, size=SIZE,

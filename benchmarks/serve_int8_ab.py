@@ -35,9 +35,10 @@ def main():
                     dtype=jnp.bfloat16)
     state = create_train_state(model, jax.random.PRNGKey(0),
                                (1, SIZE, SIZE, 1), 1e-5, steps_per_epoch=100)
-    images_f, _ = generate_ddti_like(BATCH, (SIZE, SIZE), 0)
-    images = jnp.asarray((np.asarray(images_f) * 255).astype(np.uint8))
-    calib = jnp.asarray(images_f)
+    # generate_ddti_like returns uint8 [0,255] images directly
+    images_u8, _ = generate_ddti_like(BATCH, (SIZE, SIZE), 0)
+    images = jnp.asarray(images_u8)
+    calib = images.astype(jnp.float32) / 255.0
 
     blob, variables = export_serving_program(
         model, state.params, state.batch_stats, batch=BATCH, size=SIZE,
