@@ -22,6 +22,12 @@ it as a (rows, 1) column tile — no sublane<->lane relayouts anywhere, and
 the trailing block dimension equals the array's (a Mosaic block-shape
 requirement). All accumulation is f32 regardless of input dtype.
 
+Heads narrower than the 128-lane vreg (TransUNet: D=32) dispatch to the
+head-PACKED kernel variants, which put G = 128/D heads per lane group and
+run every matmul at full 128-lane contraction via in-VMEM block-diagonal
+K/V tiles — ~4x MXU utilization over the one-head-at-a-time layout. See
+the packed-kernel section below.
+
 Replaces the capability of /root/reference/models/mod.py:297-320 (torch
 nn.TransformerEncoderLayer self-attention) for long sequences.
 """
@@ -61,8 +67,13 @@ def attention_reference(q, k, v):
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
                 sm_scale):
     """One (BLOCK_Q, D) query tile against all K/V tiles, online softmax.
-    Also writes the (BLOCK_Q, 1) logsumexp column for the backward pass."""
-    q = q_ref[0].astype(jnp.float32) * sm_scale        # (BQ, D)
+    Also writes the (BLOCK_Q, 1) logsumexp column for the backward pass.
+
+    Matmul operands stay in the INPUT dtype (bf16 in, f32 accumulate — the
+    MXU's native mode, 2x its f32-passthrough rate); the probability tile
+    is cast back to the input dtype for the PV matmul, as every production
+    flash kernel does. Softmax statistics are f32 throughout."""
+    q = q_ref[0]                                       # (BQ, D) input dtype
     bq = q.shape[0]
     d = q.shape[1]
     s_total = k_ref.shape[1]
@@ -70,17 +81,18 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
 
     def body(i, carry):
         m_prev, l_prev, acc = carry
-        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
+        s = s * sm_scale
         m_cur = jnp.max(s, axis=1, keepdims=True)       # (BQ, 1)
         m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)                          # (BQ, BK)
+        p = jnp.exp(s - m_new)                          # (BQ, BK) f32
         alpha = jnp.exp(m_prev - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         return m_new, l_new, acc
 
@@ -130,9 +142,11 @@ def _flash_forward(q, k, v, block_q: int, block_k: int,
 
 def _dkdv_kernel(q_ref, do_ref, o_ref, lse_ref, k_ref, v_ref,
                  dk_ref, dv_ref, *, block_q: int, sm_scale):
-    """One (BLOCK_K, D) key/value tile; loops over all query tiles."""
-    k = k_ref[0].astype(jnp.float32)                   # (BK, D)
-    v = v_ref[0].astype(jnp.float32)
+    """One (BLOCK_K, D) key/value tile; loops over all query tiles.
+    Matmul operands stay in the input dtype (native-bf16 MXU mode);
+    probability/ds tiles are cast back for their matmuls."""
+    k = k_ref[0]                                       # (BK, D) input dtype
+    v = v_ref[0]
     bk, d = k.shape
     s_total = q_ref.shape[1]
     num_q = s_total // block_q
@@ -140,53 +154,58 @@ def _dkdv_kernel(q_ref, do_ref, o_ref, lse_ref, k_ref, v_ref,
     def body(i, carry):
         dk, dv = carry
         sl = pl.ds(i * block_q, block_q)
-        q = q_ref[0, sl, :].astype(jnp.float32) * sm_scale   # (BQ, D)
-        do = do_ref[0, sl, :].astype(jnp.float32)
-        o = o_ref[0, sl, :].astype(jnp.float32)
-        lse = lse_ref[0, sl, :]                               # (BQ, 1)
-        delta = jnp.sum(do * o, axis=1, keepdims=True)        # (BQ, 1)
+        q = q_ref[0, sl, :]                            # (BQ, D)
+        do = do_ref[0, sl, :]
+        o = o_ref[0, sl, :]
+        lse = lse_ref[0, sl, :]                        # (BQ, 1)
+        delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                        axis=1, keepdims=True)         # (BQ, 1)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        p = jnp.exp(s - lse)                                  # (BQ, BK)
-        dv = dv + jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+        p = jnp.exp(s * sm_scale - lse)                # (BQ, BK) f32
+        pc = p.astype(do.dtype)
+        dv = dv + jax.lax.dot_general(pc, do, (((0,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - delta)                                 # (BQ, BK)
-        # dK = dS^T (sm_scale * Q) — q is already scaled above
-        dk = dk + jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+        ds = p * (dp - delta)                          # (BQ, BK) f32
+        # dK = sm_scale * dS^T Q — the scale is applied once at the end
+        dk = dk + jax.lax.dot_general(ds.astype(q.dtype), q,
+                                      (((0,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
         return dk, dv
 
     dk0 = jnp.zeros((bk, d), jnp.float32)
     dv0 = jnp.zeros((bk, d), jnp.float32)
     dk, dv = jax.lax.fori_loop(0, num_q, body, (dk0, dv0))
-    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dk_ref[0] = (dk * sm_scale).astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
 def _dq_kernel(q_ref, do_ref, o_ref, lse_ref, k_ref, v_ref, dq_ref,
                *, block_k: int, sm_scale):
-    """One (BLOCK_Q, D) query tile; loops over all key/value tiles."""
-    q = q_ref[0].astype(jnp.float32) * sm_scale        # (BQ, D)
-    do = do_ref[0].astype(jnp.float32)
-    o = o_ref[0].astype(jnp.float32)
+    """One (BLOCK_Q, D) query tile; loops over all key/value tiles.
+    Matmul operands stay in the input dtype (native-bf16 MXU mode)."""
+    q = q_ref[0]                                       # (BQ, D) input dtype
+    do = do_ref[0]
+    o = o_ref[0]
     lse = lse_ref[0]                                   # (BQ, 1)
-    delta = jnp.sum(do * o, axis=1, keepdims=True)     # (BQ, 1)
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=1, keepdims=True)             # (BQ, 1)
     bq, d = q.shape
     s_total = k_ref.shape[1]
     num_k = s_total // block_k
 
     def body(i, dq):
         sl = pl.ds(i * block_k, block_k)
-        k = k_ref[0, sl, :].astype(jnp.float32)        # (BK, D)
-        v = v_ref[0, sl, :].astype(jnp.float32)
+        k = k_ref[0, sl, :]                            # (BK, D)
+        v = v_ref[0, sl, :]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        p = jnp.exp(s - lse)                           # (BQ, BK)
+        p = jnp.exp(s * sm_scale - lse)                # (BQ, BK) f32
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - delta)
+        ds = (p * (dp - delta)).astype(k.dtype)
         return dq + jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
                                         preferred_element_type=jnp.float32)
 
@@ -241,6 +260,294 @@ def _flash_backward(q, k, v, o, lse, g, block_q: int, block_k: int,
 
 
 # ---------------------------------------------------------------------------
+# head-packed kernels (head_dim < 128)
+#
+# TransUNet's heads are 32-wide (embed 256 / 8 heads), so the unpacked
+# kernels' matmuls contract only 32 of the MXU's 128 lanes (~25%
+# utilization). The packed variants lay G = 128 // D heads side by side on
+# the lane axis — q/k/v become (B*H/G, S, G*D) — and rebuild per-tile
+# block-diagonal K/V matrices in VMEM:
+#
+#   K_bd[(g, j), c] = k_g[j, c - g*D] if c in head g's lane band else 0
+#
+# so ONE full-contraction MXU matmul computes all G heads' scores
+# (q_pack @ K_bd^T -> (BQ, G*BK), head g's block in its own column group;
+# the zero bands kill every cross-head term), and likewise p @ V_bd for
+# the output, ds @ K_bd for dq, and band-extracted (G*BK, G*D) products
+# for dk/dv. All reshapes stay 2D with lane-aligned slices/concats (no
+# rank-3 relayouts — a Mosaic constraint), and per-head softmax statistics
+# live in (BQ, G) columns. ~4x attention matmul utilization at D=32.
+# ---------------------------------------------------------------------------
+
+
+def _band(col, g, d):
+    return (col >= g * d) & (col < (g + 1) * d)
+
+
+def _stack_bd(t, G, d):
+    """(BK, G*D) tile -> (G*BK, G*D) block matrix: row block g keeps only
+    head g's lane band. Serves as K_bd/V_bd (see module comment)."""
+    col = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+    return jnp.concatenate(
+        [jnp.where(_band(col, g, d), t, 0.0) for g in range(G)], axis=0)
+
+
+def _per_head_cols(x, G, bk, fn):
+    """Apply ``fn`` to each (BQ, BK) head column group of x (BQ, G*BK);
+    returns the (BQ, G) concat of the per-group results."""
+    outs = [fn(jax.lax.slice_in_dim(x, g * bk, (g + 1) * bk, axis=1))
+            for g in range(G)]
+    return jnp.concatenate(outs, axis=1)
+
+
+def _widen(stat, G, d):
+    """(BQ, G) per-head column stats -> (BQ, G*D) lane-aligned broadcast."""
+    cols = [jnp.broadcast_to(jax.lax.slice_in_dim(stat, g, g + 1, axis=1),
+                             (stat.shape[0], d)) for g in range(G)]
+    return jnp.concatenate(cols, axis=1)
+
+
+def _fwd_kernel_packed(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
+                       sm_scale, G: int):
+    q = q_ref[0]                                       # (BQ, G*D) in dtype
+    bq, gd = q.shape
+    d = gd // G
+    s_total = k_ref.shape[1]
+    num_k = s_total // block_k
+
+    def body(j, carry):
+        m_prev, l_prev, acc = carry                    # (BQ,G),(BQ,G),(BQ,GD)
+        k = k_ref[0, pl.ds(j * block_k, block_k), :]
+        v = v_ref[0, pl.ds(j * block_k, block_k), :]
+        k_bd = _stack_bd(k, G, d)                      # (G*BK, G*D)
+        v_bd = _stack_bd(v, G, d)
+        s = jax.lax.dot_general(q, k_bd, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s * sm_scale
+        m_cur = _per_head_cols(s, G, block_k,
+                               lambda t: jnp.max(t, axis=1, keepdims=True))
+        m_new = jnp.maximum(m_prev, m_cur)             # (BQ, G)
+        p = jnp.exp(s - _widen(m_new, G, block_k))     # (BQ, G*BK) f32
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + _per_head_cols(
+            p, G, block_k, lambda t: jnp.sum(t, axis=1, keepdims=True))
+        pv = jax.lax.dot_general(p.astype(v.dtype), v_bd,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        acc = acc * _widen(alpha, G, d) + pv
+        return m_new, l_new, acc
+
+    m0 = jnp.full((bq, G), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, G), jnp.float32)
+    acc0 = jnp.zeros((bq, gd), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, num_k, body, (m0, l0, acc0))
+    o_ref[0] = (acc / _widen(l, G, gd // G)).astype(o_ref.dtype)
+    lse_ref[0] = m + jnp.log(l)                        # (BQ, G)
+
+
+def _per_head_bands(a, b, G, d):
+    """Per-head delta: sum over head g's lane band of a*b -> (BQ, G)."""
+    prod = a * b
+    outs = [jnp.sum(jax.lax.slice_in_dim(prod, g * d, (g + 1) * d, axis=1),
+                    axis=1, keepdims=True) for g in range(G)]
+    return jnp.concatenate(outs, axis=1)
+
+
+def _extract_bands(r, G, block_k, d):
+    """(G*BK, G*D) band-structured product -> (BK, G*D): row block g
+    contributes only head g's lane band (dk/dv extraction)."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (block_k, G * d), 1)
+    out = jnp.zeros((block_k, G * d), jnp.float32)
+    for g in range(G):
+        rows = jax.lax.slice_in_dim(r, g * block_k, (g + 1) * block_k,
+                                    axis=0)
+        out = out + jnp.where(_band(col, g, d), rows, 0.0)
+    return out
+
+
+def _dkdv_kernel_packed(q_ref, do_ref, o_ref, lse_ref, k_ref, v_ref,
+                        dk_ref, dv_ref, *, block_q: int, sm_scale, G: int):
+    k = k_ref[0]                                       # (BK, G*D) in dtype
+    v = v_ref[0]
+    bk, gd = k.shape
+    d = gd // G
+    k_bd = _stack_bd(k, G, d)
+    v_bd = _stack_bd(v, G, d)
+    s_total = q_ref.shape[1]
+    num_q = s_total // block_q
+
+    def body(i, carry):
+        dk, dv = carry                                 # (BK, GD) each
+        sl = pl.ds(i * block_q, block_q)
+        q = q_ref[0, sl, :]
+        do = do_ref[0, sl, :]
+        o = o_ref[0, sl, :]
+        lse = lse_ref[0, sl, :]                        # (BQ, G)
+        delta = _per_head_bands(do.astype(jnp.float32),
+                                o.astype(jnp.float32), G, d)  # (BQ, G)
+        s = jax.lax.dot_general(q, k_bd, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        p = jnp.exp(s * sm_scale - _widen(lse, G, bk))  # (BQ, G*BK) f32
+        dp = jax.lax.dot_general(do, v_bd, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - _widen(delta, G, bk))
+        # (G*BK, G*D) band products; only head-diagonal bands are real
+        dv_r = jax.lax.dot_general(p.astype(do.dtype), do,
+                                   (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        dk_r = jax.lax.dot_general(ds.astype(q.dtype), q,
+                                   (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        dv = dv + _extract_bands(dv_r, G, bk, d)
+        dk = dk + _extract_bands(dk_r, G, bk, d)
+        return dk, dv
+
+    dk0 = jnp.zeros((bk, gd), jnp.float32)
+    dv0 = jnp.zeros((bk, gd), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, num_q, body, (dk0, dv0))
+    dk_ref[0] = (dk * sm_scale).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _dq_kernel_packed(q_ref, do_ref, o_ref, lse_ref, k_ref, v_ref, dq_ref,
+                      *, block_k: int, sm_scale, G: int):
+    q = q_ref[0]                                       # (BQ, G*D) in dtype
+    do = do_ref[0]
+    o = o_ref[0]
+    lse = lse_ref[0]                                   # (BQ, G)
+    bq, gd = q.shape
+    d = gd // G
+    delta = _per_head_bands(do.astype(jnp.float32), o.astype(jnp.float32),
+                            G, d)
+    s_total = k_ref.shape[1]
+    num_k = s_total // block_k
+
+    def body(j, dq):
+        sl = pl.ds(j * block_k, block_k)
+        k = k_ref[0, sl, :]
+        v = v_ref[0, sl, :]
+        k_bd = _stack_bd(k, G, d)
+        v_bd = _stack_bd(v, G, d)
+        s = jax.lax.dot_general(q, k_bd, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        p = jnp.exp(s * sm_scale - _widen(lse, G, block_k))
+        dp = jax.lax.dot_general(do, v_bd, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = (p * (dp - _widen(delta, G, block_k))).astype(k.dtype)
+        return dq + jax.lax.dot_general(ds, k_bd, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+
+    dq = jax.lax.fori_loop(0, num_k, body, jnp.zeros((bq, gd), jnp.float32))
+    dq_ref[0] = (dq * sm_scale).astype(dq_ref.dtype)
+
+
+def _pack_heads(t, G: int):
+    """(B, H, S, D) -> (B*H/G, S, G*D): G heads side by side on lanes."""
+    b, h, s, d = t.shape
+    t = t.reshape(b, h // G, G, s, d).transpose(0, 1, 3, 2, 4)
+    return t.reshape(b * (h // G), s, G * d)
+
+
+def _unpack_heads(t, b: int, h: int, G: int):
+    """Inverse of _pack_heads."""
+    bh, s, gd = t.shape
+    d = gd // G
+    t = t.reshape(b, h // G, s, G, d).transpose(0, 1, 3, 2, 4)
+    return t.reshape(b, h, s, d)
+
+
+def _packing(q) -> int:
+    """Heads per lane group: pack while a head fits more than once in the
+    128-lane tile and the head count divides evenly."""
+    d, h = q.shape[-1], q.shape[1]
+    if d >= 128 or 128 % d:
+        return 1
+    G = 128 // d
+    while G > 1 and h % G:
+        G //= 2
+    return G
+
+
+def _flash_forward_packed(q, k, v, block_q: int, block_k: int, G: int,
+                          interpret: bool = False):
+    """Returns (o of q.shape, lse of (B*H/G, S, G) f32)."""
+    b, h, s, d = q.shape
+    sm_scale = 1.0 / (d ** 0.5)
+    gd = G * d
+    qf, kf, vf = (_pack_heads(t, G) for t in (q, k, v))
+    bh = qf.shape[0]
+    kernel = functools.partial(_fwd_kernel_packed, block_k=block_k,
+                               sm_scale=sm_scale, G=G)
+    spec_kw, extra = _spec_kw(interpret)
+    o, lse = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((bh, s, gd), q.dtype),
+                   jax.ShapeDtypeStruct((bh, s, G), jnp.float32)),
+        grid=(bh, s // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, gd), lambda i, j: (i, j, 0), **spec_kw),
+            pl.BlockSpec((1, s, gd), lambda i, j: (i, 0, 0), **spec_kw),
+            pl.BlockSpec((1, s, gd), lambda i, j: (i, 0, 0), **spec_kw),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, gd), lambda i, j: (i, j, 0), **spec_kw),
+            pl.BlockSpec((1, block_q, G), lambda i, j: (i, j, 0), **spec_kw),
+        ),
+        **extra,
+    )(qf, kf, vf)
+    return _unpack_heads(o, b, h, G), lse
+
+
+def _flash_backward_packed(q, k, v, o, lse, g, block_q: int, block_k: int,
+                           G: int, interpret: bool = False):
+    b, h, s, d = q.shape
+    sm_scale = 1.0 / (d ** 0.5)
+    gd = G * d
+    qf, kf, vf, of, gf = (_pack_heads(t, G) for t in (q, k, v, o, g))
+    bh = qf.shape[0]
+    spec_kw, extra = _spec_kw(interpret)
+
+    full = pl.BlockSpec((1, s, gd), lambda i, j: (i, 0, 0), **spec_kw)
+    lse_full = pl.BlockSpec((1, s, G), lambda i, j: (i, 0, 0), **spec_kw)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkdv_kernel_packed, block_q=block_q,
+                          sm_scale=sm_scale, G=G),
+        out_shape=(jax.ShapeDtypeStruct((bh, s, gd), k.dtype),
+                   jax.ShapeDtypeStruct((bh, s, gd), v.dtype)),
+        grid=(bh, s // block_k),
+        in_specs=[
+            full, full, full, lse_full,
+            pl.BlockSpec((1, block_k, gd), lambda i, j: (i, j, 0), **spec_kw),
+            pl.BlockSpec((1, block_k, gd), lambda i, j: (i, j, 0), **spec_kw),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_k, gd), lambda i, j: (i, j, 0), **spec_kw),
+            pl.BlockSpec((1, block_k, gd), lambda i, j: (i, j, 0), **spec_kw),
+        ),
+        **extra,
+    )(qf, gf, of, lse, kf, vf)
+
+    qtile = pl.BlockSpec((1, block_q, gd), lambda i, j: (i, j, 0), **spec_kw)
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel_packed, block_k=block_k,
+                          sm_scale=sm_scale, G=G),
+        out_shape=jax.ShapeDtypeStruct((bh, s, gd), q.dtype),
+        grid=(bh, s // block_q),
+        in_specs=[
+            qtile, qtile, qtile,
+            pl.BlockSpec((1, block_q, G), lambda i, j: (i, j, 0), **spec_kw),
+            full, full,
+        ],
+        out_specs=qtile,
+        **extra,
+    )(qf, gf, of, lse, kf, vf)
+
+    unpack = lambda t: _unpack_heads(t, b, h, G)
+    return unpack(dq), unpack(dk), unpack(dv)
+
+
+# ---------------------------------------------------------------------------
 # public op
 # ---------------------------------------------------------------------------
 
@@ -264,17 +571,27 @@ def _fallback(q, block_q: int, block_k: int, interpret: bool) -> bool:
 def flash_attention(q, k, v, block_q: int = 256, block_k: int = 256,
                     interpret: bool = False):
     """Flash attention; falls back to XLA off-TPU or on odd shapes.
-    ``interpret=True`` forces the Pallas kernels in interpreter mode (CPU
-    testing)."""
+    Heads narrower than the 128-lane tile are packed G = 128/D per lane
+    group (see the head-packed kernel section). ``interpret=True`` forces
+    the Pallas kernels in interpreter mode (CPU testing)."""
     if _fallback(q, block_q, block_k, interpret):
         return attention_reference(q, k, v)
+    G = _packing(q)
+    if G > 1:
+        return _flash_forward_packed(q, k, v, block_q, block_k, G,
+                                     interpret)[0]
     return _flash_forward(q, k, v, block_q, block_k, interpret)[0]
 
 
 def _vjp_fwd(q, k, v, block_q, block_k, interpret):
     if _fallback(q, block_q, block_k, interpret):
         return attention_reference(q, k, v), (q, k, v, None, None)
-    o, lse = _flash_forward(q, k, v, block_q, block_k, interpret)
+    G = _packing(q)
+    if G > 1:
+        o, lse = _flash_forward_packed(q, k, v, block_q, block_k, G,
+                                       interpret)
+    else:
+        o, lse = _flash_forward(q, k, v, block_q, block_k, interpret)
     return o, (q, k, v, o, lse)
 
 
@@ -283,6 +600,10 @@ def _vjp_bwd(block_q, block_k, interpret, res, g):
     if o is None:  # fallback path: differentiate the naive formulation
         _, vjp = jax.vjp(attention_reference, q, k, v)
         return vjp(g)
+    G = _packing(q)
+    if G > 1:
+        return _flash_backward_packed(q, k, v, o, lse, g, block_q, block_k,
+                                      G, interpret)
     return _flash_backward(q, k, v, o, lse, g, block_q, block_k, interpret)
 
 

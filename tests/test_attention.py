@@ -110,6 +110,39 @@ def test_flash_pallas_bf16_interpret(qkv):
     np.testing.assert_allclose(a, b, atol=2e-2)
 
 
+@pytest.mark.parametrize("h,d,G", [
+    (8, 32, 4),   # TransUNet default: embed 256 / 8 heads
+    (4, 64, 2),
+    (6, 32, 2),   # head count trims the packing to a divisor
+    (3, 32, 1),   # odd head count -> unpacked kernels
+    (2, 128, 1),  # full-width heads -> unpacked kernels
+])
+def test_flash_head_packing_interpret(h, d, G):
+    """Head-packed Pallas kernels (G = heads per 128-lane group): forward
+    and all three gradients match the naive reference; dispatch picks the
+    expected packing."""
+    from ddti_tpu.ops.attention import _packing
+
+    key = jax.random.PRNGKey(2)
+    q, k, v = (jax.random.normal(kk, (2, h, 256, d), jnp.float32)
+               for kk in jax.random.split(key, 3))
+    assert _packing(q) == G
+
+    a = np.asarray(flash_attention(q, k, v, 64, 64, True))
+    b = np.asarray(attention_reference(q, k, v))
+    np.testing.assert_allclose(a, b, atol=2e-5)
+
+    def loss(fn):
+        return lambda *t: jnp.sum(jnp.sin(fn(*t)))
+
+    g_ref = jax.grad(loss(attention_reference), argnums=(0, 1, 2))(q, k, v)
+    g_fl = jax.grad(loss(lambda *t: flash_attention(*t, 64, 64, True)),
+                    argnums=(0, 1, 2))(q, k, v)
+    for ga, gb in zip(g_ref, g_fl):
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                   atol=2e-5)
+
+
 def test_transunet_flash_flag_forward():
     kw = dict(base_filters=8, depth=3, num_transformer_layers=1,
               num_heads=4, embed_dim=32, image_size=32)
