@@ -59,15 +59,16 @@ def main():
         s = float(jnp.max(jnp.abs(b.astype(jnp.float32))))
         print(f"d{name} max err {e:.3e} (scale {s:.2f})")
 
-    # timing: forward
-    fwd_pack = jax.jit(lambda q, k, v: _flash_forward_packed(
-        q, k, v, 256, 256, 4)[0].astype(jnp.float32).sum())
+    # timing: forward (block-size sweep for the packed kernel)
+    for bq, bk in ((256, 256), (512, 512), (512, 1024), (1024, 512)):
+        f = jax.jit(lambda q, k, v, bq=bq, bk=bk: _flash_forward_packed(
+            q, k, v, bq, bk, 4)[0].astype(jnp.float32).sum())
+        print(f"fwd packed  bq{bq:4d} bk{bk:4d}: {timeit(f, q, k, v):7.2f} ms")
     fwd_unpk = jax.jit(lambda q, k, v: _flash_forward(
         q, k, v, 256, 256)[0].astype(jnp.float32).sum())
     fwd_naiv = jax.jit(lambda q, k, v: attention_reference(
         q, k, v).astype(jnp.float32).sum())
-    print(f"fwd   packed {timeit(fwd_pack, q, k, v):7.2f} ms"
-          f"  unpacked {timeit(fwd_unpk, q, k, v):7.2f} ms"
+    print(f"fwd unpacked(256) {timeit(fwd_unpk, q, k, v):7.2f} ms"
           f"  naive {timeit(fwd_naiv, q, k, v):7.2f} ms")
 
     # timing: forward+backward through the custom vjp (packed dispatch)

@@ -170,11 +170,6 @@ def _infer_serving_bundle(args) -> int:
 
     from ddti_tpu.train.export import load_serving_bundle
 
-    if args.sliding_window:
-        print("--sliding_window is not available for .stablehlo serving "
-              "artifacts (the program's input shape is fixed at export)")
-        return 1
-
     serve, batch_n, size, in_dtype = load_serving_bundle(
         args.checkpoint, args.weights)
     names = sorted(n for n in os.listdir(args.input_dir)
@@ -183,6 +178,16 @@ def _infer_serving_bundle(args) -> int:
         print(f"no images in {args.input_dir}")
         return 1
     os.makedirs(args.output_dir, exist_ok=True)
+
+    if args.sliding_window:
+        # native-resolution tiled serving from the fixed-shape artifact:
+        # the exported (batch, size, size) program runs over overlapping
+        # size x size tiles; since the artifact emits BINARIZED masks, the
+        # Hann-weighted blend is a weighted majority vote per pixel
+        # (soft-logit blending needs the live model — use the non-bundle
+        # path for that).
+        return _serve_bundle_tiled(args, serve, batch_n, size, in_dtype,
+                                   names)
 
     t0 = time.perf_counter()
     n_done = 0
@@ -212,6 +217,61 @@ def _infer_serving_bundle(args) -> int:
     print(f"served {n_done} images in {dt:.1f}s "
           f"({n_done / max(dt, 1e-9):.1f} img/s) "
           f"[artifact batch={batch_n} size={size}]")
+    return 0
+
+
+def _serve_bundle_tiled(args, serve, batch_n, window, in_dtype,
+                        names) -> int:
+    """Sliding-window serving from a fixed-shape .stablehlo bundle: host
+    tiles each frame into the artifact's (window, window) input, batches
+    tiles to the exported batch size, and blends the binarized tile masks
+    with a Hann-weighted vote. No model code involved."""
+    import numpy as np
+    from PIL import Image
+
+    from ddti_tpu.eval.sliding_window import _importance, _tile_positions
+
+    stride = min(args.stride, window)
+    weight = _importance(window)  # (window, window) Hann vote weights
+    t0 = time.perf_counter()
+    n_done = 0
+    for name in names:
+        img = Image.open(os.path.join(args.input_dir, name)).convert("L")
+        frame = np.asarray(img, np.uint8)
+        h, w = frame.shape
+        pad_h = max(window - h, (-h) % stride if h > window else 0)
+        pad_w = max(window - w, (-w) % stride if w > window else 0)
+        padded = np.pad(frame, ((0, pad_h), (0, pad_w)), mode="reflect")
+        ph, pw = padded.shape
+        coords = [(y, x) for y in _tile_positions(ph, window, stride)
+                  for x in _tile_positions(pw, window, stride)]
+
+        tiles = np.stack([padded[y:y + window, x:x + window]
+                          for y, x in coords])[..., None]
+        if in_dtype != np.uint8:
+            tiles = tiles.astype(in_dtype) / np.asarray(255, in_dtype)
+        n_tiles = len(coords)
+        pad_t = (-n_tiles) % batch_n
+        if pad_t:
+            tiles = np.concatenate(
+                [tiles, np.zeros((pad_t,) + tiles.shape[1:], tiles.dtype)])
+        preds = np.concatenate(
+            [np.asarray(serve(tiles[i:i + batch_n]))
+             for i in range(0, len(tiles), batch_n)])[:n_tiles]
+
+        acc = np.zeros((ph, pw), np.float32)
+        norm = np.zeros((ph, pw), np.float32)
+        for (y, x), p in zip(coords, preds):
+            acc[y:y + window, x:x + window] += p[..., 0] * weight
+            norm[y:y + window, x:x + window] += weight
+        mask = ((acc / norm)[:h, :w] > 0.5).astype(np.uint8) * 255
+        Image.fromarray(mask).save(os.path.join(
+            args.output_dir, os.path.splitext(name)[0] + "_pred.png"))
+        n_done += 1
+    dt = time.perf_counter() - t0
+    print(f"served {n_done} frames tiled in {dt:.1f}s "
+          f"({n_done / max(dt, 1e-9):.1f} img/s) "
+          f"[artifact batch={batch_n} window={window} stride={stride}]")
     return 0
 
 

@@ -46,6 +46,11 @@ except Exception:  # pragma: no cover
     pltpu = None
 
 NEG_INF = -1e30
+# exp(x) = exp2(x * LOG2E): folding log2(e) into the softmax scale turns
+# every per-score transcendental into the VPU's native exp2 — these kernels
+# are exp-bound (PERF_NOTES), so the multiply matters. The lse residual is
+# stored base-2; it is internal to the fwd/bwd kernel pair.
+LOG2E = 1.4426950408889634
 
 
 def attention_reference(q, k, v):
@@ -85,11 +90,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
         v = v_ref[0, pl.ds(i * block_k, block_k), :]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        s = s * sm_scale
+        s = s * (sm_scale * LOG2E)                      # base-2 domain
         m_cur = jnp.max(s, axis=1, keepdims=True)       # (BQ, 1)
         m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)                          # (BQ, BK) f32
-        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp2(s - m_new)                         # (BQ, BK) f32
+        alpha = jnp.exp2(m_prev - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -101,7 +106,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
     acc0 = jnp.zeros((bq, d), jnp.float32)
     m, l, acc = jax.lax.fori_loop(0, num_k, body, (m0, l0, acc0))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
-    lse_ref[0] = m + jnp.log(l)                         # (BQ, 1) column
+    lse_ref[0] = m + jnp.log2(l)                        # (BQ, 1), base-2
 
 
 def _flash_forward(q, k, v, block_q: int, block_k: int,
@@ -162,7 +167,7 @@ def _dkdv_kernel(q_ref, do_ref, o_ref, lse_ref, k_ref, v_ref,
                         axis=1, keepdims=True)         # (BQ, 1)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        p = jnp.exp(s * sm_scale - lse)                # (BQ, BK) f32
+        p = jnp.exp2(s * (sm_scale * LOG2E) - lse)     # (BQ, BK) f32
         pc = p.astype(do.dtype)
         dv = dv + jax.lax.dot_general(pc, do, (((0,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
@@ -202,7 +207,7 @@ def _dq_kernel(q_ref, do_ref, o_ref, lse_ref, k_ref, v_ref, dq_ref,
         v = v_ref[0, sl, :]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        p = jnp.exp(s * sm_scale - lse)                # (BQ, BK) f32
+        p = jnp.exp2(s * (sm_scale * LOG2E) - lse)     # (BQ, BK) f32
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds = (p * (dp - delta)).astype(k.dtype)
@@ -323,12 +328,12 @@ def _fwd_kernel_packed(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
         v_bd = _stack_bd(v, G, d)
         s = jax.lax.dot_general(q, k_bd, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        s = s * sm_scale
+        s = s * (sm_scale * LOG2E)                     # base-2 domain
         m_cur = _per_head_cols(s, G, block_k,
                                lambda t: jnp.max(t, axis=1, keepdims=True))
         m_new = jnp.maximum(m_prev, m_cur)             # (BQ, G)
-        p = jnp.exp(s - _widen(m_new, G, block_k))     # (BQ, G*BK) f32
-        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp2(s - _widen(m_new, G, block_k))    # (BQ, G*BK) f32
+        alpha = jnp.exp2(m_prev - m_new)
         l_new = l_prev * alpha + _per_head_cols(
             p, G, block_k, lambda t: jnp.sum(t, axis=1, keepdims=True))
         pv = jax.lax.dot_general(p.astype(v.dtype), v_bd,
@@ -342,7 +347,7 @@ def _fwd_kernel_packed(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
     acc0 = jnp.zeros((bq, gd), jnp.float32)
     m, l, acc = jax.lax.fori_loop(0, num_k, body, (m0, l0, acc0))
     o_ref[0] = (acc / _widen(l, G, gd // G)).astype(o_ref.dtype)
-    lse_ref[0] = m + jnp.log(l)                        # (BQ, G)
+    lse_ref[0] = m + jnp.log2(l)                       # (BQ, G), base-2
 
 
 def _per_head_bands(a, b, G, d):
@@ -387,7 +392,8 @@ def _dkdv_kernel_packed(q_ref, do_ref, o_ref, lse_ref, k_ref, v_ref,
                                 o.astype(jnp.float32), G, d)  # (BQ, G)
         s = jax.lax.dot_general(q, k_bd, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        p = jnp.exp(s * sm_scale - _widen(lse, G, bk))  # (BQ, G*BK) f32
+        p = jnp.exp2(s * (sm_scale * LOG2E)
+                     - _widen(lse, G, bk))             # (BQ, G*BK) f32
         dp = jax.lax.dot_general(do, v_bd, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds = p * (dp - _widen(delta, G, bk))
@@ -430,7 +436,7 @@ def _dq_kernel_packed(q_ref, do_ref, o_ref, lse_ref, k_ref, v_ref, dq_ref,
         v_bd = _stack_bd(v, G, d)
         s = jax.lax.dot_general(q, k_bd, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        p = jnp.exp(s * sm_scale - _widen(lse, G, block_k))
+        p = jnp.exp2(s * (sm_scale * LOG2E) - _widen(lse, G, block_k))
         dp = jax.lax.dot_general(do, v_bd, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds = (p * (dp - _widen(delta, G, block_k))).astype(k.dtype)

@@ -195,11 +195,57 @@ def test_infer_cli_serving_bundle(tmp_path):
     assert rc == 0
     assert len(os.listdir(out2)) == 3
 
-    # sliding_window is rejected for fixed-shape artifacts
+    # sliding_window works on fixed-shape artifacts too (tiled serving,
+    # covered in depth by test_infer_cli_bundle_sliding_window)
+    out3 = str(tmp_path / "preds_tiled")
     rc = infer_main(["--checkpoint", prog, "--input_dir",
-                     os.path.join(root, "train"), "--output_dir", out,
+                     os.path.join(root, "train"), "--output_dir", out3,
                      "--sliding_window"])
-    assert rc == 1
+    assert rc == 0
+    assert len(os.listdir(out3)) == 3
+
+
+def test_infer_cli_bundle_sliding_window(tmp_path):
+    """--sliding_window on a serving bundle: native-resolution frames are
+    tiled into the artifact's fixed (window, window) input and the
+    binarized tiles blend by Hann-weighted vote (cli/infer.py
+    _serve_bundle_tiled). Uses an int8-quantized bundle so the whole
+    deployment stack (quantize -> export -> tiled serve) is one path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from ddti_tpu.cli.infer import main as infer_main
+    from ddti_tpu.models import create_model
+    from ddti_tpu.train.checkpoint import save_variables_npz
+    from ddti_tpu.train.quantize import export_serving_int8
+
+    model = create_model("UNet", base_filters=8, depth=3)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 1))
+    v = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    blob, variables = export_serving_int8(
+        model, v["params"], v["batch_stats"], batch=2, size=32,
+        calib_images=x, input_dtype=jnp.uint8)
+    prog = str(tmp_path / "m_serving_program.stablehlo")
+    with open(prog, "wb") as f:
+        f.write(blob)
+    save_variables_npz(str(tmp_path / "m_serving_program.npz"), variables)
+
+    # a frame LARGER than the window and not a stride multiple (49x71)
+    ind = tmp_path / "imgs"
+    ind.mkdir()
+    rng = np.random.default_rng(0)
+    Image.fromarray(rng.integers(0, 255, (49, 71), dtype=np.uint8),
+                    "L").save(str(ind / "frame.png"))
+    out = str(tmp_path / "preds")
+    rc = infer_main(["--checkpoint", prog, "--input_dir", str(ind),
+                     "--output_dir", out, "--sliding_window",
+                     "--stride", "16"])
+    assert rc == 0
+    pred = np.asarray(Image.open(os.path.join(out, "frame_pred.png")))
+    assert pred.shape == (49, 71)
+    assert set(np.unique(pred)) <= {0, 255}
 
 
 def test_config_snapshot_contents(tmp_path):
