@@ -371,6 +371,23 @@ class Trainer:
                 from .checkpoint import save_variables_npz
                 save_variables_npz(ppath[: -len(".stablehlo")] + ".npz",
                                    variables)
+                if (self.mesh is not None
+                        and self.mesh.shape.get("data", 1) > 1):
+                    # the run trained on a mesh: also export a scale-out
+                    # serving program with GSPMD shardings baked in
+                    # (weights replicated, batch sharded over 'data')
+                    from .export import export_serving_sharded
+                    sblob, svars = export_serving_sharded(
+                        self.model, self.state.params,
+                        self.state.batch_stats, self.mesh,
+                        batch=cfg.batch_size, size=cfg.image_size)
+                    spath = os.path.join(
+                        cfg.model_dir, f"{cfg.model_type}_serving_sharded"
+                                       ".stablehlo")
+                    with open(spath, "wb") as f:
+                        f.write(sblob)
+                    save_variables_npz(
+                        spath[: -len(".stablehlo")] + ".npz", svars)
                 self.logger.info(f"--Serving artifacts exported to {path} "
                                  f"and {ppath}")
             except Exception as e:  # export must never fail the run

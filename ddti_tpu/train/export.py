@@ -103,6 +103,51 @@ def export_serving_program(model, params: Any, batch_stats: Any, batch: int,
     return exported.serialize(), variables
 
 
+def export_serving_sharded(model, params: Any, batch_stats: Any, mesh,
+                           batch: int, size: int, in_channels: int = 1,
+                           threshold: float = 0.5, fold_bn: bool = False,
+                           input_dtype=jnp.float32) -> tuple[bytes, dict]:
+    """Multi-chip serving export: the StableHLO program carries GSPMD
+    shardings — weights replicated, the image batch sharded over the
+    mesh's ``data`` axis — so one deserialized artifact serves a batch
+    across a whole slice (scale-out analogue of the reference's
+    single-GPU ``Trainer.test()``). ``batch`` is the GLOBAL batch and must
+    divide by ``mesh.shape['data']``.
+
+    Returns ``(blob, variables)`` in the weights-as-arguments form; call
+    the deserialized program on a mesh of the same shape (jax.export
+    validates device counts at call time)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    if fold_bn:
+        from ddti_tpu.train.fold_bn import fold_batchnorm
+        params, batch_stats = fold_batchnorm(model, params, batch_stats)
+    variables = {"params": params, "batch_stats": batch_stats}
+
+    def serve(variables, images):
+        if images.dtype == jnp.uint8:
+            compute = getattr(model, "dtype", None) or jnp.float32
+            images = images.astype(compute) / 255.0
+        out = model.apply(variables, images, train=False)
+        logits = out[0] if isinstance(out, tuple) else out
+        probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+        return (probs > threshold).astype(jnp.uint8)
+
+    rep = NamedSharding(mesh, PartitionSpec())
+    dp = NamedSharding(mesh, PartitionSpec("data"))
+    var_specs = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.asarray(a).dtype,
+                                       sharding=rep), variables)
+    img_spec = jax.ShapeDtypeStruct((batch, size, size, in_channels),
+                                    input_dtype, sharding=dp)
+    jitted = jax.jit(serve,
+                     in_shardings=(jax.tree.map(lambda _: rep, variables),
+                                   dp),
+                     out_shardings=dp)
+    exported = jax_export.export(jitted)(var_specs, img_spec)
+    return exported.serialize(), variables
+
+
 def load_serving(blob: bytes):
     """Rehydrate a serialized artifact into a callable."""
     exported = jax_export.deserialize(blob)

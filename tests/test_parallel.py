@@ -134,7 +134,8 @@ def test_trainer_end_to_end_on_mesh(tmp_path, eight_devices):
 
     mesh = make_mesh({"data": 8}, eight_devices)
     cfg = Config(epochs=1, batch_size=8, image_size=32, store_size=32,
-                 lr=1e-3, model_type="UNet", base_dir=str(tmp_path))
+                 lr=1e-3, model_type="UNet", base_dir=str(tmp_path),
+                 export_serving=True)
     cfg.make_dirs()
     logger = create_logger(os.path.join(cfg.log_dir, "train_log.log"))
     srcs = tuple(
@@ -145,6 +146,13 @@ def test_trainer_end_to_end_on_mesh(tmp_path, eight_devices):
     tr.train()
     m = tr.test(visualize=False)
     assert 0.0 <= m["acc"] <= 1.0
+    # mesh runs also export a scale-out sharded serving program + weights
+    spath = os.path.join(cfg.model_dir, "UNet_serving_sharded.stablehlo")
+    assert os.path.isfile(spath)
+    assert os.path.isfile(spath[: -len(".stablehlo")] + ".npz")
+    from jax import export as jax_export
+    exported = jax_export.deserialize(open(spath, "rb").read())
+    assert exported.nr_devices == 8
 
 
 def test_fused_epoch_on_mesh(tmp_path, eight_devices):
@@ -249,3 +257,36 @@ def test_cli_mesh_flag_end_to_end(tmp_path):
     run = tmp_path / os.listdir(tmp_path)[0]
     log = (run / "log" / "train_log.log").read_text()
     assert "explicit mesh {'data': 4, 'model': 2}" in log
+
+
+def test_sharded_serving_export_roundtrip(mesh8):
+    """export_serving_sharded: the serialized program carries GSPMD
+    shardings (weights replicated, batch over 'data'); deserialized, it
+    serves a globally-sharded batch on the 8-device mesh and matches the
+    single-device serving masks exactly."""
+    from ddti_tpu.train.export import (
+        export_serving_sharded,
+        load_serving,
+        make_serve_fn,
+    )
+
+    model = create_model("UNet", base_filters=8, depth=3)
+    x_host, _ = generate_ddti_like(16, (32, 32), 3)
+    x_host = x_host.astype(np.float32) / 255.0
+    v = model.init({"params": jax.random.PRNGKey(0)},
+                   jnp.asarray(x_host[:1]), train=False)
+
+    blob, variables = export_serving_sharded(
+        model, v["params"], v["batch_stats"], mesh8, batch=16, size=32)
+    fn = load_serving(blob)
+
+    rep = NamedSharding(mesh8, P())
+    dp = NamedSharding(mesh8, P("data"))
+    var_dev = jax.device_put(variables, rep)
+    x_dev = jax.device_put(jnp.asarray(x_host), dp)
+    got = fn(var_dev, x_dev)
+    assert got.sharding.is_equivalent_to(dp, ndim=got.ndim)
+
+    want = make_serve_fn(model, v["params"], v["batch_stats"])(
+        jnp.asarray(x_host))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
