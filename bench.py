@@ -137,31 +137,19 @@ def bench(batch: int = 128, size: int = 256, steps: int = 20,
 
     # train throughput with --aug_shared_geometry (one flip/rotation draw
     # per batch -> batch-invariant gather index, the TPU-fast warp path;
-    # QUIRKS #20 opt-in divergence). Secondary metric, measured LAST with
-    # everything else freed: two resident train states + programs at
-    # bs128 can exceed HBM when the device is fragmented.
-    jax.tree.map(lambda a: a.delete(),
-                 {"params": state.params, "batch_stats": state.batch_stats})
-    del state
+    # QUIRKS #20 opt-in divergence). Secondary metric, measured in its
+    # OWN subprocess: after this process's many compiles/frees the device
+    # heap is fragmented enough to distort (or OOM) a second full train
+    # program — measured 7.5 img/s in-process vs 302.8 standalone.
+    import subprocess
+    import sys
+
     try:
-        cfg_sg = Config(batch_size=batch, image_size=size, store_size=size,
-                        lr=1e-5, model_type="ResUNet", use_mixup=False,
-                        compute_unused_losses=False,
-                        aug_shared_geometry=True)
-        train_step_sg = make_train_step(cfg_sg, aug_config_from(cfg_sg))
-        state_sg = create_train_state(model, jax.random.PRNGKey(0),
-                                      (1, size, size, 1), cfg.lr,
-                                      steps_per_epoch=100)
-        for _ in range(warmup):
-            key, k = jax.random.split(key)
-            state_sg, m = train_step_sg(state_sg, images, masks, k)
-        float(m.loss)
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            key, k = jax.random.split(key)
-            state_sg, m = train_step_sg(state_sg, images, masks, k)
-        float(m.loss)
-        train_sg_ips = batch * steps / (time.perf_counter() - t0)
+        out = subprocess.run(
+            [sys.executable, __file__, "--sg_only", "--batch", str(batch),
+             "--size", str(size), "--steps", str(steps)],
+            capture_output=True, text=True, timeout=1500, check=True)
+        train_sg_ips = float(out.stdout.strip().splitlines()[-1])
     except Exception:  # secondary metric must never sink the bench
         train_sg_ips = 0.0
 
@@ -169,6 +157,43 @@ def bench(batch: int = 128, size: int = 256, steps: int = 20,
             "infer_ips": infer_ips, "serve_ips": serve_ips,
             "serve_int8_ips": serve_int8_ips,
             "backend": jax.default_backend(), "batch": batch, "size": size}
+
+
+def bench_sg(batch: int, size: int, steps: int = 20,
+             warmup: int = 2) -> float:
+    """The --aug_shared_geometry train variant, standalone (run in a fresh
+    process by bench(); also invocable directly via --sg_only)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ddti_tpu.core import Config
+    from ddti_tpu.data import generate_ddti_like
+    from ddti_tpu.models import ResUNet
+    from ddti_tpu.train import create_train_state, make_train_step
+    from ddti_tpu.train.engine import aug_config_from
+
+    cfg = Config(batch_size=batch, image_size=size, store_size=size,
+                 lr=1e-5, model_type="ResUNet", use_mixup=False,
+                 compute_unused_losses=False, aug_shared_geometry=True)
+    model = ResUNet(in_channels=1, out_channels=1, base_filters=64, depth=5,
+                    dtype=jnp.bfloat16)
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               (1, size, size, 1), cfg.lr,
+                               steps_per_epoch=100)
+    images, masks = generate_ddti_like(batch, (size, size), 0)
+    images, masks = jnp.asarray(images), jnp.asarray(masks)
+    step = make_train_step(cfg, aug_config_from(cfg))
+    key = jax.random.PRNGKey(1)
+    for _ in range(warmup):
+        key, k = jax.random.split(key)
+        state, m = step(state, images, masks, k)
+    float(m.loss)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        key, k = jax.random.split(key)
+        state, m = step(state, images, masks, k)
+    float(m.loss)
+    return batch * steps / (time.perf_counter() - t0)
 
 
 def main() -> int:
@@ -179,7 +204,13 @@ def main() -> int:
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--sg_only", action="store_true",
+                    help="print only the shared-geometry train img/s "
+                         "(used by bench() as an isolated subprocess)")
     args = ap.parse_args()
+    if args.sg_only:
+        print(bench_sg(batch=args.batch, size=args.size, steps=args.steps))
+        return 0
     r = bench(batch=args.batch, size=args.size, steps=args.steps,
               remat=args.remat)
     print(json.dumps({
