@@ -76,22 +76,9 @@ def main(argv=None) -> int:
                            train=False)
     params, stats = variables["params"], variables.get("batch_stats", {})
 
-    ck = args.checkpoint
-    if ck.endswith(".pth"):
-        from ddti_tpu.train.torch_interop import import_state_dict, load_pth
-        params, stats = import_state_dict(args.model_type, load_pth(ck),
-                                          params, stats)
-    elif ck.endswith(".npz"):
-        from ddti_tpu.train.checkpoint import load_params_npz
-        params, stats = load_params_npz(ck, params, stats)
-    else:
-        import orbax.checkpoint as ocp
-        restored = ocp.StandardCheckpointer().restore(
-            os.path.abspath(ck),
-            {"step": jnp.zeros((), jnp.int32), "params": params,
-             "batch_stats": stats,
-             "opt_state": None})
-        params, stats = restored["params"], restored["batch_stats"]
+    from ddti_tpu.train.checkpoint import load_checkpoint_into
+    params, stats = load_checkpoint_into(args.checkpoint, args.model_type,
+                                         params, stats)
     if args.fold_bn:
         from ddti_tpu.train.fold_bn import fold_batchnorm
         params, stats = fold_batchnorm(model, params, stats)

@@ -1,0 +1,119 @@
+"""Offline quantization CLI: turn any trained checkpoint into an int8
+serving bundle — no retraining, no training pipeline.
+
+  python -m ddti_tpu.cli.quantize --checkpoint <ck> --output <prefix> \
+      [--model_type ResUNet --base_filters 64 --depth 5] \
+      [--calib_dir <images>] [--image_size 256 --batch_size 128]
+
+Accepts every checkpoint form the infer CLI does (Orbax dir, ``.npz``,
+reference-format ``.pth`` — so torch users can quantize their weights
+directly), calibrates activation scales on real images from
+``--calib_dir`` (or synthetic DDTI-like frames), and writes
+``<prefix>_serving_program.stablehlo`` + ``.npz`` — loadable by
+``cli/infer.py --checkpoint <...>.stablehlo`` and
+``train.export.load_serving_bundle``. See train/quantize.py for the
+quantization scheme (per-channel int8 weights, s8 MXU convs, exact s32
+accumulation).
+
+The torch reference has no deployment or quantization tooling; this is
+part of the serving layer built over its Trainer.test()
+(/root/reference/utils/trainer.py:186+).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint", required=True,
+                    help="Orbax dir, .npz export, or reference .pth")
+    ap.add_argument("--output", required=True,
+                    help="output prefix; writes <prefix>_serving_program"
+                         ".stablehlo and .npz")
+    ap.add_argument("--model_type", default="ResUNet")
+    ap.add_argument("--base_filters", type=int, default=64)
+    ap.add_argument("--depth", type=int, default=5)
+    ap.add_argument("--image_size", type=int, default=256)
+    ap.add_argument("--batch_size", type=int, default=128,
+                    help="the exported program's (fixed) serving batch")
+    ap.add_argument("--calib_dir", default=None,
+                    help="directory of calibration images (up to "
+                         "--calib_count used); synthetic frames if omitted")
+    ap.add_argument("--calib_count", type=int, default=32)
+    ap.add_argument("--input_dtype", choices=["f32", "uint8"],
+                    default="f32",
+                    help="exported program input: f32 [0,1] (infer-CLI "
+                         "compatible) or raw uint8 bytes")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 compute graph (matches bf16-trained runs)")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ddti_tpu.models import create_model
+    from ddti_tpu.train.checkpoint import (
+        load_checkpoint_into,
+        save_variables_npz,
+    )
+    from ddti_tpu.train.quantize import export_serving_int8
+
+    size = args.image_size
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    model = create_model(args.model_type, in_channels=1, out_channels=1,
+                         base_filters=args.base_filters, depth=args.depth,
+                         dtype=dtype)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, size, size, 1)), train=False)
+    params, stats = load_checkpoint_into(
+        args.checkpoint, args.model_type, variables["params"],
+        variables.get("batch_stats", {}))
+
+    if args.calib_dir:
+        from PIL import Image
+        names = sorted(n for n in os.listdir(args.calib_dir)
+                       if n.lower().endswith((".jpg", ".jpeg", ".png",
+                                              ".bmp")))[:args.calib_count]
+        if not names:
+            print(f"no images in {args.calib_dir}")
+            return 1
+        calib = np.stack([
+            np.asarray(Image.open(os.path.join(args.calib_dir, n))
+                       .convert("L").resize((size, size), Image.BILINEAR),
+                       np.float32)[..., None] / 255.0
+            for n in names])
+    else:
+        from ddti_tpu.data import generate_ddti_like
+        imgs, _ = generate_ddti_like(args.calib_count, (size, size), 0)
+        calib = np.asarray(imgs, np.float32) / 255.0
+    print(f"calibrating on {len(calib)} images "
+          f"({'real' if args.calib_dir else 'synthetic'})")
+
+    in_dtype = jnp.uint8 if args.input_dtype == "uint8" else jnp.float32
+    blob, svars = export_serving_int8(
+        model, params, stats, batch=args.batch_size, size=size,
+        calib_images=jnp.asarray(calib), input_dtype=in_dtype)
+
+    prog = args.output + "_serving_program.stablehlo"
+    os.makedirs(os.path.dirname(os.path.abspath(prog)), exist_ok=True)
+    with open(prog, "wb") as f:
+        f.write(blob)
+    save_variables_npz(args.output + "_serving_program.npz", svars)
+    n_q = sum(1 for a in jax.tree_util.tree_leaves(svars.get("quant", {}))
+              if a.dtype == jnp.int8)
+    print(f"wrote {prog} (+ .npz, {n_q} int8 conv kernels, "
+          f"batch={args.batch_size} size={size} input={args.input_dtype})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

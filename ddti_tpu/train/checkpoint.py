@@ -108,6 +108,29 @@ class ManagedCheckpointer:
         self.manager.close()
 
 
+def load_checkpoint_into(path: str, model_type: str, params: Any,
+                         batch_stats: Any):
+    """Load any supported checkpoint form into (params, batch_stats)
+    matching the given templates: reference-format ``.pth``, ``.npz``
+    weight export, or an Orbax checkpoint directory."""
+    import os
+
+    import jax.numpy as jnp
+
+    if path.endswith(".pth"):
+        from ddti_tpu.train.torch_interop import import_state_dict, load_pth
+        return import_state_dict(model_type, load_pth(path), params,
+                                 batch_stats)
+    if path.endswith(".npz"):
+        return load_params_npz(path, params, batch_stats)
+    import orbax.checkpoint as ocp
+    restored = ocp.StandardCheckpointer().restore(
+        os.path.abspath(path),
+        {"step": jnp.zeros((), jnp.int32), "params": params,
+         "batch_stats": batch_stats, "opt_state": None})
+    return restored["params"], restored["batch_stats"]
+
+
 def save_variables_npz(path: str, variables: dict) -> None:
     """Flat .npz export of a flax variables dict (any collections — params,
     batch_stats, quantization tables, ...) — the analogue of the

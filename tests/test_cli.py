@@ -248,6 +248,50 @@ def test_infer_cli_bundle_sliding_window(tmp_path):
     assert set(np.unique(pred)) <= {0, 255}
 
 
+def test_quantize_cli_end_to_end(tmp_path):
+    """cli/quantize: existing .npz checkpoint -> int8 serving bundle ->
+    infer CLI serves from it. The offline deployment path (no training
+    pipeline involved)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from ddti_tpu.cli.infer import main as infer_main
+    from ddti_tpu.cli.quantize import main as quantize_main
+    from ddti_tpu.models import create_model
+    from ddti_tpu.train.checkpoint import save_params_npz
+
+    model = create_model("UNet", base_filters=8, depth=3)
+    v = model.init({"params": jax.random.PRNGKey(0)},
+                   jnp.zeros((1, 32, 32, 1)), train=False)
+    ck = str(tmp_path / "w.npz")
+    save_params_npz(ck, v["params"], v["batch_stats"])
+
+    calib = tmp_path / "calib"
+    calib.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        Image.fromarray(rng.integers(0, 255, (40, 40), dtype=np.uint8),
+                        "L").save(str(calib / f"c{i}.png"))
+
+    out_prefix = str(tmp_path / "q" / "UNet")
+    rc = quantize_main(["--checkpoint", ck, "--output", out_prefix,
+                        "--model_type", "UNet", "--base_filters", "8",
+                        "--depth", "3", "--image_size", "32",
+                        "--batch_size", "2", "--calib_dir", str(calib)])
+    assert rc == 0
+    prog = out_prefix + "_serving_program.stablehlo"
+    assert os.path.isfile(prog) and os.path.isfile(
+        out_prefix + "_serving_program.npz")
+
+    preds = str(tmp_path / "preds")
+    rc = infer_main(["--checkpoint", prog, "--input_dir", str(calib),
+                     "--output_dir", preds])
+    assert rc == 0
+    assert len(os.listdir(preds)) == 4
+
+
 def test_config_snapshot_contents(tmp_path):
     from ddti_tpu.core import Config
 
