@@ -77,20 +77,19 @@ def main():
     print(f"fwd+bwd packed {timeit(gr_pack, q, k, v):7.2f} ms"
           f"  naive {timeit(gr_naiv, q, k, v):7.2f} ms")
 
-    # unpacked fwd+bwd for reference (private kernels)
-    def loss_unpacked(q, k, v):
-        o, lse = _flash_forward(q, k, v, 256, 256)
-        return jnp.sum(jnp.sin(o.astype(jnp.float32)))
+    # backward block sweep (packed kernels, direct)
+    from ddti_tpu.ops.attention import _flash_backward_packed
 
-    print(f"fwd unpacked+XLA-bwd-excluded: see above; timing dq/dk/dv "
-          f"unpacked directly:")
-    o, lse = jax.jit(lambda q, k, v: _flash_forward(q, k, v, 256, 256))(
-        q, k, v)
+    o, lse = jax.jit(lambda q, k, v: _flash_forward_packed(
+        q, k, v, 512, 1024, 4))(q, k, v)
     g = jnp.cos(o.astype(jnp.float32)).astype(o.dtype)
-    bwd_unpk = jax.jit(lambda q, k, v, o, lse, g: [
-        t.astype(jnp.float32).sum()
-        for t in _flash_backward(q, k, v, o, lse, g, 256, 256)][0])
-    print(f"bwd-only unpacked {timeit(bwd_unpk, q, k, v, o, lse, g):7.2f} ms")
+    for bq, bk in ((256, 256), (512, 256), (256, 512), (512, 512)):
+        f = jax.jit(lambda q, k, v, o, lse, g, bq=bq, bk=bk: [
+            t.astype(jnp.float32).sum()
+            for t in _flash_backward_packed(q, k, v, o, lse, g, bq, bk,
+                                            4)][0])
+        print(f"bwd packed  bq{bq:4d} bk{bk:4d}: "
+              f"{timeit(f, q, k, v, o, lse, g):7.2f} ms")
 
 
 if __name__ == "__main__":

@@ -462,6 +462,26 @@ def _unpack_heads(t, b: int, h: int, G: int):
     return t.reshape(b, h, s, d)
 
 
+def _auto_blocks(s: int, block_q: int, block_k: int, dtype,
+                 default: int = 256) -> tuple[int, int]:
+    """Upgrade DEFAULT block sizes to larger tiles when S allows: fewer
+    serial fori iterations per program. Measured on v5e at S=4096/D=32
+    bf16: fwd 10.85 -> 6.57 ms going (256,256) -> (512,1024)
+    (PERF_NOTES). f32 inputs keep the defaults — the same tiles exceed
+    the 16 MB scoped-VMEM limit (19.27M measured at (512,1024)).
+    Caller-specified (non-default) blocks are honored unchanged."""
+    if jnp.dtype(dtype).itemsize >= 4:
+        return block_q, block_k
+    if block_q == default and s % 512 == 0:
+        block_q = 512
+    if block_k == default:
+        for cand in (1024, 512):
+            if s % cand == 0:
+                block_k = cand
+                break
+    return block_q, block_k
+
+
 def _packing(q) -> int:
     """Heads per lane group: pack while a head fits more than once in the
     128-lane tile and the head count divides evenly."""
@@ -583,21 +603,21 @@ def flash_attention(q, k, v, block_q: int = 256, block_k: int = 256,
     if _fallback(q, block_q, block_k, interpret):
         return attention_reference(q, k, v)
     G = _packing(q)
+    fbq, fbk = _auto_blocks(q.shape[-2], block_q, block_k, q.dtype)
     if G > 1:
-        return _flash_forward_packed(q, k, v, block_q, block_k, G,
-                                     interpret)[0]
-    return _flash_forward(q, k, v, block_q, block_k, interpret)[0]
+        return _flash_forward_packed(q, k, v, fbq, fbk, G, interpret)[0]
+    return _flash_forward(q, k, v, fbq, fbk, interpret)[0]
 
 
 def _vjp_fwd(q, k, v, block_q, block_k, interpret):
     if _fallback(q, block_q, block_k, interpret):
         return attention_reference(q, k, v), (q, k, v, None, None)
     G = _packing(q)
+    fbq, fbk = _auto_blocks(q.shape[-2], block_q, block_k, q.dtype)
     if G > 1:
-        o, lse = _flash_forward_packed(q, k, v, block_q, block_k, G,
-                                       interpret)
+        o, lse = _flash_forward_packed(q, k, v, fbq, fbk, G, interpret)
     else:
-        o, lse = _flash_forward(q, k, v, block_q, block_k, interpret)
+        o, lse = _flash_forward(q, k, v, fbq, fbk, interpret)
     return o, (q, k, v, o, lse)
 
 
@@ -607,10 +627,12 @@ def _vjp_bwd(block_q, block_k, interpret, res, g):
         _, vjp = jax.vjp(attention_reference, q, k, v)
         return vjp(g)
     G = _packing(q)
+    bbq, bbk = _auto_blocks(q.shape[-2], block_q, block_k, q.dtype)
+    bbk = min(bbk, 512)  # backward holds 3+ (BQ, G*BK) f32 temps per tile
     if G > 1:
-        return _flash_backward_packed(q, k, v, o, lse, g, block_q, block_k,
+        return _flash_backward_packed(q, k, v, o, lse, g, bbq, bbk,
                                       G, interpret)
-    return _flash_backward(q, k, v, o, lse, g, block_q, block_k, interpret)
+    return _flash_backward(q, k, v, o, lse, g, bbq, bbk, interpret)
 
 
 flash_attention.defvjp(_vjp_fwd, _vjp_bwd)
