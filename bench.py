@@ -129,7 +129,9 @@ def bench(batch: int = 128, size: int = 256, steps: int = 20,
         last = [serve_q(variables_q, images) for _ in range(steps)][-1]
         int(last[0, 0, 0, 0])
         serve_int8_ips = batch * steps / (time.perf_counter() - t0)
-    except Exception:  # secondary metric must never sink the bench
+    except Exception as e:  # secondary metric must never sink the bench
+        import sys
+        print(f"int8 serving measurement failed: {e!r}", file=sys.stderr)
         serve_int8_ips = 0.0
     else:
         del serve_q, last, p
@@ -150,7 +152,9 @@ def bench(batch: int = 128, size: int = 256, steps: int = 20,
              "--size", str(size), "--steps", str(steps)],
             capture_output=True, text=True, timeout=1500, check=True)
         train_sg_ips = float(out.stdout.strip().splitlines()[-1])
-    except Exception:  # secondary metric must never sink the bench
+    except Exception as e:  # secondary metric must never sink the bench
+        print(f"shared-geometry measurement failed: {e!r}",
+              file=sys.stderr)
         train_sg_ips = 0.0
 
     return {"train_ips": train_ips, "train_sg_ips": train_sg_ips,

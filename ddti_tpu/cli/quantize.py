@@ -50,6 +50,10 @@ def main(argv=None) -> int:
                          "compatible) or raw uint8 bytes")
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 compute graph (matches bf16-trained runs)")
+    ap.add_argument("--model_kwargs", default=None,
+                    help="JSON dict of extra create_model kwargs (e.g. "
+                         "'{\"embed_dim\": 128, \"num_heads\": 4}' for a "
+                         "non-default TransUNet)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 
@@ -69,9 +73,16 @@ def main(argv=None) -> int:
 
     size = args.image_size
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
-    model = create_model(args.model_type, in_channels=1, out_channels=1,
-                         base_filters=args.base_filters, depth=args.depth,
-                         dtype=dtype)
+    kwargs = dict(in_channels=1, out_channels=1,
+                  base_filters=args.base_filters, depth=args.depth,
+                  dtype=dtype)
+    if args.model_type == "TransUNet":
+        # pos_emb token count derives from the input resolution
+        kwargs["image_size"] = size
+    if args.model_kwargs:
+        import json
+        kwargs.update(json.loads(args.model_kwargs))
+    model = create_model(args.model_type, **kwargs)
     variables = model.init({"params": jax.random.PRNGKey(0)},
                            jnp.zeros((1, size, size, 1)), train=False)
     params, stats = load_checkpoint_into(

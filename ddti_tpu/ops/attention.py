@@ -462,23 +462,25 @@ def _unpack_heads(t, b: int, h: int, G: int):
     return t.reshape(b, h, s, d)
 
 
-def _auto_blocks(s: int, block_q: int, block_k: int, dtype,
-                 default: int = 256) -> tuple[int, int]:
-    """Upgrade DEFAULT block sizes to larger tiles when S allows: fewer
-    serial fori iterations per program. Measured on v5e at S=4096/D=32
-    bf16: fwd 10.85 -> 6.57 ms going (256,256) -> (512,1024)
-    (PERF_NOTES). f32 inputs keep the defaults — the same tiles exceed
-    the 16 MB scoped-VMEM limit (19.27M measured at (512,1024)).
-    Caller-specified (non-default) blocks are honored unchanged."""
-    if jnp.dtype(dtype).itemsize >= 4:
-        return block_q, block_k
-    if block_q == default and s % 512 == 0:
-        block_q = 512
-    if block_k == default:
-        for cand in (1024, 512):
-            if s % cand == 0:
-                block_k = cand
-                break
+def _auto_blocks(s: int, block_q, block_k, dtype, *,
+                 max_bk: int = 1024) -> tuple[int, int]:
+    """Resolve ``None`` (= auto) block sizes; explicit integers are
+    honored verbatim. Auto picks larger tiles when S allows — fewer
+    serial fori iterations per program: measured on v5e at S=4096/D=32
+    bf16, fwd 10.85 -> 6.57 ms going (256,256) -> (512,1024)
+    (PERF_NOTES). f32 inputs keep 256s — the same tiles exceed the 16 MB
+    scoped-VMEM limit (19.27M measured at (512,1024)). ``max_bk`` caps
+    the auto key block (the backward holds 3+ (BQ, G*BK) f32 temps)."""
+    small = jnp.dtype(dtype).itemsize < 4
+    if block_q is None:
+        block_q = 512 if (small and s % 512 == 0) else 256
+    if block_k is None:
+        block_k = 256
+        if small:
+            for cand in (1024, 512):
+                if cand <= max_bk and s % cand == 0:
+                    block_k = cand
+                    break
     return block_q, block_k
 
 
@@ -594,26 +596,28 @@ def _fallback(q, block_q: int, block_k: int, interpret: bool) -> bool:
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def flash_attention(q, k, v, block_q: int = 256, block_k: int = 256,
-                    interpret: bool = False):
+def flash_attention(q, k, v, block_q: int | None = None,
+                    block_k: int | None = None, interpret: bool = False):
     """Flash attention; falls back to XLA off-TPU or on odd shapes.
     Heads narrower than the 128-lane tile are packed G = 128/D per lane
-    group (see the head-packed kernel section). ``interpret=True`` forces
-    the Pallas kernels in interpreter mode (CPU testing)."""
-    if _fallback(q, block_q, block_k, interpret):
+    group (see the head-packed kernel section). ``block_q``/``block_k``
+    default to None = auto-selected per dtype/S (_auto_blocks); explicit
+    integers are honored verbatim. ``interpret=True`` forces the Pallas
+    kernels in interpreter mode (CPU testing)."""
+    fbq, fbk = _auto_blocks(q.shape[-2], block_q, block_k, q.dtype)
+    if _fallback(q, fbq, fbk, interpret):
         return attention_reference(q, k, v)
     G = _packing(q)
-    fbq, fbk = _auto_blocks(q.shape[-2], block_q, block_k, q.dtype)
     if G > 1:
         return _flash_forward_packed(q, k, v, fbq, fbk, G, interpret)[0]
     return _flash_forward(q, k, v, fbq, fbk, interpret)[0]
 
 
 def _vjp_fwd(q, k, v, block_q, block_k, interpret):
-    if _fallback(q, block_q, block_k, interpret):
+    fbq, fbk = _auto_blocks(q.shape[-2], block_q, block_k, q.dtype)
+    if _fallback(q, fbq, fbk, interpret):
         return attention_reference(q, k, v), (q, k, v, None, None)
     G = _packing(q)
-    fbq, fbk = _auto_blocks(q.shape[-2], block_q, block_k, q.dtype)
     if G > 1:
         o, lse = _flash_forward_packed(q, k, v, fbq, fbk, G, interpret)
     else:
@@ -627,8 +631,10 @@ def _vjp_bwd(block_q, block_k, interpret, res, g):
         _, vjp = jax.vjp(attention_reference, q, k, v)
         return vjp(g)
     G = _packing(q)
-    bbq, bbk = _auto_blocks(q.shape[-2], block_q, block_k, q.dtype)
-    bbk = min(bbk, 512)  # backward holds 3+ (BQ, G*BK) f32 temps per tile
+    # auto key blocks cap at 512 in the backward: it holds 3+ (BQ, G*BK)
+    # f32 temps per tile (explicit caller blocks are honored)
+    bbq, bbk = _auto_blocks(q.shape[-2], block_q, block_k, q.dtype,
+                            max_bk=512)
     if G > 1:
         return _flash_backward_packed(q, k, v, o, lse, g, bbq, bbk,
                                       G, interpret)

@@ -16,6 +16,21 @@ import jax.numpy as jnp
 from jax import export as jax_export
 
 
+def serve_body(model, variables, images, threshold: float = 0.5,
+               apply_fn=None):
+    """THE serving computation, shared by every exporter (plain, sharded,
+    int8 via ``apply_fn``): uint8 [0,255] or float [0,1] images in,
+    binarized uint8 masks out."""
+    if images.dtype == jnp.uint8:
+        compute = getattr(model, "dtype", None) or jnp.float32
+        images = images.astype(compute) / 255.0
+    apply = apply_fn or (lambda v, im: model.apply(v, im, train=False))
+    out = apply(variables, images)
+    logits = out[0] if isinstance(out, tuple) else out
+    probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+    return (probs > threshold).astype(jnp.uint8)
+
+
 def make_serve_fn(model, params: Any, batch_stats: Any,
                   threshold: float = 0.5, input_dtype=jnp.float32):
     """Closed-over inference function -> uint8 masks. With
@@ -26,13 +41,7 @@ def make_serve_fn(model, params: Any, batch_stats: Any,
     variables = {"params": params, "batch_stats": batch_stats}
 
     def serve(images):
-        if images.dtype == jnp.uint8:
-            compute = getattr(model, "dtype", jnp.float32)
-            images = images.astype(compute) / 255.0
-        out = model.apply(variables, images, train=False)
-        logits = out[0] if isinstance(out, tuple) else out
-        probs = jax.nn.sigmoid(logits.astype(jnp.float32))
-        return (probs > threshold).astype(jnp.uint8)
+        return serve_body(model, variables, images, threshold)
 
     return serve
 
@@ -86,13 +95,7 @@ def export_serving_program(model, params: Any, batch_stats: Any, batch: int,
     variables = {"params": params, "batch_stats": batch_stats}
 
     def serve(variables, images):
-        if images.dtype == jnp.uint8:
-            compute = getattr(model, "dtype", jnp.float32)
-            images = images.astype(compute) / 255.0
-        out = model.apply(variables, images, train=False)
-        logits = out[0] if isinstance(out, tuple) else out
-        probs = jax.nn.sigmoid(logits.astype(jnp.float32))
-        return (probs > threshold).astype(jnp.uint8)
+        return serve_body(model, variables, images, threshold)
 
     var_specs = jax.tree.map(
         lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.asarray(a).dtype),
@@ -125,13 +128,7 @@ def export_serving_sharded(model, params: Any, batch_stats: Any, mesh,
     variables = {"params": params, "batch_stats": batch_stats}
 
     def serve(variables, images):
-        if images.dtype == jnp.uint8:
-            compute = getattr(model, "dtype", None) or jnp.float32
-            images = images.astype(compute) / 255.0
-        out = model.apply(variables, images, train=False)
-        logits = out[0] if isinstance(out, tuple) else out
-        probs = jax.nn.sigmoid(logits.astype(jnp.float32))
-        return (probs > threshold).astype(jnp.uint8)
+        return serve_body(model, variables, images, threshold)
 
     rep = NamedSharding(mesh, PartitionSpec())
     dp = NamedSharding(mesh, PartitionSpec("data"))

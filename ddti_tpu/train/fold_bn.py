@@ -108,8 +108,12 @@ def fold_batchnorm(model, params: Any, batch_stats: Any, *,
     if model is not None and folded:
         if example is None:
             c = int(getattr(model, "in_channels", 1))
+            # models with a fixed input resolution (TransUNet's pos_emb
+            # is sized for image_size/2^depth tokens) must be validated
+            # at that resolution; everything else uses a small example
+            side = int(getattr(model, "image_size", 0) or 32)
             example = jax.random.uniform(jax.random.PRNGKey(0),
-                                         (1, 32, 32, c), jnp.float32)
+                                         (1, side, side, c), jnp.float32)
         # validate in f32 even for bf16-compute models: the fold math acts
         # on the f32 master params, and bf16 activations would inflate
         # legitimate rounding past the misfold threshold

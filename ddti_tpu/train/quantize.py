@@ -256,14 +256,13 @@ def export_serving_int8(model, params: Any, batch_stats: Any, batch: int,
 
     variables = quantize_serving(model, params, batch_stats, calib_images)
 
+    from ddti_tpu.train.export import serve_body
+
     def serve(variables, images):
-        if images.dtype == jnp.uint8:
-            compute = getattr(model, "dtype", None) or jnp.float32
-            images = images.astype(compute) / 255.0
-        out = quantized_apply(model, variables, images, train=False)
-        logits = out[0] if isinstance(out, tuple) else out
-        probs = jax.nn.sigmoid(logits.astype(jnp.float32))
-        return (probs > threshold).astype(jnp.uint8)
+        return serve_body(
+            model, variables, images, threshold,
+            apply_fn=lambda v, im: quantized_apply(model, v, im,
+                                                   train=False))
 
     var_specs = jax.tree.map(
         lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.asarray(a).dtype),

@@ -38,10 +38,13 @@ def test_flash_kernel_interpret_matches_reference(s, d, blocks):
     want = np.asarray(attention_reference(q, k, v))
     o, lse = _flash_forward(q, k, v, *blocks, interpret=True)
     np.testing.assert_allclose(np.asarray(o), want, atol=2e-5)
-    # the (B*H, S, 1) logsumexp residual must match the naive computation
+    # the (B*H, S, 1) logsumexp residual is stored BASE-2 (the kernels
+    # compute softmax via exp2 with log2e folded into the scale):
+    # lse2 = log2(sum exp(s)) = logsumexp(s) * log2(e)
     scores = np.einsum("bhqd,bhkd->bhqk", np.asarray(q),
                        np.asarray(k)) / np.sqrt(d)
-    want_lse = np.log(np.exp(scores).sum(-1)).reshape(2, s, 1)
+    want_lse = (np.log(np.exp(scores).sum(-1))
+                * np.log2(np.e)).reshape(2, s, 1)
     np.testing.assert_allclose(np.asarray(lse), want_lse, atol=1e-4)
 
 

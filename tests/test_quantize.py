@@ -175,6 +175,23 @@ def test_legacy_unfoldable_model_quantizes():
     assert err <= 0.08 * float(jnp.max(jnp.abs(logits_f)))
 
 
+def test_transunet_quantizes_and_folds():
+    """TransUNet: fold_bn validates at the model's native image_size (its
+    pos_emb constrains the input resolution) and the int8 graph serves.
+    Regression for the hardcoded 32x32 fold validation example."""
+    from ddti_tpu.models import create_model
+
+    model = create_model("TransUNet", base_filters=8, depth=3,
+                         image_size=64, num_transformer_layers=1,
+                         num_heads=4, embed_dim=32)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 64, 64, 1))
+    vs = model.init({"params": jax.random.PRNGKey(1)}, x, train=False)
+    qv = quantize_serving(model, vs["params"], vs["batch_stats"], x)
+    logits = quantized_apply(model, qv, x, train=False)
+    assert logits.shape == (2, 64, 64, 1)
+    assert bool(jnp.all(jnp.isfinite(logits)))
+
+
 def test_unquantized_convs_fall_back_exactly():
     """Convs without a quant table run the plain float path unchanged."""
     model = UNet(in_channels=1, out_channels=1, base_filters=8, depth=2)
