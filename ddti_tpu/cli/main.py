@@ -119,6 +119,10 @@ def get_parser() -> argparse.ArgumentParser:
                         "the MXU's s8 path (per-channel weights, one-batch "
                         "activation calibration, ~4x smaller bundle; "
                         "train/quantize.py)")
+    p.add_argument("--quant_min_channels", type=int, default=0,
+                   help="int8 serving: quantize only convs with "
+                        "max(cin,cout) >= this (mixed precision; 128 "
+                        "recommended at 512^2 — PERF_NOTES.md)")
     p.add_argument("--export_serving", action="store_true",
                    help="after training, write a StableHLO serving artifact "
                         "(weights baked in, loadable without model code)")

@@ -44,6 +44,11 @@ def main(argv=None) -> int:
                     help="directory of calibration images (up to "
                          "--calib_count used); synthetic frames if omitted")
     ap.add_argument("--calib_count", type=int, default=32)
+    ap.add_argument("--min_channels", type=int, default=0,
+                    help="mixed precision: quantize only convs with "
+                         "max(cin,cout) >= this (shallow high-res levels "
+                         "are HBM-bound and faster in bf16 — use 128 for "
+                         "512^2 serving; benchmarks/PERF_NOTES.md)")
     ap.add_argument("--input_dtype", choices=["f32", "uint8"],
                     default="f32",
                     help="exported program input: f32 [0,1] (infer-CLI "
@@ -112,7 +117,8 @@ def main(argv=None) -> int:
     in_dtype = jnp.uint8 if args.input_dtype == "uint8" else jnp.float32
     blob, svars = export_serving_int8(
         model, params, stats, batch=args.batch_size, size=size,
-        calib_images=jnp.asarray(calib), input_dtype=in_dtype)
+        calib_images=jnp.asarray(calib), input_dtype=in_dtype,
+        min_channels=args.min_channels)
 
     prog = args.output + "_serving_program.stablehlo"
     os.makedirs(os.path.dirname(os.path.abspath(prog)), exist_ok=True)

@@ -72,6 +72,8 @@ class Config:
     max_keep_checkpoints: int = 3  # rotation depth of periodic checkpoints
     export_serving: bool = False   # write a StableHLO serving artifact
     serving_dtype: str = "f32"     # exported bundle precision (f32|bf16|int8)
+    quant_min_channels: int = 0    # int8: only quantize convs with
+                                   # max(cin,cout) >= this (128 for 512^2)
     early_stop_patience: int = 50
     alpha: float = 2.0
 

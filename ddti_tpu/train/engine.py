@@ -356,7 +356,8 @@ class Trainer:
                         self.state.batch_stats, batch=cfg.batch_size,
                         size=cfg.image_size,
                         calib_images=self._calibration_batch(),
-                        input_dtype=jax.numpy.float32)
+                        input_dtype=jax.numpy.float32,
+                        min_channels=getattr(cfg, "quant_min_channels", 0))
                 else:
                     wd = jax.numpy.bfloat16 if sd == "bf16" else None
                     blob, variables = export_serving_program(

@@ -221,10 +221,20 @@ def quantized_apply(model, variables: dict, images, **kwargs):
 
 
 def quantize_serving(model, params: Any, batch_stats: Any, calib_images,
-                     *, fold_bn: bool = True, strip: bool = True) -> dict:
+                     *, fold_bn: bool = True, strip: bool = True,
+                     min_channels: int = 0) -> dict:
     """Fold BN, calibrate on ``calib_images``, quantize weights; returns the
     serving ``variables`` dict (params/batch_stats/quant) for
-    ``quantized_apply`` / ``export_serving_int8``."""
+    ``quantized_apply`` / ``export_serving_int8``.
+
+    ``min_channels`` enables MIXED-precision quantization: only convs with
+    ``max(cin, cout) >= min_channels`` get int8 tables; the rest stay in
+    the float graph. The shallow high-resolution levels are HBM-bound —
+    there the extra quantize/requant passes cost more than the s8 MXU
+    saves (measured: at 512 squared bs16, full int8 is SLOWER than bf16;
+    see benchmarks/PERF_NOTES.md) — while the deep channel-heavy levels
+    are compute-bound and win 2-3x.
+    """
     if fold_bn:
         from ddti_tpu.train.fold_bn import fold_batchnorm
         try:
@@ -236,6 +246,10 @@ def quantize_serving(model, params: Any, batch_stats: Any, calib_images,
             pass
     variables = {"params": params, "batch_stats": batch_stats}
     amax = calibrate_conv_amax(model, variables, calib_images)
+    if min_channels:
+        amax = {p: a for p, a in amax.items()
+                if max(_tree_get(params, p)["kernel"].shape[2:])
+                >= min_channels}
     qtree = build_quant_tree(params, amax)
     if strip:
         params = strip_quantized_kernels(params, amax)
@@ -244,8 +258,8 @@ def quantize_serving(model, params: Any, batch_stats: Any, calib_images,
 
 def export_serving_int8(model, params: Any, batch_stats: Any, batch: int,
                         size: int, calib_images, in_channels: int = 1,
-                        threshold: float = 0.5,
-                        input_dtype=jnp.uint8) -> tuple[bytes, dict]:
+                        threshold: float = 0.5, input_dtype=jnp.uint8,
+                        min_channels: int = 0) -> tuple[bytes, dict]:
     """Weights-as-arguments StableHLO export of the int8 serving graph:
     ``serve(variables, images) -> uint8 masks`` with all tabled convs in
     s8 x s8 -> s32. Returns ``(blob, variables)``; pair with
@@ -254,7 +268,8 @@ def export_serving_int8(model, params: Any, batch_stats: Any, batch: int,
     collection transparently)."""
     from jax import export as jax_export
 
-    variables = quantize_serving(model, params, batch_stats, calib_images)
+    variables = quantize_serving(model, params, batch_stats,
+                                 calib_images, min_channels=min_channels)
 
     from ddti_tpu.train.export import serve_body
 

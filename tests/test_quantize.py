@@ -175,6 +175,35 @@ def test_legacy_unfoldable_model_quantizes():
     assert err <= 0.08 * float(jnp.max(jnp.abs(logits_f)))
 
 
+def test_min_channels_mixed_quantization():
+    """min_channels quantizes only deep channel-heavy convs; shallow
+    levels stay float (the HBM-bound ones, PERF_NOTES) and the graph
+    still serves."""
+    model = ResUNet(in_channels=1, out_channels=1, base_filters=16,
+                    depth=3)
+    params, stats, x = _init(model)
+    qv_all = quantize_serving(model, params, stats, x)
+    qv_mix = quantize_serving(model, params, stats, x, min_channels=32)
+
+    def int8_leaves(qv):
+        return sum(1 for a in jax.tree_util.tree_leaves(qv["quant"])
+                   if a.dtype == jnp.int8)
+
+    assert 0 < int8_leaves(qv_mix) < int8_leaves(qv_all)
+    # every quantized conv in the mixed tree is channel-heavy
+    def walk(t, path=()):
+        for k, v in t.items():
+            if isinstance(v, dict):
+                if "wq" in v:
+                    yield path + (k,), v["wq"]
+                else:
+                    yield from walk(v, path + (k,))
+    for p, wq in walk(qv_mix["quant"]):
+        assert max(wq.shape[2:]) >= 32, (p, wq.shape)
+    logits = quantized_apply(model, qv_mix, x, train=False)
+    assert bool(jnp.all(jnp.isfinite(logits)))
+
+
 def test_transunet_quantizes_and_folds():
     """TransUNet: fold_bn validates at the model's native image_size (its
     pos_emb constrains the input resolution) and the int8 graph serves.
