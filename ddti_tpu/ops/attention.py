@@ -463,7 +463,7 @@ def _unpack_heads(t, b: int, h: int, G: int):
 
 
 def _auto_blocks(s: int, block_q, block_k, dtype, *,
-                 max_bk: int = 1024) -> tuple[int, int]:
+                 max_bq: int = 512, max_bk: int = 1024) -> tuple[int, int]:
     """Resolve ``None`` (= auto) block sizes; explicit integers are
     honored verbatim. Auto picks larger tiles when S allows — fewer
     serial fori iterations per program: measured on v5e at S=4096/D=32
@@ -473,7 +473,7 @@ def _auto_blocks(s: int, block_q, block_k, dtype, *,
     the auto key block (the backward holds 3+ (BQ, G*BK) f32 temps)."""
     small = jnp.dtype(dtype).itemsize < 4
     if block_q is None:
-        block_q = 512 if (small and s % 512 == 0) else 256
+        block_q = 512 if (small and max_bq >= 512 and s % 512 == 0) else 256
     if block_k is None:
         block_k = 256
         if small:
@@ -631,10 +631,15 @@ def _vjp_bwd(block_q, block_k, interpret, res, g):
         _, vjp = jax.vjp(attention_reference, q, k, v)
         return vjp(g)
     G = _packing(q)
-    # auto key blocks cap at 512 in the backward: it holds 3+ (BQ, G*BK)
-    # f32 temps per tile (explicit caller blocks are honored)
+    # backward auto blocks stay at (256, 256): the kernels hold 3+
+    # (BQ, G*BK) f32 temps per tile, and the larger tiles — though they
+    # compile standalone (sweep: (512,512) 7.08 ms vs (256,256) 7.63) —
+    # exceed the 16 MB scoped-VMEM limit INSIDE the full train graph
+    # (22.2M at (512,512), 16.47M at (256,512); the in-graph layout adds
+    # operand copies the standalone kernel doesn't have). Explicit caller
+    # blocks are honored for standalone use.
     bbq, bbk = _auto_blocks(q.shape[-2], block_q, block_k, q.dtype,
-                            max_bk=512)
+                            max_bq=256, max_bk=256)
     if G > 1:
         return _flash_backward_packed(q, k, v, o, lse, g, bbq, bbk,
                                       G, interpret)
