@@ -376,12 +376,24 @@ class Trainer:
                         and self.mesh.shape.get("data", 1) > 1):
                     # the run trained on a mesh: also export a scale-out
                     # serving program with GSPMD shardings baked in
-                    # (weights replicated, batch sharded over 'data')
-                    from .export import export_serving_sharded
-                    sblob, svars = export_serving_sharded(
-                        self.model, self.state.params,
-                        self.state.batch_stats, self.mesh,
-                        batch=cfg.batch_size, size=cfg.image_size)
+                    # (weights replicated, batch sharded over 'data');
+                    # int8 runs get the quantized sharded graph
+                    if sd == "int8":
+                        from .quantize import export_serving_int8_sharded
+                        sblob, svars = export_serving_int8_sharded(
+                            self.model, self.state.params,
+                            self.state.batch_stats, self.mesh,
+                            batch=cfg.batch_size, size=cfg.image_size,
+                            calib_images=self._calibration_batch(),
+                            input_dtype=jax.numpy.float32,
+                            min_channels=getattr(cfg, "quant_min_channels",
+                                                 0))
+                    else:
+                        from .export import export_serving_sharded
+                        sblob, svars = export_serving_sharded(
+                            self.model, self.state.params,
+                            self.state.batch_stats, self.mesh,
+                            batch=cfg.batch_size, size=cfg.image_size)
                     spath = os.path.join(
                         cfg.model_dir, f"{cfg.model_type}_serving_sharded"
                                        ".stablehlo")

@@ -286,3 +286,41 @@ def export_serving_int8(model, params: Any, batch_stats: Any, batch: int,
                                     input_dtype)
     exported = jax_export.export(jax.jit(serve))(var_specs, img_spec)
     return exported.serialize(), variables
+
+
+def export_serving_int8_sharded(model, params: Any, batch_stats: Any,
+                                mesh, batch: int, size: int, calib_images,
+                                in_channels: int = 1,
+                                threshold: float = 0.5,
+                                input_dtype=jnp.uint8,
+                                min_channels: int = 0) -> tuple[bytes, dict]:
+    """Int8 quantization + GSPMD scale-out in one artifact: the quantized
+    serving graph exported with shardings (weight/quant tables replicated,
+    image batch over the mesh ``data`` axis). ``batch`` is GLOBAL."""
+    from jax import export as jax_export
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    variables = quantize_serving(model, params, batch_stats,
+                                 calib_images, min_channels=min_channels)
+
+    from ddti_tpu.train.export import serve_body
+
+    def serve(variables, images):
+        return serve_body(
+            model, variables, images, threshold,
+            apply_fn=lambda v, im: quantized_apply(model, v, im,
+                                                   train=False))
+
+    rep = NamedSharding(mesh, PartitionSpec())
+    dp = NamedSharding(mesh, PartitionSpec("data"))
+    var_specs = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.asarray(a).dtype,
+                                       sharding=rep), variables)
+    img_spec = jax.ShapeDtypeStruct((batch, size, size, in_channels),
+                                    input_dtype, sharding=dp)
+    jitted = jax.jit(serve,
+                     in_shardings=(jax.tree.map(lambda _: rep, variables),
+                                   dp),
+                     out_shardings=dp)
+    exported = jax_export.export(jitted)(var_specs, img_spec)
+    return exported.serialize(), variables

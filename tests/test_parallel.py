@@ -290,3 +290,37 @@ def test_sharded_serving_export_roundtrip(mesh8):
     want = make_serve_fn(model, v["params"], v["batch_stats"])(
         jnp.asarray(x_host))
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_int8_sharded_serving_export(mesh8):
+    """Int8 + GSPMD in one artifact (export_serving_int8_sharded): the
+    quantized graph serves a batch sharded over the 8-device mesh and
+    matches the single-device quantized masks exactly."""
+    from ddti_tpu.train.export import load_serving
+    from ddti_tpu.train.quantize import (
+        export_serving_int8_sharded,
+        quantize_serving,
+        quantized_apply,
+    )
+
+    model = create_model("UNet", base_filters=8, depth=3)
+    im, _ = generate_ddti_like(16, (32, 32), 5)
+    x = jnp.asarray(im)
+    calib = x.astype(jnp.float32) / 255.0
+    v = model.init({"params": jax.random.PRNGKey(0)}, calib[:1],
+                   train=False)
+
+    blob, variables = export_serving_int8_sharded(
+        model, v["params"], v["batch_stats"], mesh8, batch=16, size=32,
+        calib_images=calib)
+    fn = load_serving(blob)
+    rep = NamedSharding(mesh8, P())
+    dp = NamedSharding(mesh8, P("data"))
+    got = fn(jax.device_put(variables, rep), jax.device_put(x, dp))
+    assert got.sharding.is_equivalent_to(dp, ndim=got.ndim)
+
+    qv = quantize_serving(model, v["params"], v["batch_stats"], calib)
+    logits = quantized_apply(model, qv, calib, train=False)
+    want = (jax.nn.sigmoid(logits.astype(jnp.float32)) > 0.5)
+    np.testing.assert_array_equal(np.asarray(got).astype(bool),
+                                  np.asarray(want))
