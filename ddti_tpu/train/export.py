@@ -172,21 +172,53 @@ def load_serving_bundle(program_path: str, weights_path: str | None = None):
 
     Baked-weights artifacts (single input) are accepted too; ``weights_path``
     is then ignored. For two-input programs ``weights_path`` defaults to the
-    program path with ``.stablehlo`` swapped for ``.npz``."""
+    program path with ``.stablehlo`` swapped for ``.npz``.
+
+    SHARDED artifacts (``export_serving_sharded`` /
+    ``export_serving_int8_sharded``, ``nr_devices > 1``) are served over a
+    ``data``-axis mesh built from the first ``nr_devices`` local devices;
+    weights are replicated and the (global) image batch is sharded —
+    ``fn`` still takes/returns ordinary host arrays."""
     import os
 
     from jax import export as jax_export
 
     with open(program_path, "rb") as f:
         exported = jax_export.deserialize(f.read())
+
+    put_rep = put_dp = jax.device_put
+    if exported.nr_devices > 1:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+        devs = jax.devices()
+        if len(devs) < exported.nr_devices:
+            raise ValueError(
+                f"sharded serving artifact needs {exported.nr_devices} "
+                f"devices; only {len(devs)} available")
+        import numpy as np
+        mesh = Mesh(np.array(devs[: exported.nr_devices]), ("data",))
+        rep = NamedSharding(mesh, PartitionSpec())
+        dp = NamedSharding(mesh, PartitionSpec("data"))
+        put_rep = lambda t: jax.device_put(t, rep)       # noqa: E731
+        put_dp = lambda t: jax.device_put(t, dp)         # noqa: E731
+
     specs = [jax.ShapeDtypeStruct(a.shape, a.dtype)
              for a in exported.in_avals]
     args, kwargs = jax.tree.unflatten(exported.in_tree, specs)
+    if exported.nr_devices > 1:
+        # lower with the mesh placement the program was exported for:
+        # weights (all leading args) replicated, the image batch sharded
+        args = tuple(
+            jax.tree.map(lambda a: jax.ShapeDtypeStruct(
+                a.shape, a.dtype,
+                sharding=dp if i == len(args) - 1 else rep), arg)
+            for i, arg in enumerate(args))
     compiled = jax.jit(exported.call).lower(*args, **kwargs).compile()
 
     if len(args) == 1:  # baked weights: fn(images)
         img_spec = args[0]
-        fn = compiled
+
+        def fn(images):
+            return compiled(put_dp(jnp.asarray(images)))
     else:  # weights-as-arguments: fn(variables, images)
         var_template, img_spec = args
         if weights_path is None:
@@ -195,11 +227,10 @@ def load_serving_bundle(program_path: str, weights_path: str | None = None):
         from ddti_tpu.train.checkpoint import load_variables_npz
         # the template carries whatever collections the program was exported
         # with (params/batch_stats, plus e.g. "quant" for int8 bundles)
-        variables = jax.device_put(
-            load_variables_npz(weights_path, var_template))
+        variables = put_rep(load_variables_npz(weights_path, var_template))
 
         def fn(images):
-            return compiled(variables, images)
+            return compiled(variables, put_dp(jnp.asarray(images)))
 
     batch, size = img_spec.shape[0], img_spec.shape[1]
     return fn, batch, size, img_spec.dtype

@@ -324,3 +324,40 @@ def test_int8_sharded_serving_export(mesh8):
     want = (jax.nn.sigmoid(logits.astype(jnp.float32)) > 0.5)
     np.testing.assert_array_equal(np.asarray(got).astype(bool),
                                   np.asarray(want))
+
+
+def test_infer_cli_sharded_bundle(tmp_path, mesh8):
+    """The infer CLI serves straight from a SHARDED artifact: the bundle
+    loader builds a data-axis mesh from local devices, replicates weights,
+    shards the batch (train/export.py load_serving_bundle)."""
+    import os
+
+    from PIL import Image
+
+    from ddti_tpu.cli.infer import main as infer_main
+    from ddti_tpu.train.checkpoint import save_variables_npz
+    from ddti_tpu.train.export import export_serving_sharded
+
+    model = create_model("UNet", base_filters=8, depth=3)
+    v = model.init({"params": jax.random.PRNGKey(0)},
+                   jnp.zeros((1, 32, 32, 1)), train=False)
+    blob, variables = export_serving_sharded(
+        model, v["params"], v["batch_stats"], mesh8, batch=8, size=32)
+    prog = str(tmp_path / "m_serving_program.stablehlo")
+    with open(prog, "wb") as f:
+        f.write(blob)
+    save_variables_npz(str(tmp_path / "m_serving_program.npz"),
+                       {"params": variables["params"],
+                        "batch_stats": variables["batch_stats"]})
+
+    ind = tmp_path / "imgs"
+    ind.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):  # partial batch through an 8-wide sharded program
+        Image.fromarray(rng.integers(0, 255, (32, 32), dtype=np.uint8),
+                        "L").save(str(ind / f"f{i}.png"))
+    out = str(tmp_path / "preds")
+    rc = infer_main(["--checkpoint", prog, "--input_dir", str(ind),
+                     "--output_dir", out])
+    assert rc == 0
+    assert len(os.listdir(out)) == 3
