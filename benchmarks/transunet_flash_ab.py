@@ -4,9 +4,17 @@ Pallas flash kernels (packed + exp2 + auto blocks) vs naive XLA attention.
 Config: depth 2 at 256x256 -> 4096 bottleneck tokens x 4 layers, embed
 256 / 8 heads (head_dim 32 -> packing G=4), bf16, batch 16.
 
+Each variant runs in its own subprocess: after compiling/freeing one
+large train program, a second program in the same process can hit a
+fragmented device heap and measure 40x slow (see CLAUDE.md; bench.py
+isolates its variants the same way).
+
 Run: PYTHONUNBUFFERED=1 benchmarks/run_in_repo.sh benchmarks/transunet_flash_ab.py
 """
 
+import os
+import subprocess
+import sys
 import time
 
 import jax
@@ -46,16 +54,29 @@ def measure(flash: bool) -> float:
         state, m = step(state, k)
     float(m.loss)
     ips = BATCH * STEPS / (time.perf_counter() - t0)
-    jax.tree.map(lambda a: a.delete(), state.params)
-    jax.tree.map(lambda a: a.delete(), state.opt_state)
     return ips
 
 
+def run_variant(flash: bool) -> float:
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, __file__, "--variant",
+         "flash" if flash else "naive"],
+        capture_output=True, text=True, check=True, cwd="/root/repo",
+        env=env)
+    return float(out.stdout.strip().splitlines()[-1])
+
+
 def main():
-    naive = measure(False)
+    if "--variant" in sys.argv:
+        print(measure(sys.argv[sys.argv.index("--variant") + 1]
+                      == "flash"))
+        return
+    naive = run_variant(False)
     print(f"TransUNet d2/256^2 bs{BATCH} train, naive attention: "
           f"{naive:7.1f} img/s")
-    flash = measure(True)
+    flash = run_variant(True)
     print(f"TransUNet d2/256^2 bs{BATCH} train, flash kernels:   "
           f"{flash:7.1f} img/s ({flash / naive:.2f}x)")
 

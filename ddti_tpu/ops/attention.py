@@ -469,8 +469,11 @@ def _auto_blocks(s: int, block_q, block_k, dtype, *,
     serial fori iterations per program: measured on v5e at S=4096/D=32
     bf16, fwd 10.85 -> 6.57 ms going (256,256) -> (512,1024)
     (PERF_NOTES). f32 inputs keep 256s — the same tiles exceed the 16 MB
-    scoped-VMEM limit (19.27M measured at (512,1024)). ``max_bk`` caps
-    the auto key block (the backward holds 3+ (BQ, G*BK) f32 temps)."""
+    scoped-VMEM limit (19.27M measured at (512,1024)). ``max_bq``/
+    ``max_bk`` cap the AUTO choices only (explicit blocks still pass
+    through); the backward call site pins both caps to 256 — its larger
+    tiles compile standalone but blow scoped VMEM inside the full train
+    graph (see _vjp_bwd)."""
     small = jnp.dtype(dtype).itemsize < 4
     if block_q is None:
         block_q = 512 if (small and max_bq >= 512 and s % 512 == 0) else 256

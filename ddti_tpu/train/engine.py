@@ -346,20 +346,27 @@ class Trainer:
                 # train/export.py). cli/infer.py consumes this pair directly
                 # (--checkpoint <...>.stablehlo).
                 sd = getattr(cfg, "serving_dtype", "f32")
+                wd = jax.numpy.bfloat16 if sd == "bf16" else None
+                variables_q = None
                 if sd == "int8":
                     # int8 MXU serving (train/quantize.py): BN-folded,
                     # per-channel int8 weights, activation scales from one
-                    # calibration batch of validation images
-                    from .quantize import export_serving_int8
-                    blob, variables = export_serving_int8(
+                    # calibration batch of validation images. Quantize +
+                    # calibrate ONCE; both the plain and (below) the
+                    # sharded artifact export from the same variables.
+                    from .quantize import (export_quantized_program,
+                                           quantize_serving)
+                    variables_q = quantize_serving(
                         self.model, self.state.params,
-                        self.state.batch_stats, batch=cfg.batch_size,
-                        size=cfg.image_size,
-                        calib_images=self._calibration_batch(),
-                        input_dtype=jax.numpy.float32,
+                        self.state.batch_stats,
+                        self._calibration_batch(),
                         min_channels=getattr(cfg, "quant_min_channels", 0))
+                    variables = variables_q
+                    blob = export_quantized_program(
+                        self.model, variables_q, batch=cfg.batch_size,
+                        size=cfg.image_size,
+                        input_dtype=jax.numpy.float32)
                 else:
-                    wd = jax.numpy.bfloat16 if sd == "bf16" else None
                     blob, variables = export_serving_program(
                         self.model, self.state.params,
                         self.state.batch_stats, batch=cfg.batch_size,
@@ -379,21 +386,18 @@ class Trainer:
                     # (weights replicated, batch sharded over 'data');
                     # int8 runs get the quantized sharded graph
                     if sd == "int8":
-                        from .quantize import export_serving_int8_sharded
-                        sblob, svars = export_serving_int8_sharded(
-                            self.model, self.state.params,
-                            self.state.batch_stats, self.mesh,
+                        sblob = export_quantized_program(
+                            self.model, variables_q,
                             batch=cfg.batch_size, size=cfg.image_size,
-                            calib_images=self._calibration_batch(),
-                            input_dtype=jax.numpy.float32,
-                            min_channels=getattr(cfg, "quant_min_channels",
-                                                 0))
+                            input_dtype=jax.numpy.float32, mesh=self.mesh)
+                        svars = variables_q
                     else:
                         from .export import export_serving_sharded
                         sblob, svars = export_serving_sharded(
                             self.model, self.state.params,
                             self.state.batch_stats, self.mesh,
-                            batch=cfg.batch_size, size=cfg.image_size)
+                            batch=cfg.batch_size, size=cfg.image_size,
+                            weights_dtype=wd)
                     spath = os.path.join(
                         cfg.model_dir, f"{cfg.model_type}_serving_sharded"
                                        ".stablehlo")

@@ -109,7 +109,8 @@ def export_serving_program(model, params: Any, batch_stats: Any, batch: int,
 def export_serving_sharded(model, params: Any, batch_stats: Any, mesh,
                            batch: int, size: int, in_channels: int = 1,
                            threshold: float = 0.5, fold_bn: bool = False,
-                           input_dtype=jnp.float32) -> tuple[bytes, dict]:
+                           input_dtype=jnp.float32,
+                           weights_dtype=None) -> tuple[bytes, dict]:
     """Multi-chip serving export: the StableHLO program carries GSPMD
     shardings — weights replicated, the image batch sharded over the
     mesh's ``data`` axis — so one deserialized artifact serves a batch
@@ -125,6 +126,9 @@ def export_serving_sharded(model, params: Any, batch_stats: Any, mesh,
     if fold_bn:
         from ddti_tpu.train.fold_bn import fold_batchnorm
         params, batch_stats = fold_batchnorm(model, params, batch_stats)
+    if weights_dtype is not None:
+        params = _cast_floating(params, weights_dtype)
+        batch_stats = _cast_floating(batch_stats, weights_dtype)
     variables = {"params": params, "batch_stats": batch_stats}
 
     def serve(variables, images):

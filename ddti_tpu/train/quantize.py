@@ -256,20 +256,18 @@ def quantize_serving(model, params: Any, batch_stats: Any, calib_images,
     return {"params": params, "batch_stats": batch_stats, "quant": qtree}
 
 
-def export_serving_int8(model, params: Any, batch_stats: Any, batch: int,
-                        size: int, calib_images, in_channels: int = 1,
-                        threshold: float = 0.5, input_dtype=jnp.uint8,
-                        min_channels: int = 0) -> tuple[bytes, dict]:
-    """Weights-as-arguments StableHLO export of the int8 serving graph:
-    ``serve(variables, images) -> uint8 masks`` with all tabled convs in
-    s8 x s8 -> s32. Returns ``(blob, variables)``; pair with
-    ``train.checkpoint.save_variables_npz`` for the bundle, loadable by
-    ``train.export.load_serving_bundle`` (which handles the quant
-    collection transparently)."""
+def export_quantized_program(model, variables: dict, batch: int,
+                             size: int, in_channels: int = 1,
+                             threshold: float = 0.5,
+                             input_dtype=jnp.uint8, mesh=None) -> bytes:
+    """Serialize an already-quantized ``variables`` tree (from
+    ``quantize_serving``) as a weights-as-arguments StableHLO serving
+    program. With ``mesh``, the program carries GSPMD shardings (weights +
+    quant tables replicated, image batch over the ``data`` axis; ``batch``
+    is then GLOBAL). One export tail for both forms — and callers that
+    need several artifacts from one quantization (e.g. the Trainer's
+    plain + sharded pair) quantize/calibrate once."""
     from jax import export as jax_export
-
-    variables = quantize_serving(model, params, batch_stats,
-                                 calib_images, min_channels=min_channels)
 
     from ddti_tpu.train.export import serve_body
 
@@ -279,13 +277,46 @@ def export_serving_int8(model, params: Any, batch_stats: Any, batch: int,
             apply_fn=lambda v, im: quantized_apply(model, v, im,
                                                    train=False))
 
+    spec_sharding = {}
+    img_sharding = {}
+    jit_kw = {}
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        rep = NamedSharding(mesh, PartitionSpec())
+        dp = NamedSharding(mesh, PartitionSpec("data"))
+        spec_sharding = dict(sharding=rep)
+        img_sharding = dict(sharding=dp)
+        jit_kw = dict(in_shardings=(jax.tree.map(lambda _: rep, variables),
+                                    dp),
+                      out_shardings=dp)
     var_specs = jax.tree.map(
-        lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.asarray(a).dtype),
-        variables)
+        lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.asarray(a).dtype,
+                                       **spec_sharding), variables)
     img_spec = jax.ShapeDtypeStruct((batch, size, size, in_channels),
-                                    input_dtype)
-    exported = jax_export.export(jax.jit(serve))(var_specs, img_spec)
-    return exported.serialize(), variables
+                                    input_dtype, **img_sharding)
+    exported = jax_export.export(jax.jit(serve, **jit_kw))(var_specs,
+                                                           img_spec)
+    return exported.serialize()
+
+
+def export_serving_int8(model, params: Any, batch_stats: Any, batch: int,
+                        size: int, calib_images, in_channels: int = 1,
+                        threshold: float = 0.5, input_dtype=jnp.uint8,
+                        min_channels: int = 0,
+                        mesh=None) -> tuple[bytes, dict]:
+    """Quantize + export in one call: ``serve(variables, images) ->
+    uint8 masks`` with all tabled convs in s8 x s8 -> s32. Returns
+    ``(blob, variables)``; pair with
+    ``train.checkpoint.save_variables_npz`` for the bundle, loadable by
+    ``train.export.load_serving_bundle`` (which handles the quant
+    collection — and, for ``mesh`` exports, the device placement —
+    transparently)."""
+    variables = quantize_serving(model, params, batch_stats,
+                                 calib_images, min_channels=min_channels)
+    blob = export_quantized_program(model, variables, batch, size,
+                                    in_channels, threshold, input_dtype,
+                                    mesh)
+    return blob, variables
 
 
 def export_serving_int8_sharded(model, params: Any, batch_stats: Any,
@@ -294,33 +325,8 @@ def export_serving_int8_sharded(model, params: Any, batch_stats: Any,
                                 threshold: float = 0.5,
                                 input_dtype=jnp.uint8,
                                 min_channels: int = 0) -> tuple[bytes, dict]:
-    """Int8 quantization + GSPMD scale-out in one artifact: the quantized
-    serving graph exported with shardings (weight/quant tables replicated,
-    image batch over the mesh ``data`` axis). ``batch`` is GLOBAL."""
-    from jax import export as jax_export
-    from jax.sharding import NamedSharding, PartitionSpec
-
-    variables = quantize_serving(model, params, batch_stats,
-                                 calib_images, min_channels=min_channels)
-
-    from ddti_tpu.train.export import serve_body
-
-    def serve(variables, images):
-        return serve_body(
-            model, variables, images, threshold,
-            apply_fn=lambda v, im: quantized_apply(model, v, im,
-                                                   train=False))
-
-    rep = NamedSharding(mesh, PartitionSpec())
-    dp = NamedSharding(mesh, PartitionSpec("data"))
-    var_specs = jax.tree.map(
-        lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.asarray(a).dtype,
-                                       sharding=rep), variables)
-    img_spec = jax.ShapeDtypeStruct((batch, size, size, in_channels),
-                                    input_dtype, sharding=dp)
-    jitted = jax.jit(serve,
-                     in_shardings=(jax.tree.map(lambda _: rep, variables),
-                                   dp),
-                     out_shardings=dp)
-    exported = jax_export.export(jitted)(var_specs, img_spec)
-    return exported.serialize(), variables
+    """Int8 quantization + GSPMD scale-out in one artifact (convenience
+    wrapper over ``export_serving_int8(mesh=...)``)."""
+    return export_serving_int8(model, params, batch_stats, batch, size,
+                               calib_images, in_channels, threshold,
+                               input_dtype, min_channels, mesh)
