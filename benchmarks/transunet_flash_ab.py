@@ -63,15 +63,21 @@ def run_variant(flash: bool) -> float:
     out = subprocess.run(
         [sys.executable, __file__, "--variant",
          "flash" if flash else "naive"],
-        capture_output=True, text=True, check=True, cwd="/root/repo",
-        env=env)
-    return float(out.stdout.strip().splitlines()[-1])
+        capture_output=True, text=True, cwd="/root/repo", env=env)
+    if out.returncode != 0:
+        raise RuntimeError(f"variant subprocess failed "
+                           f"(rc={out.returncode}):\n{out.stderr}")
+    for line in out.stdout.splitlines():
+        if line.startswith("IPS "):
+            return float(line.split()[1])
+    raise RuntimeError(f"no 'IPS <value>' line in child stdout:\n"
+                       f"{out.stdout}\n{out.stderr}")
 
 
 def main():
     if "--variant" in sys.argv:
-        print(measure(sys.argv[sys.argv.index("--variant") + 1]
-                      == "flash"))
+        print("IPS", measure(sys.argv[sys.argv.index("--variant") + 1]
+                             == "flash"))
         return
     naive = run_variant(False)
     print(f"TransUNet d2/256^2 bs{BATCH} train, naive attention: "

@@ -74,6 +74,50 @@ def _cast_floating(tree, dtype):
         if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a, tree)
 
 
+def export_program(serve, variables, batch: int, size: int,
+                   in_channels: int = 1, input_dtype=jnp.float32,
+                   mesh=None) -> bytes:
+    """THE weights-as-arguments export tail, shared by every program
+    exporter (plain, sharded, int8 in train/quantize.py): serialize
+    ``serve(variables, images)`` as StableHLO for the image shape
+    ``(batch, size, size, in_channels)``.
+
+    With ``mesh``, the program carries GSPMD shardings — ``variables``
+    replicated, the image batch sharded over the mesh's ``data`` axis —
+    and ``batch`` is the GLOBAL batch (must divide by
+    ``mesh.shape['data']``; jax.export validates device counts at call
+    time)."""
+    spec_kw, img_kw, jit_kw = {}, {}, {}
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        rep = NamedSharding(mesh, PartitionSpec())
+        dp = NamedSharding(mesh, PartitionSpec("data"))
+        spec_kw = dict(sharding=rep)
+        img_kw = dict(sharding=dp)
+        jit_kw = dict(in_shardings=(jax.tree.map(lambda _: rep, variables),
+                                    dp),
+                      out_shardings=dp)
+    var_specs = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.asarray(a).dtype,
+                                       **spec_kw), variables)
+    img_spec = jax.ShapeDtypeStruct((batch, size, size, in_channels),
+                                    input_dtype, **img_kw)
+    exported = jax_export.export(jax.jit(serve, **jit_kw))(var_specs,
+                                                           img_spec)
+    return exported.serialize()
+
+
+def _serving_variables(model, params, batch_stats, fold_bn,
+                       weights_dtype) -> dict:
+    if fold_bn:
+        from ddti_tpu.train.fold_bn import fold_batchnorm
+        params, batch_stats = fold_batchnorm(model, params, batch_stats)
+    if weights_dtype is not None:
+        params = _cast_floating(params, weights_dtype)
+        batch_stats = _cast_floating(batch_stats, weights_dtype)
+    return {"params": params, "batch_stats": batch_stats}
+
+
 def export_serving_program(model, params: Any, batch_stats: Any, batch: int,
                            size: int, in_channels: int = 1,
                            threshold: float = 0.5, fold_bn: bool = False,
@@ -86,24 +130,14 @@ def export_serving_program(model, params: Any, batch_stats: Any, batch: int,
     params into the module as constants exceeds the remote-compile
     tunnel's request limit (HTTP 413). Use ``export_serving`` (baked) for
     small models / self-contained artifacts."""
-    if fold_bn:
-        from ddti_tpu.train.fold_bn import fold_batchnorm
-        params, batch_stats = fold_batchnorm(model, params, batch_stats)
-    if weights_dtype is not None:
-        params = _cast_floating(params, weights_dtype)
-        batch_stats = _cast_floating(batch_stats, weights_dtype)
-    variables = {"params": params, "batch_stats": batch_stats}
+    variables = _serving_variables(model, params, batch_stats, fold_bn,
+                                   weights_dtype)
 
     def serve(variables, images):
         return serve_body(model, variables, images, threshold)
 
-    var_specs = jax.tree.map(
-        lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.asarray(a).dtype),
-        variables)
-    img_spec = jax.ShapeDtypeStruct((batch, size, size, in_channels),
-                                    input_dtype)
-    exported = jax_export.export(jax.jit(serve))(var_specs, img_spec)
-    return exported.serialize(), variables
+    return export_program(serve, variables, batch, size, in_channels,
+                          input_dtype), variables
 
 
 def export_serving_sharded(model, params: Any, batch_stats: Any, mesh,
@@ -119,34 +153,15 @@ def export_serving_sharded(model, params: Any, batch_stats: Any, mesh,
     divide by ``mesh.shape['data']``.
 
     Returns ``(blob, variables)`` in the weights-as-arguments form; call
-    the deserialized program on a mesh of the same shape (jax.export
-    validates device counts at call time)."""
-    from jax.sharding import NamedSharding, PartitionSpec
-
-    if fold_bn:
-        from ddti_tpu.train.fold_bn import fold_batchnorm
-        params, batch_stats = fold_batchnorm(model, params, batch_stats)
-    if weights_dtype is not None:
-        params = _cast_floating(params, weights_dtype)
-        batch_stats = _cast_floating(batch_stats, weights_dtype)
-    variables = {"params": params, "batch_stats": batch_stats}
+    the deserialized program on a mesh of the same shape."""
+    variables = _serving_variables(model, params, batch_stats, fold_bn,
+                                   weights_dtype)
 
     def serve(variables, images):
         return serve_body(model, variables, images, threshold)
 
-    rep = NamedSharding(mesh, PartitionSpec())
-    dp = NamedSharding(mesh, PartitionSpec("data"))
-    var_specs = jax.tree.map(
-        lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.asarray(a).dtype,
-                                       sharding=rep), variables)
-    img_spec = jax.ShapeDtypeStruct((batch, size, size, in_channels),
-                                    input_dtype, sharding=dp)
-    jitted = jax.jit(serve,
-                     in_shardings=(jax.tree.map(lambda _: rep, variables),
-                                   dp),
-                     out_shardings=dp)
-    exported = jax_export.export(jitted)(var_specs, img_spec)
-    return exported.serialize(), variables
+    return export_program(serve, variables, batch, size, in_channels,
+                          input_dtype, mesh=mesh), variables
 
 
 def load_serving(blob: bytes):

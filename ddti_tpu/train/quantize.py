@@ -100,6 +100,13 @@ def calibrate_conv_amax(model, variables: dict, images) -> dict:
     interceptor collects traced amax values during tracing and returns them
     as outputs), so calibration costs one compile + one step.
     """
+    if getattr(model, "remat", False):
+        # nn.remat re-traces the wrapped blocks under jax.checkpoint; the
+        # amax side-channel dict would then hold tracers from that inner
+        # trace (UnexpectedTracerError once jit retraces). Checkpointing
+        # is a training-memory feature — calibration is one eval forward —
+        # so run it on a remat-free clone (identical params/paths).
+        model = model.clone(remat=False)
 
     def run(variables, images):
         amax: dict = {}
@@ -267,9 +274,7 @@ def export_quantized_program(model, variables: dict, batch: int,
     is then GLOBAL). One export tail for both forms — and callers that
     need several artifacts from one quantization (e.g. the Trainer's
     plain + sharded pair) quantize/calibrate once."""
-    from jax import export as jax_export
-
-    from ddti_tpu.train.export import serve_body
+    from ddti_tpu.train.export import export_program, serve_body
 
     def serve(variables, images):
         return serve_body(
@@ -277,26 +282,8 @@ def export_quantized_program(model, variables: dict, batch: int,
             apply_fn=lambda v, im: quantized_apply(model, v, im,
                                                    train=False))
 
-    spec_sharding = {}
-    img_sharding = {}
-    jit_kw = {}
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec
-        rep = NamedSharding(mesh, PartitionSpec())
-        dp = NamedSharding(mesh, PartitionSpec("data"))
-        spec_sharding = dict(sharding=rep)
-        img_sharding = dict(sharding=dp)
-        jit_kw = dict(in_shardings=(jax.tree.map(lambda _: rep, variables),
-                                    dp),
-                      out_shardings=dp)
-    var_specs = jax.tree.map(
-        lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.asarray(a).dtype,
-                                       **spec_sharding), variables)
-    img_spec = jax.ShapeDtypeStruct((batch, size, size, in_channels),
-                                    input_dtype, **img_sharding)
-    exported = jax_export.export(jax.jit(serve, **jit_kw))(var_specs,
-                                                           img_spec)
-    return exported.serialize()
+    return export_program(serve, variables, batch, size, in_channels,
+                          input_dtype, mesh=mesh)
 
 
 def export_serving_int8(model, params: Any, batch_stats: Any, batch: int,

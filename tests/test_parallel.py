@@ -124,8 +124,13 @@ def test_dryrun_multichip_entrypoint():
     mod.dryrun_multichip(8)
 
 
-def test_trainer_end_to_end_on_mesh(tmp_path, eight_devices):
-    """Full Trainer (train + validate + test) over an 8-device DP mesh."""
+@pytest.mark.parametrize("serving_dtype", ["f32", "bf16", "int8"])
+def test_trainer_end_to_end_on_mesh(tmp_path, eight_devices, serving_dtype):
+    """Full Trainer (train + validate + test) over an 8-device DP mesh,
+    for every --serving_dtype. The engine's export tail is wrapped in
+    ``except Exception`` (export must never fail a run), so a regression
+    in the sharded bf16/int8 branches only surfaces here: assert the
+    sharded bundle exists AND actually serves on the mesh."""
     import os
 
     from ddti_tpu.core import create_logger
@@ -135,7 +140,7 @@ def test_trainer_end_to_end_on_mesh(tmp_path, eight_devices):
     mesh = make_mesh({"data": 8}, eight_devices)
     cfg = Config(epochs=1, batch_size=8, image_size=32, store_size=32,
                  lr=1e-3, model_type="UNet", base_dir=str(tmp_path),
-                 export_serving=True)
+                 export_serving=True, serving_dtype=serving_dtype)
     cfg.make_dirs()
     logger = create_logger(os.path.join(cfg.log_dir, "train_log.log"))
     srcs = tuple(
@@ -153,6 +158,16 @@ def test_trainer_end_to_end_on_mesh(tmp_path, eight_devices):
     from jax import export as jax_export
     exported = jax_export.deserialize(open(spath, "rb").read())
     assert exported.nr_devices == 8
+    # the bundle must load and serve end-to-end on the mesh
+    from ddti_tpu.train.export import load_serving_bundle
+    fn, batch, size, in_dtype = load_serving_bundle(spath)
+    imgs = np.zeros((batch, size, size, 1), in_dtype)
+    masks = np.asarray(fn(imgs))
+    assert masks.shape == (batch, size, size, 1)
+    assert masks.dtype == np.uint8
+    if serving_dtype == "int8":
+        npz = np.load(spath[: -len(".stablehlo")] + ".npz")
+        assert any(k.startswith("quant/") for k in npz.files)
 
 
 def test_fused_epoch_on_mesh(tmp_path, eight_devices):

@@ -126,6 +126,28 @@ def test_int8_masks_match_f32(model_cls):
         assert worst <= 0.1 * scale, f"confident pixel flipped: {worst}"
 
 
+def test_remat_model_quantizes():
+    """Quantizing a remat=True model must not leak tracers: calibration's
+    amax side-channel dict would capture values from nn.remat's inner
+    jax.checkpoint trace (regression: 512^2 --remat checkpoints crashed
+    quantize with UnexpectedTracerError). Calibration runs a remat-free
+    clone; tables and the quantized graph must match the remat=False run
+    exactly (remat never changes params or numerics)."""
+    kw = dict(in_channels=1, out_channels=1, base_filters=8, depth=2)
+    model_r = ResUNet(**kw, remat=True)
+    model_p = ResUNet(**kw)
+    params, stats, x = _init(model_r, shape=(2, 32, 32, 1))
+
+    qv_r = quantize_serving(model_r, params, stats, x)
+    qv_p = quantize_serving(model_p, params, stats, x)
+    jax.tree.map(np.testing.assert_array_equal, qv_r, qv_p)
+
+    out_r = quantized_apply(model_r, qv_r, x, train=False)
+    out_p = quantized_apply(model_p, qv_p, x, train=False)
+    np.testing.assert_allclose(np.asarray(out_r), np.asarray(out_p),
+                               atol=1e-6)
+
+
 def test_conv_transpose_geometry_exact():
     """The k=2/s=2 decoder upconv: int8 interception equals flax
     nn.ConvTranspose bit-for-bit on integer-valued data."""
