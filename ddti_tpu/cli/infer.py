@@ -100,8 +100,11 @@ def main(argv=None) -> int:
         for name in names:
             img = Image.open(os.path.join(args.input_dir, name)).convert("L")
             arr = jnp.asarray(np.asarray(img, np.float32)[..., None] / 255.0)
+            # pass the HOISTED apply_fn: it is a static jit arg of the
+            # sliding-window program, so a fresh lambda per image would
+            # recompile every frame (~minutes each on the TPU tunnel)
             pred = sliding_window_predict(
-                lambda v, x: model.apply(v, x, train=False), variables, arr,
+                apply_fn, variables, arr,
                 window=args.window, stride=args.stride)
             out = np.asarray(pred)[..., 0] * 255
             Image.fromarray(out.astype(np.uint8)).save(

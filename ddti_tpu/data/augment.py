@@ -32,13 +32,12 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ddti_tpu.ops.clahe import clahe_u8
+from ddti_tpu.ops.clahe import clahe_float
 from ddti_tpu.ops.resample import (
     fused_flip_rotate,
     gaussian_blur_17,
     remap,
     resize_bilinear_hw,
-    rotate,
 )
 
 
@@ -120,26 +119,6 @@ def _elastic_one(key, img, mask, cfg: AugmentConfig):
     return (jnp.where(on, img_d, img), jnp.where(on, mask_d, mask))
 
 
-def _flip_one(key, img, mask, cfg):
-    kh, kv = jax.random.split(key)
-    fh = _gate(kh, cfg.p_flip)
-    fv = _gate(kv, cfg.p_flip)
-    img = jnp.where(fh, img[:, ::-1], img)
-    mask = jnp.where(fh, mask[:, ::-1], mask)
-    img = jnp.where(fv, img[::-1, :], img)
-    mask = jnp.where(fv, mask[::-1, :], mask)
-    return img, mask
-
-
-def _rotate_one(key, img, mask, cfg):
-    k_gate, k_ang = jax.random.split(key)
-    ang = _u(k_ang, -180.0, 180.0)
-    img_r = rotate(img, ang, method="nearest")
-    mask_r = rotate(mask, ang, method="nearest")
-    on = _gate(k_gate, cfg.p_rotate)
-    return jnp.where(on, img_r, img), jnp.where(on, mask_r, mask)
-
-
 def _brightness_one(key, img, cfg):
     k_gate, k_f = jax.random.split(key)
     f = _u(k_f, *cfg.brightness)
@@ -171,9 +150,7 @@ def _tgc_one(key, img, cfg):
 
 
 def _clahe_one(key, img, cfg):
-    u8 = jnp.clip(jnp.round(img * 255.0), 0, 255).astype(jnp.uint8)
-    eq = clahe_u8(u8, cfg.clahe_clip, tuple(cfg.clahe_grid))
-    out = eq.astype(jnp.float32) / 255.0
+    out = clahe_float(img, cfg.clahe_clip, tuple(cfg.clahe_grid))
     return jnp.where(_gate(key, cfg.p_clahe), out, img)
 
 

@@ -35,7 +35,10 @@ class MedicalDataset:
     def __init__(self, img_dir: str, mask_dir: str, transform=None):
         self.img_dir = str(img_dir)
         self.mask_dir = str(mask_dir)
-        self.img_names = [p.name for p in sorted(Path(img_dir).rglob("*"))
+        # flat listing (the reference pairs a flat directory,
+        # data_loader.py:13-14); a recursive walk would list files whose
+        # joined path doesn't exist
+        self.img_names = [p.name for p in sorted(Path(img_dir).iterdir())
                           if p.is_file()]
         self.mask_names = [n.split(".jpg")[0] + "_mask.jpg"
                            for n in self.img_names]
@@ -76,11 +79,26 @@ def decode_to_store(dataset: MedicalDataset, store_size=(512, 512),
     h, w = store_size
     n = len(dataset)
     if cache_dir:
-        tag = f"{os.path.basename(dataset.img_dir)}_{n}_{h}x{w}"
+        # key on directory paths + per-file (name, size, mtime) so a
+        # renamed/replaced/regenerated dataset never hits a stale store
+        # (a name-and-count-only tag collides across datasets)
+        import hashlib
+        sig = hashlib.sha1()
+        for d in (dataset.img_dir, dataset.mask_dir):
+            sig.update(os.path.abspath(d).encode())
+        for names, d in ((dataset.img_names, dataset.img_dir),
+                         (dataset.mask_names, dataset.mask_dir)):
+            for nm in names:
+                p = os.path.join(d, nm)
+                st = os.stat(p)
+                sig.update(f"{nm}:{st.st_size}:{st.st_mtime_ns}".encode())
+        tag = (f"{os.path.basename(dataset.img_dir)}_{n}_{h}x{w}_"
+               f"{sig.hexdigest()[:16]}")
         ip = os.path.join(cache_dir, f"{tag}_imgs.u8")
         mp = os.path.join(cache_dir, f"{tag}_masks.u8")
         if (os.path.isfile(ip) and os.path.isfile(mp)
-                and os.path.getsize(ip) == n * h * w):
+                and os.path.getsize(ip) == n * h * w
+                and os.path.getsize(mp) == n * h * w):
             images = np.fromfile(ip, np.uint8).reshape(n, h, w, 1)
             masks = np.fromfile(mp, np.uint8).reshape(n, h, w, 1)
             return images, masks

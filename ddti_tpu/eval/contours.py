@@ -67,10 +67,11 @@ def find_contours(array: np.ndarray, level: float = 0.5) -> list[np.ndarray]:
             segments.append((right, left))
         elif c == 4:
             segments.append((top, right))
-        elif c == 5:  # saddle
-            # default (connectivity='low'): treat center as below level
-            segments.append((top, left))
-            segments.append((bottom, right))
+        elif c == 5:  # saddle: tr and bl above, center treated as BELOW
+            # (skimage default): wrap each high corner separately — the
+            # tr piece pairs like case 4, the bl piece like case 1
+            segments.append((top, right))
+            segments.append((bottom, left))
         elif c == 6:
             segments.append((top, bottom))
         elif c == 7:
@@ -79,9 +80,10 @@ def find_contours(array: np.ndarray, level: float = 0.5) -> list[np.ndarray]:
             segments.append((left, top))
         elif c == 9:
             segments.append((bottom, top))
-        elif c == 10:  # saddle
-            segments.append((left, bottom))
-            segments.append((right, top))
+        elif c == 10:  # saddle: tl and br above, center treated as below —
+            # tl piece pairs like case 8, br piece like case 2
+            segments.append((left, top))
+            segments.append((right, bottom))
         elif c == 11:
             segments.append((right, top))
         elif c == 12:
@@ -95,10 +97,13 @@ def find_contours(array: np.ndarray, level: float = 0.5) -> list[np.ndarray]:
     # a grid vertex produces them) — they would break the chain walk
     segments = [(s, e) for s, e in segments if s != e]
 
-    # chain segments: start -> end adjacency
+    # chain segments: start -> end adjacency (and the reverse, so backward
+    # extension is O(1) per vertex instead of a rescan of all segments)
     starts: dict[tuple, list[int]] = {}
-    for i, (s, _e) in enumerate(segments):
+    ends: dict[tuple, list[int]] = {}
+    for i, (s, e) in enumerate(segments):
         starts.setdefault(s, []).append(i)
+        ends.setdefault(e, []).append(i)
     used = np.zeros(len(segments), bool)
     contours = []
 
@@ -118,16 +123,20 @@ def find_contours(array: np.ndarray, level: float = 0.5) -> list[np.ndarray]:
                 break
             used[nxt] = True
             chain.append(segments[nxt][1])
-        # extend backward (find a segment whose end == chain[0])
-        changed = True
-        while changed:
-            changed = False
-            for j in range(len(segments)):
-                if not used[j] and segments[j][1] == chain[0]:
-                    used[j] = True
-                    chain.insert(0, segments[j][0])
-                    changed = True
+        # extend backward (segments whose end == chain[0])
+        head = []
+        while True:
+            prv = None
+            for j in ends.get(chain[0] if not head else head[-1], ()):
+                if not used[j]:
+                    prv = j
                     break
+            if prv is None:
+                break
+            used[prv] = True
+            head.append(segments[prv][0])
+        if head:
+            chain = list(reversed(head)) + chain
         arr = np.array(chain, np.float64)
         # collapse consecutive duplicate vertices
         if len(arr) > 1:

@@ -54,8 +54,9 @@ def sliding_window_logits(apply_fn, variables, frame: jnp.ndarray, *,
     """Full-resolution logits for one (H, W, C) frame.
 
     ``apply_fn(variables, images)`` must map (N, window, window, C) ->
-    (N, window, window, C_out) logits (pass e.g.
-    ``lambda v, x: model.apply(v, x, train=False)``).
+    (N, window, window, C_out) logits. It is a STATIC jit argument keyed
+    by identity: define it once and reuse it across calls (a fresh
+    ``lambda`` per frame would recompile the whole program every call).
     """
     h, w, c = frame.shape
     pad_h = max(window - h, (-h) % stride if h > window else 0)

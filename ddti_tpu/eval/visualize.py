@@ -24,10 +24,15 @@ def save_boundary_grids(images: np.ndarray, masks: np.ndarray,
     import matplotlib.pyplot as plt
 
     total = images.shape[0]
+    # grid derived from per_fig (4 columns like the reference's 5x4 at the
+    # default 20); a hardcoded 5x4 would IndexError for per_fig > 20
+    ncols = 4
+    nrows = max(-(-per_fig // ncols), 1)
     paths = []
     for batch_start in range(0, total, per_fig):
         n = min(per_fig, total - batch_start)
-        fig, axes = plt.subplots(5, 4, figsize=(16, 20))
+        fig, axes = plt.subplots(nrows, ncols, figsize=(4 * ncols, 4 * nrows),
+                                 squeeze=False)
         axes = axes.flatten()
         for i in range(n):
             idx = batch_start + i
@@ -40,7 +45,7 @@ def save_boundary_grids(images: np.ndarray, masks: np.ndarray,
                 ax.plot(contour[:, 1], contour[:, 0], color="red",
                         linewidth=1)
             ax.axis("off")
-        for j in range(n, per_fig):
+        for j in range(n, len(axes)):
             axes[j].axis("off")
         plt.tight_layout()
         path = os.path.join(result_dir,

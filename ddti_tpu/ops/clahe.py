@@ -50,10 +50,15 @@ def clahe_u8(img_u8: jnp.ndarray, clip_limit: float = 2.0,
     batch = excess // hist_size
     residual = excess - batch * hist_size  # (n_tiles, 1)
     clipped = clipped + batch
-    # cv2: step = max(histSize // residual, 1); for (i=0; i<256; i+=step) h[i]++
+    # cv2: step = max(histSize // residual, 1);
+    #      for (i = 0; i < histSize && residual > 0; i += step, residual--)
+    #          hist[i]++
+    # i.e. bump bins 0, step, 2*step, ... but only the first `residual`
+    # of them (when step underfills, e.g. residual > 128 -> step 1, the
+    # walk stops at bin `residual`, not at 255)
     step = jnp.maximum(hist_size // jnp.maximum(residual, 1), 1)
     idx = jnp.arange(hist_size)[None, :]
-    bump = (residual > 0) & (idx % step == 0)
+    bump = (idx % step == 0) & (idx // step < residual)
     clipped = clipped + bump.astype(jnp.int32)
 
     # --- LUTs ---------------------------------------------------------------
@@ -65,8 +70,10 @@ def clahe_u8(img_u8: jnp.ndarray, clip_limit: float = 2.0,
     luts = luts.reshape(gy, gx, hist_size)
     yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
     xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
-    tyf = (yy + 0.5) / th - 0.5
-    txf = (xx + 0.5) / tw - 0.5
+    # cv2's CLAHE_Interpolation_Body: txf = x * inv_tw - 0.5 (corner
+    # coordinates, no half-pixel shift — verified bit-exact vs cv2)
+    tyf = yy / th - 0.5
+    txf = xx / tw - 0.5
     ty0 = jnp.floor(tyf)
     tx0 = jnp.floor(txf)
     fy = (tyf - ty0)[..., ]

@@ -124,11 +124,20 @@ def load_checkpoint_into(path: str, model_type: str, params: Any,
     if path.endswith(".npz"):
         return load_params_npz(path, params, batch_stats)
     import orbax.checkpoint as ocp
-    restored = ocp.StandardCheckpointer().restore(
-        os.path.abspath(path),
-        {"step": jnp.zeros((), jnp.int32), "params": params,
-         "batch_stats": batch_stats, "opt_state": None})
-    return restored["params"], restored["batch_stats"]
+
+    # restore as-saved (no template): full-state checkpoints carry
+    # step/opt_state too, and a template with opt_state=None trips Orbax's
+    # structure check (this Orbax has no partial_restore); inference only
+    # needs params/batch_stats, cast into the callers' template dtypes
+    restored = ocp.StandardCheckpointer().restore(os.path.abspath(path))
+
+    def cast_like(tmpl, got):
+        return jax.tree.map(
+            lambda t, g: jnp.asarray(g, getattr(t, "dtype", None)),
+            tmpl, got)
+
+    return (cast_like(params, restored["params"]),
+            cast_like(batch_stats, restored["batch_stats"]))
 
 
 def save_variables_npz(path: str, variables: dict) -> None:

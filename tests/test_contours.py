@@ -28,6 +28,23 @@ def test_two_blobs_two_contours():
     assert len(cs) == 2
 
 
+def test_saddle_cells_keep_diagonal_blobs_separate():
+    """Two diagonally-touching foreground pixels create saddle cells
+    (cases 5 and 10); skimage's default resolves the center as BELOW the
+    level, so the blobs must come out as two separate closed contours
+    (regression: the saddles used to pair the low corners and merged
+    them into one)."""
+    for (r0, c0), (r1, c1) in ((((1, 1)), (2, 2)),   # main diag: case 10
+                               (((1, 2)), (2, 1))):  # anti diag: case 5
+        m = np.zeros((5, 5))
+        m[r0, c0] = 1.0
+        m[r1, c1] = 1.0
+        cs = find_contours(m, 0.5)
+        assert len(cs) == 2, f"diagonal pixels {(r0, c0)},{(r1, c1)} merged"
+        for c in cs:
+            assert np.allclose(c[0], c[-1])  # each closed
+
+
 def test_empty_and_full():
     assert find_contours(np.zeros((8, 8)), 0.5) == []
     assert find_contours(np.ones((8, 8)), 0.5) == []
@@ -51,6 +68,22 @@ def test_contour_level_float_field():
     c = cs[0]
     radii = np.hypot(c[:, 0] - 16, c[:, 1] - 16)
     np.testing.assert_allclose(radii, 8.0, atol=0.15)
+
+
+def test_boundary_grids_any_per_fig(tmp_path):
+    """The subplot grid is derived from per_fig (was hardcoded 5x4:
+    per_fig > 20 used to IndexError at the end of a full test pass)."""
+    from ddti_tpu.eval.visualize import save_boundary_grids
+    rng = np.random.default_rng(0)
+    imgs = rng.random((25, 16, 16)).astype(np.float32)
+    masks = (rng.random((25, 16, 16)) > 0.7).astype(np.float32)
+    for per_fig, n_files in ((24, 2), (6, 5)):
+        out = tmp_path / f"pf{per_fig}"
+        out.mkdir()
+        paths = save_boundary_grids(imgs, masks, masks, str(out),
+                                    per_fig=per_fig)
+        assert len(paths) == n_files
+        assert all(p.endswith(".png") for p in paths)
 
 
 def test_soft_mask_values():

@@ -71,14 +71,19 @@ def test_gaussian_blur_matches_cv2(sigma):
     np.testing.assert_allclose(ours, ref, atol=1e-5)
 
 
-@pytest.mark.parametrize("shape,grid", [
-    ((128, 128), (4, 4)), ((64, 128), (2, 4)), ((256, 256), (4, 4)),
+@pytest.mark.parametrize("shape,grid,clip", [
+    ((128, 128), (4, 4), 2.0), ((64, 128), (2, 4), 2.0),
+    ((256, 256), (4, 4), 2.0),
+    # small tiles + large residuals once hid half-pixel-interp and
+    # residual-redistribution divergences inside +-1 rounding
+    ((64, 64), (8, 8), 2.0), ((64, 64), (8, 8), 40.0),
+    ((128, 128), (4, 4), 4.0),
 ])
-def test_clahe_matches_cv2_within_1_level(shape, grid):
+def test_clahe_matches_cv2_exactly(shape, grid, clip):
     img = np.random.default_rng(7).integers(0, 256, shape, np.uint8)
-    ref = cv2.createCLAHE(clipLimit=2.0, tileGridSize=grid[::-1]).apply(img)
-    ours = np.asarray(clahe_u8(jnp.asarray(img), 2.0, grid))
-    assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 1
+    ref = cv2.createCLAHE(clipLimit=clip, tileGridSize=grid[::-1]).apply(img)
+    ours = np.asarray(clahe_u8(jnp.asarray(img), clip, grid))
+    assert np.abs(ours.astype(int) - ref.astype(int)).max() == 0
 
 
 def test_resize_bilinear_identity():

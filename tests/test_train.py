@@ -91,6 +91,31 @@ def test_checkpoint_roundtrip_orbax(tmp_path, tiny_data):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_load_checkpoint_into_orbax_dir(tmp_path, tiny_data):
+    """The infer/quantize CLIs load weights-only from a FULL-state Orbax
+    checkpoint (regression: a template with opt_state=None tripped
+    Orbax's structure check, breaking `infer --checkpoint <orbax_dir>`)."""
+    from ddti_tpu.train.checkpoint import load_checkpoint_into
+
+    cfg = _tiny_cfg(tmp_path)
+    model = create_model("UNet", base_filters=8, depth=3)
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, 32, 32, 1),
+                               cfg.lr, steps_per_epoch=10)
+    path = os.path.join(tmp_path, "ckpt_full")
+    save_checkpoint(path, state)
+
+    tmpl = jax.eval_shape(
+        lambda: model.init({"params": jax.random.PRNGKey(7)},
+                           jnp.zeros((1, 32, 32, 1)), train=False))
+    params, stats = load_checkpoint_into(path, "UNet", tmpl["params"],
+                                         tmpl["batch_stats"])
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(state.batch_stats),
+                    jax.tree.leaves(stats)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_npz_weights_roundtrip(tmp_path):
     model = create_model("ResUNet", base_filters=8, depth=3)
     v = model.init({"params": jax.random.PRNGKey(0)},
