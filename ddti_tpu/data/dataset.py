@@ -59,6 +59,31 @@ class MedicalDataset:
         return img, mask
 
 
+def store_cache_paths(dataset: MedicalDataset, store_size=(512, 512),
+                      cache_dir: str = ".store_cache") -> tuple[str, str]:
+    """THE cache key for a dataset's decoded ``.u8`` store (shared by
+    ``decode_to_store`` and ``decode_to_store_files`` — one derivation, so
+    the array and streaming paths always agree). Keys on directory paths +
+    per-file (name, size, mtime): a renamed/replaced/regenerated dataset
+    never hits a stale store (a name-and-count-only tag collides across
+    datasets)."""
+    import hashlib
+
+    h, w = store_size
+    sig = hashlib.sha1()
+    for d in (dataset.img_dir, dataset.mask_dir):
+        sig.update(os.path.abspath(d).encode())
+    for names, d in ((dataset.img_names, dataset.img_dir),
+                     (dataset.mask_names, dataset.mask_dir)):
+        for nm in names:
+            st = os.stat(os.path.join(d, nm))
+            sig.update(f"{nm}:{st.st_size}:{st.st_mtime_ns}".encode())
+    tag = (f"{os.path.basename(dataset.img_dir)}_{len(dataset)}_{h}x{w}_"
+           f"{sig.hexdigest()[:16]}")
+    return (os.path.join(cache_dir, f"{tag}_imgs.u8"),
+            os.path.join(cache_dir, f"{tag}_masks.u8"))
+
+
 def decode_to_store(dataset: MedicalDataset, store_size=(512, 512),
                     dtype=np.uint8, cache_dir: str | None = None,
                     use_native: bool = True
@@ -79,23 +104,7 @@ def decode_to_store(dataset: MedicalDataset, store_size=(512, 512),
     h, w = store_size
     n = len(dataset)
     if cache_dir:
-        # key on directory paths + per-file (name, size, mtime) so a
-        # renamed/replaced/regenerated dataset never hits a stale store
-        # (a name-and-count-only tag collides across datasets)
-        import hashlib
-        sig = hashlib.sha1()
-        for d in (dataset.img_dir, dataset.mask_dir):
-            sig.update(os.path.abspath(d).encode())
-        for names, d in ((dataset.img_names, dataset.img_dir),
-                         (dataset.mask_names, dataset.mask_dir)):
-            for nm in names:
-                p = os.path.join(d, nm)
-                st = os.stat(p)
-                sig.update(f"{nm}:{st.st_size}:{st.st_mtime_ns}".encode())
-        tag = (f"{os.path.basename(dataset.img_dir)}_{n}_{h}x{w}_"
-               f"{sig.hexdigest()[:16]}")
-        ip = os.path.join(cache_dir, f"{tag}_imgs.u8")
-        mp = os.path.join(cache_dir, f"{tag}_masks.u8")
+        ip, mp = store_cache_paths(dataset, store_size, cache_dir)
         if (os.path.isfile(ip) and os.path.isfile(mp)
                 and os.path.getsize(ip) == n * h * w
                 and os.path.getsize(mp) == n * h * w):
@@ -145,11 +154,10 @@ def decode_to_store_files(dataset: MedicalDataset, store_size=(512, 512),
     (contrast decode_to_store, which returns them)."""
     h, w = store_size
     n = len(dataset)
-    tag = f"{os.path.basename(dataset.img_dir)}_{n}_{h}x{w}"
-    ip = os.path.join(cache_dir, f"{tag}_imgs.u8")
-    mp = os.path.join(cache_dir, f"{tag}_masks.u8")
+    ip, mp = store_cache_paths(dataset, store_size, cache_dir)
     if not (os.path.isfile(ip) and os.path.isfile(mp)
-            and os.path.getsize(ip) == n * h * w):
+            and os.path.getsize(ip) == n * h * w
+            and os.path.getsize(mp) == n * h * w):
         decode_to_store(dataset, store_size, cache_dir=cache_dir)
     return ip, mp, n
 

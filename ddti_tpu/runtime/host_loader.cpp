@@ -21,8 +21,8 @@
 #include <cstdio>
 #include <cstring>
 #include <fcntl.h>
+#include <map>
 #include <mutex>
-#include <queue>
 #include <random>
 #include <sys/mman.h>
 #include <sys/stat.h>
@@ -81,6 +81,8 @@ class Loader {
         num_threads_(threads < 1 ? 1 : threads) {}
 
   bool open(const char* imgs, const char* masks) {
+    if (n_ <= 0 || batch_ <= 0 || steps_per_epoch() <= 0)
+      return false;  // drop_last with n < batch, or an empty store
     size_t expect = static_cast<size_t>(n_) * item_;
     if (!imgs_.open(imgs, expect) || !masks_.open(masks, expect))
       return false;
@@ -90,16 +92,23 @@ class Loader {
     return true;
   }
 
-  // Blocks until a batch is ready; copies into caller buffers.
+  // Blocks until THE NEXT batch (in ticket order) is ready; copies it into
+  // the caller buffers. Delivery is strictly sequential — (epoch 0, step
+  // 0), (0, 1), ... — regardless of which worker finished first, so the
+  // documented deterministic per-epoch shuffle is what the consumer sees.
   // Returns the epoch index of the batch, or -1 after destroy().
   long next(uint8_t* imgs_out, uint8_t* masks_out) {
     std::unique_lock<std::mutex> lk(mu_);
-    ready_cv_.wait(lk, [this] { return stop_ || !queue_.empty(); });
-    if (stop_ && queue_.empty()) return -1;
-    Batch b = std::move(queue_.front());
-    queue_.pop();
+    ready_cv_.wait(lk, [this] {
+      return stop_ || done_.count(next_pop_) != 0;
+    });
+    auto it = done_.find(next_pop_);
+    if (it == done_.end()) return -1;  // stopped with nothing pending
+    Batch b = std::move(it->second);
+    done_.erase(it);
+    ++next_pop_;
     lk.unlock();
-    space_cv_.notify_one();
+    space_cv_.notify_all();
     std::memcpy(imgs_out, b.imgs.data(), b.imgs.size());
     std::memcpy(masks_out, b.masks.data(), b.masks.size());
     return b.epoch;
@@ -120,9 +129,19 @@ class Loader {
 
  private:
   // Each claim hands a worker one batch slot (epoch, step); epochs are
-  // reshuffled deterministically from (seed, epoch).
-  bool claim(long& epoch, long& step) {
-    long ticket = ticket_.fetch_add(1);
+  // reshuffled deterministically from (seed, epoch). Claiming waits until
+  // fewer than queue_depth_ tickets are in flight (claimed but not yet
+  // popped), so host memory is bounded at queue_depth_ batches total —
+  // built or building — with no over-push race between workers. Returns
+  // false on stop.
+  bool claim(long& ticket, long& epoch, long& step) {
+    std::unique_lock<std::mutex> lk(mu_);
+    space_cv_.wait(lk, [this] {
+      return stop_ ||
+             next_ticket_ - next_pop_ < static_cast<long>(queue_depth_);
+    });
+    if (stop_) return false;
+    ticket = next_ticket_++;
     long steps = steps_per_epoch();
     epoch = ticket / steps;
     step = ticket % steps;
@@ -147,15 +166,8 @@ class Loader {
     std::vector<int> perm;
     long cached_epoch = -1;
     while (true) {
-      {
-        std::unique_lock<std::mutex> lk(mu_);
-        space_cv_.wait(lk, [this] {
-          return stop_ || queue_.size() < static_cast<size_t>(queue_depth_);
-        });
-        if (stop_) return;
-      }
-      long epoch, step;
-      claim(epoch, step);
+      long ticket, epoch, step;
+      if (!claim(ticket, epoch, step)) return;
       if (epoch != cached_epoch) {
         fill_perm(perm, epoch);
         cached_epoch = epoch;
@@ -176,9 +188,9 @@ class Loader {
       {
         std::lock_guard<std::mutex> lk(mu_);
         if (stop_) return;
-        queue_.push(std::move(b));
+        done_.emplace(ticket, std::move(b));
       }
-      ready_cv_.notify_one();
+      ready_cv_.notify_all();
     }
   }
 
@@ -192,10 +204,11 @@ class Loader {
 
   MappedFile imgs_, masks_;
   std::vector<std::thread> workers_;
-  std::queue<Batch> queue_;
+  std::map<long, Batch> done_;  // finished batches keyed by ticket
   std::mutex mu_;
   std::condition_variable ready_cv_, space_cv_;
-  std::atomic<long> ticket_{0};
+  long next_ticket_ = 0;  // next slot to claim (guarded by mu_)
+  long next_pop_ = 0;     // next ticket the consumer delivers
   bool stop_ = false;
 };
 
@@ -309,6 +322,11 @@ static bool decode_one_jpeg(const char* path, std::vector<float>& pixels,
   if (!f) return false;
   jpeg_decompress_struct cinfo;
   JpegErrorMgr jerr;
+  // `row` is constructed BEFORE setjmp: a longjmp from mid-decode must not
+  // jump over a live object's initialization (UB + leaked buffer); landing
+  // back here with `row` already constructed lets its destructor run on
+  // the normal error-return path below.
+  std::vector<uint8_t> row;
   cinfo.err = jpeg_std_error(&jerr.mgr);
   jerr.mgr.error_exit = jpeg_error_exit;
   if (setjmp(jerr.jb)) {
@@ -324,7 +342,7 @@ static bool decode_one_jpeg(const char* path, std::vector<float>& pixels,
   h = cinfo.output_height;
   w = cinfo.output_width;
   pixels.resize(static_cast<size_t>(h) * w);
-  std::vector<uint8_t> row(w);
+  row.resize(w);
   uint8_t* rowp = row.data();
   while (cinfo.output_scanline < cinfo.output_height) {
     const int y = cinfo.output_scanline;

@@ -23,12 +23,23 @@ _lib = None
 
 
 def build_library(force: bool = False) -> str:
-    """Compile libhostloader.so with make/g++ if not present."""
+    """Compile libhostloader.so with make/g++ if not present. Guarded by a
+    thread lock AND a cross-process file lock: concurrent processes
+    (multi-host launches, parallel test workers) must not run `make` on
+    the same .so at once — one would dlopen a half-written library."""
     with _build_lock:
-        if force or not os.path.isfile(_LIB_PATH):
-            subprocess.run(["make", "-C", _HERE, "-s"]
-                           + (["-B"] if force else []),
-                           check=True, capture_output=True)
+        if not force and os.path.isfile(_LIB_PATH):
+            return _LIB_PATH
+        import fcntl
+        with open(os.path.join(_HERE, ".build.lock"), "w") as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            try:
+                if force or not os.path.isfile(_LIB_PATH):
+                    subprocess.run(["make", "-C", _HERE, "-s"]
+                                   + (["-B"] if force else []),
+                                   check=True, capture_output=True)
+            finally:
+                fcntl.flock(lockf, fcntl.LOCK_UN)
     return _LIB_PATH
 
 
@@ -156,7 +167,13 @@ class NativeSource:
 
     def __iter__(self):
         for _ in range(self.loader.steps_per_epoch):
-            imgs, masks, _ = self.loader.next()
+            try:
+                imgs, masks, _ = self.loader.next()
+            except StopIteration:
+                # loader stopped (closed concurrently): end the epoch
+                # cleanly — a StopIteration escaping a generator body is
+                # a RuntimeError under PEP 479
+                return
             yield imgs, masks
 
 

@@ -171,8 +171,15 @@ class Trainer:
         jax assembles the global batch-sharded array without cross-host
         copies (parallel/multihost.py:process_local_batch)."""
         from ddti_tpu.parallel import process_local_batch
+        nproc = jax.process_count()
+        if images.shape[0] % nproc:
+            # a silent floor-divide would drop the tail rows of EVERY
+            # batch with no error; demand an even split instead
+            raise ValueError(
+                f"batch_size {images.shape[0]} must divide evenly by the "
+                f"{nproc} processes in a multi-host run")
         pid = jax.process_index()
-        per = images.shape[0] // jax.process_count()
+        per = images.shape[0] // nproc
         lo = pid * per
         return process_local_batch(
             (np.asarray(images)[lo:lo + per],
@@ -250,11 +257,9 @@ class Trainer:
     def _train_one_epoch_fused(self, epoch: int):
         """One dispatch for the whole epoch: scan over precomputed batch
         index arrays (dataset resident in HBM)."""
-        import numpy as np_
-
         src = self.train_src
-        idx = np_.stack(list(src.epoch_batches(self.rng,
-                                               self.config.batch_size)))
+        idx = np.stack(list(src.epoch_batches(self.rng,
+                                              self.config.batch_size)))
         idx = jax.numpy.asarray(idx)
         if self.mesh is not None:
             # shard the within-step batch axis over "data": the store is
@@ -334,84 +339,104 @@ class Trainer:
                         self.state.batch_stats)
         self._maybe_export_pth(last + ".pth")
         if getattr(cfg, "export_serving", False):
-            try:
-                from .export import export_serving_program, save_serving
-                path = os.path.join(cfg.model_dir,
-                                    f"{cfg.model_type}_serving.stablehlo")
-                save_serving(path, self.model, self.state.params,
-                             self.state.batch_stats, batch=cfg.batch_size,
-                             size=cfg.image_size)
-                # weights-as-arguments program (flagship-scale deployment:
-                # small StableHLO program + paired .npz weight bundle; see
-                # train/export.py). cli/infer.py consumes this pair directly
-                # (--checkpoint <...>.stablehlo).
-                sd = getattr(cfg, "serving_dtype", "f32")
-                wd = jax.numpy.bfloat16 if sd == "bf16" else None
-                variables_q = None
-                if sd == "int8":
-                    # int8 MXU serving (train/quantize.py): BN-folded,
-                    # per-channel int8 weights, activation scales from one
-                    # calibration batch of validation images. Quantize +
-                    # calibrate ONCE; both the plain and (below) the
-                    # sharded artifact export from the same variables.
-                    from .quantize import (export_quantized_program,
-                                           quantize_serving)
-                    variables_q = quantize_serving(
-                        self.model, self.state.params,
-                        self.state.batch_stats,
-                        self._calibration_batch(),
-                        min_channels=getattr(cfg, "quant_min_channels", 0))
-                    variables = variables_q
-                    blob = export_quantized_program(
-                        self.model, variables_q, batch=cfg.batch_size,
-                        size=cfg.image_size,
-                        input_dtype=jax.numpy.float32)
-                else:
-                    blob, variables = export_serving_program(
-                        self.model, self.state.params,
-                        self.state.batch_stats, batch=cfg.batch_size,
-                        size=cfg.image_size, weights_dtype=wd)
-                ppath = os.path.join(
-                    cfg.model_dir, f"{cfg.model_type}_serving_program"
-                                   ".stablehlo")
-                with open(ppath, "wb") as f:
-                    f.write(blob)
-                from .checkpoint import save_variables_npz
-                save_variables_npz(ppath[: -len(".stablehlo")] + ".npz",
-                                   variables)
-                if (self.mesh is not None
-                        and self.mesh.shape.get("data", 1) > 1):
-                    # the run trained on a mesh: also export a scale-out
-                    # serving program with GSPMD shardings baked in
-                    # (weights replicated, batch sharded over 'data');
-                    # int8 runs get the quantized sharded graph
-                    if sd == "int8":
-                        sblob = export_quantized_program(
-                            self.model, variables_q,
-                            batch=cfg.batch_size, size=cfg.image_size,
-                            input_dtype=jax.numpy.float32, mesh=self.mesh)
-                        svars = variables_q
-                    else:
-                        from .export import export_serving_sharded
-                        sblob, svars = export_serving_sharded(
-                            self.model, self.state.params,
-                            self.state.batch_stats, self.mesh,
-                            batch=cfg.batch_size, size=cfg.image_size,
-                            weights_dtype=wd)
-                    spath = os.path.join(
-                        cfg.model_dir, f"{cfg.model_type}_serving_sharded"
-                                       ".stablehlo")
-                    with open(spath, "wb") as f:
-                        f.write(sblob)
-                    save_variables_npz(
-                        spath[: -len(".stablehlo")] + ".npz", svars)
-                self.logger.info(f"--Serving artifacts exported to {path} "
-                                 f"and {ppath}")
-            except Exception as e:  # export must never fail the run
-                self.logger.warning(f"serving export failed: {e}")
+            self._export_serving_artifacts()
         if self._ckpt_manager is not None:
             self._ckpt_manager.close()
         self.writer.close()
+
+    def _export_serving_artifacts(self) -> None:
+        """Write the serving artifacts. Each artifact is guarded
+        independently (export must never fail the run), and the
+        weights-as-arguments program — the only loadable form at
+        flagship scale — exports FIRST so a failure in the optional
+        baked-constants form cannot mask it."""
+        cfg = self.config
+        sd = getattr(cfg, "serving_dtype", "f32")
+        wd = jax.numpy.bfloat16 if sd == "bf16" else None
+        from .checkpoint import save_variables_npz
+        from .export import export_serving_program, save_serving
+
+        ppath = os.path.join(
+            cfg.model_dir, f"{cfg.model_type}_serving_program.stablehlo")
+        variables_q = None
+        try:
+            # weights-as-arguments program (flagship-scale deployment:
+            # small StableHLO program + paired .npz weight bundle; see
+            # train/export.py). cli/infer.py consumes this pair directly
+            # (--checkpoint <...>.stablehlo).
+            if sd == "int8":
+                # int8 MXU serving (train/quantize.py): BN-folded,
+                # per-channel int8 weights, activation scales from one
+                # calibration batch of validation images. Quantize +
+                # calibrate ONCE; both the plain and (below) the
+                # sharded artifact export from the same variables.
+                from .quantize import (export_quantized_program,
+                                       quantize_serving)
+                variables_q = quantize_serving(
+                    self.model, self.state.params,
+                    self.state.batch_stats,
+                    self._calibration_batch(),
+                    min_channels=getattr(cfg, "quant_min_channels", 0))
+                variables = variables_q
+                blob = export_quantized_program(
+                    self.model, variables_q, batch=cfg.batch_size,
+                    size=cfg.image_size, input_dtype=jax.numpy.float32)
+            else:
+                blob, variables = export_serving_program(
+                    self.model, self.state.params,
+                    self.state.batch_stats, batch=cfg.batch_size,
+                    size=cfg.image_size, weights_dtype=wd)
+            with open(ppath, "wb") as f:
+                f.write(blob)
+            save_variables_npz(ppath[: -len(".stablehlo")] + ".npz",
+                               variables)
+            self.logger.info(f"--Serving artifacts exported to {ppath}")
+        except Exception as e:
+            self.logger.warning(f"serving program export failed: {e}")
+
+        if self.mesh is not None and self.mesh.shape.get("data", 1) > 1:
+            # the run trained on a mesh: also export a scale-out serving
+            # program with GSPMD shardings baked in (weights replicated,
+            # batch sharded over 'data'); int8 runs get the quantized
+            # sharded graph
+            try:
+                if sd == "int8" and variables_q is not None:
+                    from .quantize import export_quantized_program
+                    sblob = export_quantized_program(
+                        self.model, variables_q,
+                        batch=cfg.batch_size, size=cfg.image_size,
+                        input_dtype=jax.numpy.float32, mesh=self.mesh)
+                    svars = variables_q
+                else:
+                    from .export import export_serving_sharded
+                    sblob, svars = export_serving_sharded(
+                        self.model, self.state.params,
+                        self.state.batch_stats, self.mesh,
+                        batch=cfg.batch_size, size=cfg.image_size,
+                        weights_dtype=wd)
+                spath = os.path.join(
+                    cfg.model_dir,
+                    f"{cfg.model_type}_serving_sharded.stablehlo")
+                with open(spath, "wb") as f:
+                    f.write(sblob)
+                save_variables_npz(
+                    spath[: -len(".stablehlo")] + ".npz", svars)
+                self.logger.info(f"--Sharded serving artifact: {spath}")
+            except Exception as e:
+                self.logger.warning(f"sharded serving export failed: {e}")
+
+        try:
+            # self-contained baked-weights artifact (small models only:
+            # flagship-scale constants exceed the remote-compile request
+            # limit, see export_serving_program's docstring)
+            path = os.path.join(cfg.model_dir,
+                                f"{cfg.model_type}_serving.stablehlo")
+            save_serving(path, self.model, self.state.params,
+                         self.state.batch_stats, batch=cfg.batch_size,
+                         size=cfg.image_size)
+            self.logger.info(f"--Baked serving artifact: {path}")
+        except Exception as e:
+            self.logger.warning(f"baked serving export failed: {e}")
 
     def _maybe_export_pth(self, path: str) -> None:
         """Also export reference-format .pth weights (torch interop) so the
@@ -433,6 +458,13 @@ class Trainer:
         reference's shuffle=True quirk via the rng permutation."""
         self.logger.info(
             "------------------Starting Testing Model------------------")
+        if visualize and self._multihost and jax.process_count() > 1:
+            # per-batch outputs are globally sharded across hosts;
+            # np.asarray on a non-addressable array raises. Metrics (device
+            # psum) still work — only the host-side grids are skipped.
+            self.logger.info("visualization skipped in multi-host runs "
+                             "(outputs span non-addressable devices)")
+            visualize = False
         all_imgs, all_masks, all_preds = [], [], []
         counts_total = None
         for images, masks in self._iter_batches(self.test_src,

@@ -68,6 +68,37 @@ def test_multiple_epochs_reshuffle(store):
     assert epochs == [0, 0, 0, 1, 1, 1, 2]
 
 
+def test_zero_steps_rejected(store):
+    """drop_last with n < batch (and any empty store) must fail loader
+    creation cleanly — regression: a worker thread divided by
+    steps_per_epoch == 0 and SIGFPE'd the whole process."""
+    (ip, mp), _, _ = store
+    with pytest.raises(OSError):
+        NativeBatchLoader(ip, mp, 10, 32, 32, batch=32, drop_last=True)
+
+
+def test_multithreaded_delivery_is_ordered(store):
+    """Batches arrive in (epoch, step) ticket order regardless of worker
+    count — regression: completion-order delivery interleaved epochs and
+    broke run-to-run determinism for num_threads > 1."""
+    (ip, mp), _, _ = store
+
+    def run(threads):
+        out = []
+        with NativeBatchLoader(ip, mp, 10, 32, 32, 4, seed=11,
+                               num_threads=threads, queue_depth=3) as ld:
+            for _ in range(3 * ld.steps_per_epoch):
+                bi, _, epoch = ld.next()
+                out.append((epoch, bi.copy()))
+        return out
+
+    a, b = run(1), run(4)
+    assert [e for e, _ in a] == [0, 0, 0, 1, 1, 1, 2, 2, 2]
+    assert [e for e, _ in b] == [e for e, _ in a]
+    for (_, x), (_, y) in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+
+
 def test_bad_path_raises():
     with pytest.raises(OSError):
         NativeBatchLoader("/nonexistent/a.u8", "/nonexistent/b.u8",
