@@ -22,6 +22,30 @@ import sys
 import time
 
 
+def _maybe_overlay(args, name: str, mask) -> None:
+    """--overlay output: the original grayscale image with the predicted
+    contours drawn in red (marching-squares, eval/contours.py), written as
+    ``<name>_overlay.png``. ``mask`` is the final binary mask at the
+    ORIGINAL image resolution (bool/0-255 array or PIL image)."""
+    if not getattr(args, "overlay", False):
+        return
+    import numpy as np
+    from PIL import Image
+
+    from ddti_tpu.eval.contours import find_contours
+
+    gray = np.asarray(
+        Image.open(os.path.join(args.input_dir, name)).convert("L"))
+    rgb = np.repeat(gray[..., None], 3, axis=-1).copy()
+    m = (np.asarray(mask) > 0).astype(np.float32)
+    for c in find_contours(m, 0.5):
+        rr = np.clip(np.round(c[:, 0]).astype(int), 0, rgb.shape[0] - 1)
+        cc = np.clip(np.round(c[:, 1]).astype(int), 0, rgb.shape[1] - 1)
+        rgb[rr, cc] = (255, 0, 0)
+    Image.fromarray(rgb).save(os.path.join(
+        args.output_dir, os.path.splitext(name)[0] + "_overlay.png"))
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint", required=True)
@@ -110,6 +134,7 @@ def main(argv=None) -> int:
             Image.fromarray(out.astype(np.uint8)).save(
                 os.path.join(args.output_dir,
                              os.path.splitext(name)[0] + "_pred.png"))
+            _maybe_overlay(args, name, out)
             n_done += 1
     else:
         size = args.image_size
@@ -129,6 +154,7 @@ def main(argv=None) -> int:
                 m.save(os.path.join(
                     args.output_dir,
                     os.path.splitext(name)[0] + "_pred.png"))
+                _maybe_overlay(args, name, m)
                 n_done += 1
             batch.clear()
             metas.clear()
@@ -202,6 +228,7 @@ def _infer_serving_bundle(args) -> int:
             m = m.resize(orig_size, Image.NEAREST)
             m.save(os.path.join(args.output_dir,
                                 os.path.splitext(name)[0] + "_pred.png"))
+            _maybe_overlay(args, name, m)
             n_done += 1
     dt = time.perf_counter() - t0
     print(f"served {n_done} images in {dt:.1f}s "
@@ -231,7 +258,8 @@ def _serve_bundle_tiled(args, serve, batch_n, window, in_dtype,
         h, w = frame.shape
         pad_h = max(window - h, (-h) % stride if h > window else 0)
         pad_w = max(window - w, (-w) % stride if w > window else 0)
-        padded = np.pad(frame, ((0, pad_h), (0, pad_w)), mode="reflect")
+        from ddti_tpu.eval.sliding_window import reflect_pad_2d
+        padded = reflect_pad_2d(frame, pad_h, pad_w)
         ph, pw = padded.shape
         coords = [(y, x) for y in _tile_positions(ph, window, stride)
                   for x in _tile_positions(pw, window, stride)]
@@ -257,6 +285,7 @@ def _serve_bundle_tiled(args, serve, batch_n, window, in_dtype,
         mask = ((acc / norm)[:h, :w] > 0.5).astype(np.uint8) * 255
         Image.fromarray(mask).save(os.path.join(
             args.output_dir, os.path.splitext(name)[0] + "_pred.png"))
+        _maybe_overlay(args, name, mask)
         n_done += 1
     dt = time.perf_counter() - t0
     print(f"served {n_done} frames tiled in {dt:.1f}s "

@@ -308,6 +308,13 @@ def main(argv=None) -> int:
 
     trainer = Trainer(cfg, sources, logger, model, mesh=mesh)
 
+    if ((args.resume or cfg.checkpoint_path)
+            and not os.path.exists(cfg.checkpoint_path or "")):
+        # an explicitly requested warm start / resume must not silently
+        # fall through to a fresh random init
+        raise FileNotFoundError(
+            f"--checkpoint_path {cfg.checkpoint_path!r} does not exist"
+            + (" (required by --resume)" if args.resume else ""))
     if cfg.checkpoint_path and os.path.exists(cfg.checkpoint_path):
         if cfg.checkpoint_path.endswith(".pth"):
             # reference-format torch weights: weights-only warm start

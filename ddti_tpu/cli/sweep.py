@@ -21,12 +21,15 @@ import sys
 import time
 
 
-def run_jobs(commands: list[list[str]], max_jobs: int = 3,
+def run_jobs(commands: list, max_jobs: int = 3,
              min_gap: float = 1.0, env=None, retries: int = 0) -> list[int]:
     """Launch commands with a concurrency cap + launch stagger; returns
-    return codes in input order. ``retries`` re-launches failed jobs up to
-    that many times (simple failure recovery — the reference's sweep has
-    none: a crashed job just dies, run.sh:27)."""
+    return codes in input order. A command is either an argv list (exec'd
+    directly) or a string (run through the shell — commands-file lines may
+    use redirects/pipes like the reference's run.sh jobs). ``retries``
+    re-launches failed jobs up to that many times (simple failure
+    recovery — the reference's sweep has none: a crashed job just dies,
+    run.sh:27)."""
     if retries:
         codes = run_jobs(commands, max_jobs, min_gap, env, retries=0)
         for _ in range(retries):
@@ -67,9 +70,11 @@ def run_jobs(commands: list[list[str]], max_jobs: int = 3,
         gap = time.time() - last_start
         if gap < min_gap:
             time.sleep(min_gap - gap)
-        print(f"[{time.strftime('%H:%M:%S')}] RUN  ->  "
-              f"{' '.join(shlex.quote(c) for c in cmd)}")
-        running.append((idx, subprocess.Popen(cmd, env=env)))
+        shown = cmd if isinstance(cmd, str) else " ".join(
+            shlex.quote(c) for c in cmd)
+        print(f"[{time.strftime('%H:%M:%S')}] RUN  ->  {shown}")
+        running.append((idx, subprocess.Popen(
+            cmd, env=env, shell=isinstance(cmd, str))))
         last_start = time.time()
 
     while running:
@@ -101,11 +106,13 @@ def main(argv=None) -> int:
                 cmd += shlex.split(args.extra)
             commands.append(cmd)
     if args.commands_file:
+        # lines run through the shell, as documented ("one shell command
+        # per line") — redirects/pipes/env prefixes work
         with open(args.commands_file) as f:
             for line in f:
                 line = line.strip()
                 if line and not line.startswith("#"):
-                    commands.append(shlex.split(line))
+                    commands.append(line)
     if not commands:
         print("nothing to run (pass --config_dir or --commands_file)")
         return 1

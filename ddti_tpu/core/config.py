@@ -125,6 +125,14 @@ class Config:
             raise FileNotFoundError(f"config file not found: {path}")
         with open(path) as f:
             doc = yaml.safe_load(f)
+        if not isinstance(doc, dict):
+            # e.g. the UNSPLIT 70-entry sweep matrix (a YAML list) or an
+            # empty file — fail with a usable message instead of a raw
+            # AttributeError
+            raise ValueError(
+                f"{path} is not a single-run config (got "
+                f"{type(doc).__name__}); split the sweep matrix first: "
+                f"python -m ddti_tpu.cli.split_config <matrix.yaml> <dir>")
         model = doc.get("model", {})
         if "model_type" in model:
             self.model_type = model["model_type"]

@@ -38,6 +38,25 @@ def _tile_positions(size: int, window: int, stride: int) -> np.ndarray:
     return np.array(starts)
 
 
+def reflect_pad_2d(frame, pad_h: int, pad_w: int):
+    """Right/bottom reflect-pad of an (H, W[, C]) array that works for ANY
+    pad size: numpy/jnp ``mode="reflect"`` rejects pads > dim-1 (frames
+    smaller than ~half the window crashed), so large pads reflect
+    iteratively — each pass mirrors up to the current size - 1."""
+    xp = jnp if isinstance(frame, jnp.ndarray) else np
+    while pad_h > 0 or pad_w > 0:
+        h, w = frame.shape[0], frame.shape[1]
+        step_h = min(pad_h, h - 1)
+        step_w = min(pad_w, w - 1)
+        if step_h == 0 and step_w == 0:
+            raise ValueError(f"cannot reflect-pad a {frame.shape} frame")
+        pads = ((0, step_h), (0, step_w)) + ((0, 0),) * (frame.ndim - 2)
+        frame = xp.pad(frame, pads, mode="reflect")
+        pad_h -= step_h
+        pad_w -= step_w
+    return frame
+
+
 def _importance(window: int) -> np.ndarray:
     """Separable squared-sine (Hann) importance map, floored to keep the
     corners nonzero."""
@@ -61,8 +80,7 @@ def sliding_window_logits(apply_fn, variables, frame: jnp.ndarray, *,
     h, w, c = frame.shape
     pad_h = max(window - h, (-h) % stride if h > window else 0)
     pad_w = max(window - w, (-w) % stride if w > window else 0)
-    padded = jnp.pad(frame, ((0, pad_h), (0, pad_w), (0, 0)),
-                     mode="reflect")
+    padded = reflect_pad_2d(frame, pad_h, pad_w)
     ph, pw, _ = padded.shape
 
     ys = _tile_positions(ph, window, stride)

@@ -261,6 +261,10 @@ class TransformerEncoderLayer(nn.Module):
         if use_flash:
             # Pallas tiled online-softmax kernel: O(S*D) memory — use for
             # long bottleneck sequences (shallow depth at high res).
+            # NOTE: the flash kernels do NOT drop attention probabilities
+            # (torch MHA's dropout=p on the softmax weights); out_proj/FF
+            # dropout still applies. The default auto threshold keeps the
+            # reference configs (S <= 256) on the exact-parity path below.
             from ddti_tpu.ops.attention import flash_attention
             y = flash_attention(q, k, v).astype(x.dtype)
         else:
@@ -269,6 +273,10 @@ class TransformerEncoderLayer(nn.Module):
                               preferred_element_type=jnp.float32)
             attn = attn / jnp.sqrt(jnp.asarray(hd, attn.dtype))
             attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+            # torch nn.TransformerEncoderLayer passes its dropout rate into
+            # MultiheadAttention: the PROBABILITIES are dropped too
+            # (mod.py:309 semantics), not just the projected output
+            attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
             y = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
                            preferred_element_type=jnp.float32).astype(x.dtype)
         y = y.transpose(0, 2, 1, 3).reshape(b, s, e)
@@ -288,21 +296,7 @@ class TransformerEncoderLayer(nn.Module):
         return out
 
 
-class SEBlock(nn.Module):
-    """Squeeze-and-excitation channel gate (used by the legacy triple-branch
-    ImprovedVNet, /root/reference/models/vnet.py:5-23)."""
-
-    features: int
-    reduction: int = 16
-    dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, x):
-        s = jnp.mean(x, axis=(1, 2))  # NHWC -> NC
-        s = nn.Dense(max(self.features // self.reduction, 1), use_bias=True,
-                     dtype=self.dtype, name="fc1")(s)
-        s = nn.relu(s)
-        s = nn.Dense(self.features, use_bias=True, dtype=self.dtype,
-                     name="fc2")(s)
-        s = jax.nn.sigmoid(s)
-        return x * s[:, None, None, :]
+# NOTE: the squeeze-and-excitation gates live with their models —
+# models/legacy.py and models/mores.py each define the conv-based SEBlock
+# matching the torch parameter shapes (1x1 conv kernels, not Dense); a
+# Dense-based variant here would silently break .pth interop.

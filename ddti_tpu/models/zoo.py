@@ -379,11 +379,6 @@ def create_model(model_type: str, **kwargs):
     registry.update(_legacy_registry())
     from .mores import MORES_REGISTRY
     registry.update(MORES_REGISTRY)
-    # torch ctor aliases used by the legacy models
-    for alias, canon in (("num_classes", "out_channels"),
-                         ("base_num_filters", "base_filters")):
-        if alias in kwargs:
-            kwargs.setdefault(canon, kwargs.pop(alias))
     features = kwargs.pop("features", None)
     if model_type in MORES_REGISTRY and features is not None:
         kwargs["features"] = tuple(features)
@@ -402,8 +397,24 @@ def create_model(model_type: str, **kwargs):
         raise NotImplementedError(
             f"Unknown model_type {model_type!r}; "
             f"choose from {sorted(registry)}") from None
-    # Tolerate unknown kwargs like the reference ctors' **kwargs.
     import dataclasses
     valid = {f.name for f in dataclasses.fields(cls)}
+    # torch ctor aliases used by the legacy models — applied only when the
+    # target class itself uses the canonical name (TripleBranchImprovedVNet's
+    # OWN fields are num_classes/base_num_filters: renaming those away
+    # would silently build it with defaults)
+    for alias, canon in (("num_classes", "out_channels"),
+                         ("base_num_filters", "base_filters")):
+        if alias in kwargs and alias not in valid and canon in valid:
+            kwargs.setdefault(canon, kwargs.pop(alias))
+    # Tolerate unknown kwargs like the reference ctors' **kwargs — but say
+    # so: fixed-architecture models (Mores*/Legacy*) ignore the parametric
+    # flags (base_filters/depth/remat), and silence here once cost a user
+    # the architecture they asked for.
+    dropped = sorted(k for k in kwargs if k not in valid)
+    if dropped:
+        import warnings
+        warnings.warn(f"{model_type} ignores kwargs {dropped} "
+                      f"(fixed architecture)", stacklevel=2)
     kwargs = {k: v for k, v in kwargs.items() if k in valid}
     return cls(**kwargs)

@@ -373,6 +373,19 @@ def test_main_native_loader_end_to_end(tmp_path):
     assert (root / ".store_cache").is_dir()  # raw .u8 store materialized
 
 
+def test_params_tool_prints_reference_set(capsys):
+    """The test.py equivalent counts the SAME models the reference tool
+    counts (legacy zoo, torch-default ctors at 512px) plus the active
+    zoo; LegacyUNet's golden comes from running the torch reference."""
+    from ddti_tpu.cli.params import main as params_main
+
+    assert params_main([]) == 0
+    out = capsys.readouterr().out
+    assert "UNet: 31042369" in out  # legacy UNet golden (torch reference)
+    assert "# active zoo" in out
+    assert out.count("TransUNet:") == 2  # both sections
+
+
 def test_use_data_parallel_false_parses_false():
     """QUIRKS #19: the reference's type=bool makes '--use_data_parallel
     False' truthy; our parser treats booleans as booleans."""

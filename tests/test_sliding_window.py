@@ -40,6 +40,18 @@ def test_frame_smaller_than_window(model_and_vars):
     assert out.shape == (20, 24, 1)
 
 
+def test_frame_much_smaller_than_window(model_and_vars):
+    """Pad > dim-1 (frame < ~half the window) used to crash np.pad
+    reflect; the iterated reflect pad must handle any frame size."""
+    m, v = model_and_vars
+    frame = jnp.asarray(np.random.default_rng(3).random((12, 9, 1)),
+                        jnp.float32)
+    out = sliding_window_logits(_apply(m), v, frame, window=32, stride=16,
+                                tile_batch=2)
+    assert out.shape == (12, 9, 1)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
 def test_matches_direct_forward_when_single_tile(model_and_vars):
     """A frame exactly one window big must equal a direct forward pass."""
     m, v = model_and_vars
