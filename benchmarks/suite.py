@@ -87,25 +87,49 @@ def main() -> int:
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--models", default=None,
                     help="comma-separated subset")
+    ap.add_argument("--one", default=None, help=argparse.SUPPRESS)
     args = ap.parse_args()
 
-    import jax
+    if args.one:
+        # child mode: one model's two programs in a fresh process
+        kw = dict(MODELS[args.one])
+        if args.one == "TransUNet":
+            kw["image_size"] = args.size
+        print("RESULT " + json.dumps(
+            bench_model(args.one, kw, args.batch, args.size, args.steps)))
+        return 0
+
+    import subprocess
 
     names = (args.models.split(",") if args.models else list(MODELS))
-    results = {"backend": jax.default_backend(), "batch": args.batch,
+    # don't import jax in the parent (children own the device); the
+    # backend label follows the forced-platform env, default TPU
+    backend = os.environ.get("JAX_PLATFORMS", "").split(",")[0] or "tpu"
+    results = {"backend": backend, "batch": args.batch,
                "size": args.size, "models": []}
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
     for name in names:
-        kw = dict(MODELS[name])
-        if name == "TransUNet":
-            kw["image_size"] = args.size
-        r = bench_model(name, kw, args.batch, args.size, args.steps)
-        print(json.dumps(r))
+        # one model per process: after many compiles/frees a process's
+        # device heap fragments and later programs measure slow (CLAUDE.md)
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one", name,
+             "--batch", str(args.batch), "--size", str(args.size),
+             "--steps", str(args.steps)],
+            capture_output=True, text=True, cwd="/root/repo", env=env)
+        if p.returncode != 0:
+            print(f"{name} FAILED:\n{p.stderr}", file=sys.stderr)
+            continue
+        line = next(ln for ln in p.stdout.splitlines()
+                    if ln.startswith("RESULT "))
+        r = json.loads(line[len("RESULT "):])
+        print(json.dumps(r), flush=True)
         results["models"].append(r)
-
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "results.json")
-    with open(out, "w") as f:
-        json.dump(results, f, indent=1)
+        # write after every model: a timeout mid-sweep keeps what finished
+        out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "results.json")
+        with open(out, "w") as f:
+            json.dump(results, f, indent=1)
     print(f"wrote {out}")
     return 0
 

@@ -52,6 +52,38 @@ NEG_INF = -1e30
 # stored base-2; it is internal to the fwd/bwd kernel pair.
 LOG2E = 1.4426950408889634
 
+# Swap the builtin exp2 for the polynomial below inside every kernel
+# (benchmarks/flash_poly_ab.py measures the trade on hardware; env
+# override so the A/B can flip it per subprocess).
+import os as _os
+
+USE_POLY_EXP2 = _os.environ.get("DDTI_POLY_EXP2", "0") == "1"
+
+
+def _exp2_poly(x):
+    """exp2 via exponent-bit construction + degree-6 Taylor on the
+    fraction: 2^x = 2^round(x) * 2^f, f in [-0.5, 0.5]; 2^round(x) is
+    built bitwise ((i+127)<<23 bitcast to f32), 2^f = e^(f ln2) by Horner.
+    Max rel err 2.4e-7 (exp2_probe.py) — below bf16 resolution. Inputs
+    here are <= 0 (scores minus running max); the clamp maps the -1e30
+    sentinel to 2^-126, which every use multiplies into a zero or
+    dominated accumulator."""
+    i = jnp.round(x)
+    f = x - i
+    ln2 = 0.6931471805599453
+    p = f * jnp.float32(ln2 ** 6 / 720.0)
+    for c in (ln2 ** 5 / 120.0, ln2 ** 4 / 24.0, ln2 ** 3 / 6.0,
+              ln2 ** 2 / 2.0, ln2):
+        p = (p + jnp.float32(c)) * f
+    p = p + jnp.float32(1.0)
+    ii = jnp.clip(i, -126.0, 127.0).astype(jnp.int32)
+    two_i = jax.lax.bitcast_convert_type((ii + 127) << 23, jnp.float32)
+    return p * two_i
+
+
+def _exp2(x):
+    return _exp2_poly(x) if USE_POLY_EXP2 else jnp.exp2(x)
+
 
 def attention_reference(q, k, v):
     """softmax(q k^T / sqrt(d)) v with f32 accumulation."""
@@ -93,8 +125,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
         s = s * (sm_scale * LOG2E)                      # base-2 domain
         m_cur = jnp.max(s, axis=1, keepdims=True)       # (BQ, 1)
         m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp2(s - m_new)                         # (BQ, BK) f32
-        alpha = jnp.exp2(m_prev - m_new)
+        p = _exp2(s - m_new)                         # (BQ, BK) f32
+        alpha = _exp2(m_prev - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -167,7 +199,7 @@ def _dkdv_kernel(q_ref, do_ref, o_ref, lse_ref, k_ref, v_ref,
                         axis=1, keepdims=True)         # (BQ, 1)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        p = jnp.exp2(s * (sm_scale * LOG2E) - lse)     # (BQ, BK) f32
+        p = _exp2(s * (sm_scale * LOG2E) - lse)     # (BQ, BK) f32
         pc = p.astype(do.dtype)
         dv = dv + jax.lax.dot_general(pc, do, (((0,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
@@ -207,7 +239,7 @@ def _dq_kernel(q_ref, do_ref, o_ref, lse_ref, k_ref, v_ref, dq_ref,
         v = v_ref[0, sl, :]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        p = jnp.exp2(s * (sm_scale * LOG2E) - lse)     # (BQ, BK) f32
+        p = _exp2(s * (sm_scale * LOG2E) - lse)     # (BQ, BK) f32
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds = (p * (dp - delta)).astype(k.dtype)
@@ -332,8 +364,8 @@ def _fwd_kernel_packed(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
         m_cur = _per_head_cols(s, G, block_k,
                                lambda t: jnp.max(t, axis=1, keepdims=True))
         m_new = jnp.maximum(m_prev, m_cur)             # (BQ, G)
-        p = jnp.exp2(s - _widen(m_new, G, block_k))    # (BQ, G*BK) f32
-        alpha = jnp.exp2(m_prev - m_new)
+        p = _exp2(s - _widen(m_new, G, block_k))    # (BQ, G*BK) f32
+        alpha = _exp2(m_prev - m_new)
         l_new = l_prev * alpha + _per_head_cols(
             p, G, block_k, lambda t: jnp.sum(t, axis=1, keepdims=True))
         pv = jax.lax.dot_general(p.astype(v.dtype), v_bd,
@@ -392,7 +424,7 @@ def _dkdv_kernel_packed(q_ref, do_ref, o_ref, lse_ref, k_ref, v_ref,
                                 o.astype(jnp.float32), G, d)  # (BQ, G)
         s = jax.lax.dot_general(q, k_bd, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        p = jnp.exp2(s * (sm_scale * LOG2E)
+        p = _exp2(s * (sm_scale * LOG2E)
                      - _widen(lse, G, bk))             # (BQ, G*BK) f32
         dp = jax.lax.dot_general(do, v_bd, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
@@ -436,7 +468,7 @@ def _dq_kernel_packed(q_ref, do_ref, o_ref, lse_ref, k_ref, v_ref, dq_ref,
         v_bd = _stack_bd(v, G, d)
         s = jax.lax.dot_general(q, k_bd, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        p = jnp.exp2(s * (sm_scale * LOG2E) - _widen(lse, G, block_k))
+        p = _exp2(s * (sm_scale * LOG2E) - _widen(lse, G, block_k))
         dp = jax.lax.dot_general(do, v_bd, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds = (p * (dp - _widen(delta, G, block_k))).astype(k.dtype)
