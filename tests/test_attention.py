@@ -29,25 +29,20 @@ def test_reference_matches_manual_softmax(qkv):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
-def test_flash_falls_back_and_matches(qkv):
-    # on CPU flash_attention dispatches to the XLA path — same numerics
+def test_flash_cpu_fallback_contract(qkv):
+    """On non-TPU backends flash_attention must dispatch to the XLA naive
+    path (forward AND backward) without error. NOTE: this is a smoke test
+    of the fallback CONTRACT only — both sides of the comparison run the
+    same attention_reference code on CPU, so it carries no evidence about
+    the Pallas kernel numerics (those are the *_interpret tests below,
+    which force the real kernel code through the Pallas interpreter)."""
     q, k, v = qkv
     a = np.asarray(flash_attention(q, k, v))
     b = np.asarray(attention_reference(q, k, v))
     np.testing.assert_allclose(a, b, atol=1e-6)
-
-
-def test_flash_gradients(qkv):
-    q, k, v = qkv
-
-    def loss(fn):
-        return lambda *a: jnp.sum(fn(*a) ** 2)
-
-    g1 = jax.grad(loss(attention_reference), argnums=(0, 1, 2))(q, k, v)
-    g2 = jax.grad(loss(lambda *a: flash_attention(*a)),
-                  argnums=(0, 1, 2))(q, k, v)
-    for a, b in zip(g1, g2):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+    g = jax.grad(lambda *t: jnp.sum(flash_attention(*t) ** 2),
+                 argnums=(0, 1, 2))(q, k, v)
+    assert all(np.isfinite(np.asarray(t)).all() for t in g)
 
 
 def test_flash_pallas_forward_interpret(qkv):

@@ -133,12 +133,46 @@ def test_mixup_prob_zero_identity(batch):
 
 
 def test_mixup_blends_with_permutation(batch):
+    """Feed constant-valued images (image b = b/(n-1)) so the blend is
+    solvable from the outputs: every output must be exactly
+    lam * in_b + (1-lam) * in_p(b) for ONE shared lam in (0, 1) and a
+    permutation p — an identity transform (inverted gate / lam collapsed
+    to 1) fails the lam-in-(0,1) check, not just a loose mass bound."""
     fi, fm = batch
-    mi, mm = mixup(jax.random.PRNGKey(1), fi, fm, alpha=0.2, prob=1.0)
-    assert mi.shape == fi.shape
-    # soft labels in [0,1]; total mass preserved under the convex blend
-    assert float(mm.min()) >= 0.0 and float(mm.max()) <= 1.0
-    np.testing.assert_allclose(float(mm.sum()), float(fm.sum()), rtol=1e-5)
+    n = fi.shape[0]
+    vals = np.arange(n, dtype=np.float32) / (n - 1)
+    ci = jnp.broadcast_to(vals[:, None, None, None], fi.shape)
+    # pick a key whose gate fires and lam is interior
+    mi, mm = mixup(jax.random.PRNGKey(1), ci, ci, alpha=0.2, prob=1.0)
+    out = np.asarray(mi)
+    assert np.ptp(out.reshape(n, -1), axis=1).max() < 1e-6, \
+        "constant inputs must stay constant under a scalar blend"
+    out_vals = out.reshape(n, -1)[:, 0].astype(np.float64)
+    # solve lam from a row whose partner differs, then check the whole
+    # batch is consistent with ONE lam and a valid permutation
+    lam_cands = {round(float(la), 6)
+                 for b in range(n) for j in range(n) if j != b
+                 for la in [(out_vals[b] - vals[j]) / (vals[b] - vals[j])]
+                 if 0.0 < la < 1.0}
+    ok = False
+    for lam in lam_cands:
+        partners = []
+        for b in range(n):
+            j = (out_vals[b] - lam * vals[b]) / (1.0 - lam) * (n - 1)
+            partners.append(int(round(j)))
+        recon = [lam * vals[b] + (1 - lam) * vals[p] / 1.0
+                 for b, p in enumerate(partners)]
+        if (sorted(partners) == list(range(n))
+                and np.allclose(recon, out_vals, atol=1e-5)):
+            ok = True
+            break
+    assert ok, f"outputs {out_vals} are not a single-lam permutation blend"
+    # images and masks share lam and permutation
+    np.testing.assert_allclose(np.asarray(mm), out, atol=1e-6)
+    # and on the real batch: soft labels in [0,1], mass preserved
+    mi2, mm2 = mixup(jax.random.PRNGKey(1), fi, fm, alpha=0.2, prob=1.0)
+    assert float(mm2.min()) >= 0.0 and float(mm2.max()) <= 1.0
+    np.testing.assert_allclose(float(mm2.sum()), float(fm.sum()), rtol=1e-5)
 
 
 def test_eval_preprocess_resizes_both(batch):

@@ -13,11 +13,14 @@ def test_single_square_one_closed_contour():
     c = cs[0]
     # closed loop
     assert np.allclose(c[0], c[-1])
-    # all vertices at the 0.5 crossing: every vertex has one fractional
-    # half-integer coordinate on a cell edge between 0 and 1
-    vals = []
+    # every vertex sits at the 0.5 level crossing of a binary mask: one
+    # coordinate is a half-integer (the interpolated midpoint of a cell
+    # edge), the other an integer — wrong sub-cell interpolation would
+    # still land inside the bounding box, so bounds alone prove nothing
     for r, col in c:
         assert 2.0 <= r <= 7.0 and 2.0 <= col <= 7.0
+        fr, fc = r % 1.0, col % 1.0
+        assert sorted((fr, fc)) == [0.0, 0.5], (r, col)
 
 
 def test_two_blobs_two_contours():

@@ -98,11 +98,25 @@ def test_losses_grad_finite(batch):
         assert bool(jnp.all(jnp.isfinite(g)))
 
 
-def test_boundary_distance_map_not_differentiated(batch):
-    # gradient flows through probs only (the EDT map is stop_gradient'ed)
+def test_boundary_gradient_matches_analytic(batch):
+    """Gradient flows through the probabilities ONLY: compare against the
+    hand-derived closed form sign(p - t) * p(1-p) * EDT / N with the EDT
+    from scipy (independent oracle). Any differentiation through the
+    distance map — or a wrong chain rule — breaks the exact match."""
+    scipy_ndimage = pytest.importorskip("scipy.ndimage")
     jl, jt, *_ = batch
-    g = jax.grad(lambda x: L.boundary_loss(x, jt))(jl)
-    assert float(jnp.abs(g).max()) > 0
+    g = np.asarray(jax.grad(lambda x: L.boundary_loss(x, jt))(jl))
+
+    t = np.asarray(jt, np.float64)
+    gt = t.astype(np.uint8)
+    dist = np.stack([
+        scipy_ndimage.distance_transform_edt(1 - gt[i, ..., 0])
+        for i in range(gt.shape[0])])[..., None]
+    p = 1.0 / (1.0 + np.exp(-np.asarray(jl, np.float64)))
+    n = t.shape[0] * np.prod(t.shape[1:])
+    expected = np.sign(p - t) * p * (1.0 - p) * dist / n
+    np.testing.assert_allclose(g, expected, atol=1e-6)
+    assert np.abs(g).max() > 0
 
 
 def test_losses_bf16_logits(batch):

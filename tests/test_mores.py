@@ -124,13 +124,21 @@ def test_forward_shape_and_grad(name, kw):
     assert all(np.isfinite(np.asarray(t)).all() for t in jax.tree.leaves(g))
 
 
-@pytest.mark.skipif(not HAVE_REF, reason="reference checkout not mounted")
-def test_mores_unet_forward_parity():
-    """MoresUNet's torch forward actually runs — check value parity with
-    imported weights is NOT required (no interop mapping for legacy zoo),
-    but architecture equivalence is: identical param count at defaults."""
-    mores = _import_mores()
+def test_mores_unet_channel_schedule():
+    """MoresUNet's FIXED architecture follows the reference spec
+    (mores.py:27-70): encoder widths 64/128/256/512, bottleneck 1024 —
+    asserted against the spec constants, independent of create_model's
+    dispatch. (Param-count parity vs torch is test_param_count_parity's
+    MoresUNet case; no separate forward-value oracle exists for the
+    legacy zoo — there is no .pth interop mapping for it.)"""
+    _, v, _ = _jax_count("MoresUNet")
+    p = v["params"]
 
-    tm = mores.UNet(in_channels=1, out_channels=1)
-    _, _, got = _jax_count("MoresUNet")
-    assert got == _torch_count(tm)
+    def cout(block):
+        return p[block]["conv1"]["kernel"].shape[-1]
+
+    assert [cout(f"encoder{i}") for i in (1, 2, 3, 4)] == [64, 128, 256,
+                                                           512]
+    # decoder narrows back to 64 before the 1-channel head
+    assert cout("final_block") == 64
+    assert p["final_conv"]["kernel"].shape[-2:] == (64, 1)
