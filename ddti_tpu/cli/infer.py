@@ -71,12 +71,16 @@ def main(argv=None) -> int:
                     help="weight bundle (.npz) for a weights-as-arguments "
                          ".stablehlo serving program; defaults to the "
                          "program path with .stablehlo -> .npz")
+    ap.add_argument("--compilation_cache", default="auto",
+                    help="persistent XLA compile cache dir; 'off' disables")
     args = ap.parse_args(argv)
 
     import jax
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    from ddti_tpu.core import enable_compilation_cache
+    enable_compilation_cache(args.compilation_cache)
     import jax.numpy as jnp
     import numpy as np
     from PIL import Image

@@ -60,12 +60,16 @@ def main(argv=None) -> int:
                          "'{\"embed_dim\": 128, \"num_heads\": 4}' for a "
                          "non-default TransUNet)")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--compilation_cache", default="auto",
+                    help="persistent XLA compile cache dir; 'off' disables")
     args = ap.parse_args(argv)
 
     import jax
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    from ddti_tpu.core import enable_compilation_cache
+    enable_compilation_cache(args.compilation_cache)
     import jax.numpy as jnp
     import numpy as np
 

@@ -397,3 +397,36 @@ def test_use_data_parallel_false_parses_false():
     assert p.parse_args(["--use_data_parallel", "true"]
                         ).use_data_parallel is True
     assert p.parse_args([]).use_data_parallel is True
+
+
+def test_enable_compilation_cache(tmp_path, monkeypatch):
+    """The CLIs' persistent-cache switch: explicit dir is created and set,
+    'off'/'' disable, 'auto' resolves through DDTI_COMPILATION_CACHE.
+    Restores the suite's own cache config afterwards."""
+    import jax
+
+    from ddti_tpu.core import enable_compilation_cache
+
+    before = jax.config.jax_compilation_cache_dir
+    before_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    try:
+        d = tmp_path / "cc"
+        assert enable_compilation_cache(str(d)) == str(d)
+        assert d.is_dir()
+        assert jax.config.jax_compilation_cache_dir == str(d)
+
+        assert enable_compilation_cache("off") is None
+        assert enable_compilation_cache("") is None
+        # ... and disabling does not clobber the configured dir
+        assert jax.config.jax_compilation_cache_dir == str(d)
+
+        auto_d = tmp_path / "auto_cc"
+        monkeypatch.setenv("DDTI_COMPILATION_CACHE", str(auto_d))
+        assert enable_compilation_cache("auto") == str(auto_d)
+        assert auto_d.is_dir()
+        monkeypatch.setenv("DDTI_COMPILATION_CACHE", "off")
+        assert enable_compilation_cache("auto") is None
+    finally:
+        jax.config.update("jax_compilation_cache_dir", before)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          before_min)
