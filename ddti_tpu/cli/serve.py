@@ -1,0 +1,389 @@
+"""Online HTTP model server — the production serving daemon.
+
+The reference has no online-serving story: inference means rebuilding the
+torch model inside ``Trainer.test`` over a static directory
+(/root/reference/utils/trainer.py:206-299). This daemon serves nodule-mask
+predictions over HTTP from either an AOT ``.stablehlo`` serving bundle
+(no model code runs at all) or a live checkpoint, with transparent
+micro-batching: concurrent requests coalesce into the compiled
+``(batch, size, size, 1)`` program shape — padded when sparse — so
+sustained throughput approaches the offline bench number while
+single-request latency stays bounded by ``--max_wait_ms``.
+
+Endpoints:
+  GET  /healthz   liveness + artifact/model info (JSON)
+  GET  /stats     request/image/batch counters, throughput, latency (JSON)
+  POST /predict   body = raw image bytes (JPEG/PNG/BMP, any size);
+                  response = PNG mask at the ORIGINAL resolution.
+                  ``?overlay=1`` returns the red-contour overlay instead.
+
+Usage:
+  python -m ddti_tpu.cli.serve --checkpoint model.stablehlo --port 8080
+  python -m ddti_tpu.cli.serve --checkpoint <orbax|.npz|.pth> \
+      --model_type ResUNet --base_filters 64 --depth 5 --image_size 256
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import os
+import queue
+import sys
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+
+class Batcher:
+    """Micro-batching executor: requests enqueue single frames; a worker
+    thread coalesces up to ``batch_n`` of them (waiting at most
+    ``max_wait_ms`` after the first arrival), zero-pads the tail, and runs
+    one fixed-shape device program for the whole group. This is the online
+    analogue of the offline padded-tail batching in cli/infer.py."""
+
+    def __init__(self, predict, batch_n: int, max_wait_ms: float = 5.0):
+        self._predict = predict
+        self.batch_n = int(batch_n)
+        self.max_wait = max_wait_ms / 1000.0
+        self._q: queue.Queue = queue.Queue()
+        self._stop = False
+        self.lock = threading.Lock()
+        self.n_batches = 0
+        self.n_images = 0
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="ddti-batcher")
+        self._thread.start()
+
+    def submit(self, arr):
+        """``arr``: (size, size, 1) uint8 frame. Blocks until its mask is
+        computed; returns the (size, size, 1) uint8 {0,1} mask."""
+        ev = threading.Event()
+        slot: dict = {}
+        self._q.put((arr, ev, slot))
+        ev.wait()
+        if "error" in slot:
+            raise slot["error"]
+        return slot["mask"]
+
+    def close(self):
+        self._stop = True
+        self._q.put(None)
+        self._thread.join(timeout=10)
+
+    def _run(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                if self._stop:
+                    return
+                continue
+            items = [item]
+            deadline = time.perf_counter() + self.max_wait
+            while len(items) < self.batch_n:
+                left = deadline - time.perf_counter()
+                if left <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=left)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    if self._stop:
+                        break
+                    continue
+                items.append(nxt)
+            self._flush(items)
+            if self._stop and self._q.empty():
+                return
+
+    def _flush(self, items):
+        import numpy as np
+
+        x = np.stack([a for a, _, _ in items])
+        if len(items) < self.batch_n:
+            pad = np.zeros((self.batch_n - len(items),) + x.shape[1:],
+                           x.dtype)
+            x = np.concatenate([x, pad])
+        try:
+            masks = np.asarray(self._predict(x))[:len(items)]
+        except Exception as e:  # surface device errors to every waiter
+            for _, ev, slot in items:
+                slot["error"] = e
+                ev.set()
+            return
+        with self.lock:
+            self.n_batches += 1
+            self.n_images += len(items)
+        for m, (_, ev, slot) in zip(masks, items):
+            slot["mask"] = m
+            ev.set()
+
+
+def load_predictor(args):
+    """Resolve ``--checkpoint`` into a fixed-shape predictor.
+
+    Returns ``(predict, batch_n, size, info)`` where ``predict`` maps a
+    uint8 ``(batch_n, size, size, 1)`` array to uint8 {0,1} masks of the
+    same shape. ``.stablehlo`` paths load the AOT bundle (train/export.py);
+    anything else builds the live model exactly like cli/infer.py."""
+    import numpy as np
+
+    if args.checkpoint.endswith(".stablehlo"):
+        from ddti_tpu.train.export import load_serving_bundle
+
+        fn, batch_n, size, in_dtype = load_serving_bundle(
+            args.checkpoint, args.weights)
+        if np.dtype(in_dtype) == np.uint8:
+            predict = fn
+        else:
+            def predict(x, _fn=fn, _dt=in_dtype):
+                return _fn(x.astype(_dt) / np.asarray(255, _dt))
+        info = {"artifact": os.path.basename(args.checkpoint),
+                "input_dtype": str(np.dtype(in_dtype))}
+        return predict, batch_n, size, info
+
+    import jax
+    import jax.numpy as jnp
+
+    from ddti_tpu.models import create_model
+    from ddti_tpu.train.checkpoint import load_checkpoint_into
+    from ddti_tpu.train.export import make_serve_fn
+
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    kwargs = dict(in_channels=1, out_channels=1,
+                  base_filters=args.base_filters, depth=args.depth,
+                  dtype=dtype)
+    if args.model_type == "TransUNet":
+        kwargs["image_size"] = args.image_size
+    model = create_model(args.model_type, **kwargs)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, args.image_size, args.image_size, 1)), train=False)
+    params, stats = load_checkpoint_into(
+        args.checkpoint, args.model_type, variables["params"],
+        variables.get("batch_stats", {}))
+    if args.fold_bn:
+        from ddti_tpu.train.fold_bn import fold_batchnorm
+
+        params, stats = fold_batchnorm(model, params, stats)
+    serve = jax.jit(make_serve_fn(model, params, stats,
+                                  input_dtype=jnp.uint8))
+
+    def predict(x):
+        return np.asarray(serve(jnp.asarray(x)))
+
+    info = {"model": args.model_type, "base_filters": args.base_filters,
+            "depth": args.depth}
+    return predict, args.batch_size, args.image_size, info
+
+
+def _overlay_png(orig_gray, mask_2d):
+    """Red predicted contours (eval/contours.py marching squares) drawn on
+    the original grayscale frame — the online twin of infer --overlay."""
+    import numpy as np
+
+    from ddti_tpu.eval.contours import find_contours
+
+    rgb = np.repeat(np.asarray(orig_gray)[..., None], 3, axis=-1).copy()
+    for c in find_contours((np.asarray(mask_2d) > 0).astype(np.float32),
+                           0.5):
+        rr = np.clip(np.round(c[:, 0]).astype(int), 0, rgb.shape[0] - 1)
+        cc = np.clip(np.round(c[:, 1]).astype(int), 0, rgb.shape[1] - 1)
+        rgb[rr, cc] = (255, 0, 0)
+    return rgb
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server_version = "ddti-tpu-serve/1.0"
+    protocol_version = "HTTP/1.1"
+
+    def log_message(self, fmt, *a):  # route access logs through our logger
+        if self.server.verbose:  # type: ignore[attr-defined]
+            sys.stderr.write("%s - %s\n" % (self.address_string(),
+                                            fmt % a))
+
+    def _json(self, code: int, obj) -> None:
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        srv = self.server
+        path = urlparse(self.path).path
+        if path == "/healthz":
+            self._json(200, {"status": "ok", "batch": srv.batcher.batch_n,
+                             "size": srv.size, **srv.info})
+        elif path == "/stats":
+            with srv.stats_lock, srv.batcher.lock:
+                n = srv.n_requests
+                up = time.perf_counter() - srv.t_start
+                self._json(200, {
+                    "requests": n,
+                    "errors": srv.n_errors,
+                    "images": srv.batcher.n_images,
+                    "batches": srv.batcher.n_batches,
+                    "mean_batch_fill": round(
+                        srv.batcher.n_images
+                        / max(srv.batcher.n_batches, 1), 3),
+                    "uptime_s": round(up, 3),
+                    "images_per_sec": round(
+                        srv.batcher.n_images / max(up, 1e-9), 3),
+                    "mean_latency_ms": round(
+                        1e3 * srv.total_latency / max(n, 1), 3),
+                })
+        else:
+            self._json(404, {"error": f"unknown path {path}"})
+
+    def do_POST(self):
+        import numpy as np
+        from PIL import Image
+
+        srv = self.server
+        parsed = urlparse(self.path)
+        if parsed.path != "/predict":
+            self._json(404, {"error": f"unknown path {parsed.path}"})
+            return
+        t0 = time.perf_counter()
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            img = Image.open(io.BytesIO(self.rfile.read(length)))
+            img = img.convert("L")
+        except Exception as e:
+            with srv.stats_lock:
+                srv.n_errors += 1
+            self._json(400, {"error": f"could not decode image: {e}"})
+            return
+        orig_size = img.size
+        arr = np.asarray(img.resize((srv.size, srv.size), Image.BILINEAR),
+                         np.uint8)[..., None]
+        try:
+            mask = srv.batcher.submit(arr)
+        except Exception as e:
+            with srv.stats_lock:
+                srv.n_errors += 1
+            self._json(500, {"error": f"prediction failed: {e}"})
+            return
+        m = Image.fromarray((mask[..., 0] * 255).astype(np.uint8))
+        m = m.resize(orig_size, Image.NEAREST)
+        want_overlay = parse_qs(parsed.query).get("overlay", ["0"])[0]
+        if want_overlay not in ("0", "", "false"):
+            out_img = Image.fromarray(_overlay_png(img, np.asarray(m)))
+        else:
+            out_img = m
+        buf = io.BytesIO()
+        out_img.save(buf, "PNG")
+        body = buf.getvalue()
+        with srv.stats_lock:
+            srv.n_requests += 1
+            srv.total_latency += time.perf_counter() - t0
+        self.send_response(200)
+        self.send_header("Content-Type", "image/png")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+
+class PredictionServer(ThreadingHTTPServer):
+    """ThreadingHTTPServer + the model batcher and serving counters."""
+
+    daemon_threads = True
+
+    def __init__(self, addr, batcher: Batcher, size: int, info: dict,
+                 verbose: bool = False):
+        self.batcher = batcher
+        self.size = size
+        self.info = info
+        self.verbose = verbose
+        self.stats_lock = threading.Lock()
+        self.n_requests = 0
+        self.n_errors = 0
+        self.total_latency = 0.0
+        self.t_start = time.perf_counter()
+        super().__init__(addr, _Handler)
+
+    def close(self):
+        self.batcher.close()
+        self.server_close()
+
+
+def create_server(args) -> PredictionServer:
+    """Load the predictor, warm it up (one padded batch through the device
+    program so the first request doesn't pay the compile), and bind the
+    HTTP server. ``--port 0`` binds an ephemeral port
+    (``server.server_address[1]`` reveals it) — used by the tests."""
+    import numpy as np
+
+    predict, batch_n, size, info = load_predictor(args)
+    if not args.no_warmup:
+        predict(np.zeros((batch_n, size, size, 1), np.uint8))
+    batcher = Batcher(predict, batch_n, max_wait_ms=args.max_wait_ms)
+    return PredictionServer((args.host, args.port), batcher, size, info,
+                            verbose=args.verbose)
+
+
+def get_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        description="HTTP nodule-segmentation server")
+    ap.add_argument("--checkpoint", required=True,
+                    help=".stablehlo serving bundle, Orbax dir, .npz, or "
+                         "reference-format .pth")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--max_wait_ms", type=float, default=5.0,
+                    help="micro-batching window: how long to hold a "
+                         "request open for batch-mates before running a "
+                         "padded batch")
+    ap.add_argument("--model_type", default="ResUNet")
+    ap.add_argument("--base_filters", type=int, default=64)
+    ap.add_argument("--depth", type=int, default=5)
+    ap.add_argument("--image_size", type=int, default=256)
+    ap.add_argument("--batch_size", type=int, default=16,
+                    help="compiled batch shape (live-checkpoint path; "
+                         "bundles carry their own)")
+    ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--fold_bn", action="store_true")
+    ap.add_argument("--weights", default=None,
+                    help=".npz weight bundle for weights-as-arguments "
+                         ".stablehlo programs")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--compilation_cache", default="auto",
+                    help="persistent XLA compile cache dir; 'off' disables")
+    ap.add_argument("--no_warmup", action="store_true")
+    ap.add_argument("--verbose", action="store_true",
+                    help="per-request access log")
+    return ap
+
+
+def main(argv=None) -> int:
+    args = get_parser().parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    from ddti_tpu.core import enable_compilation_cache
+
+    enable_compilation_cache(args.compilation_cache)
+
+    server = create_server(args)
+    host, port = server.server_address[:2]
+    print(f"serving on http://{host}:{port}  "
+          f"(batch={server.batcher.batch_n} size={server.size} "
+          f"{server.info})", flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        print("shutting down")
+    finally:
+        server.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

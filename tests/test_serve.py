@@ -1,0 +1,190 @@
+"""HTTP serving daemon (cli/serve.py): bundle + live-checkpoint predictors,
+micro-batching coalescing, overlay responses, error paths. The online
+serving layer has no reference analogue (inference there is
+Trainer.test over a directory, /root/reference/utils/trainer.py:206-299).
+Runs on the CPU backend (conftest)."""
+
+import http.client
+import io
+import json
+import os
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from ddti_tpu.cli.serve import Batcher, create_server, get_parser
+from ddti_tpu.models import create_model
+from ddti_tpu.train.checkpoint import save_params_npz
+from ddti_tpu.train.export import export_serving
+
+
+def _jpeg_bytes(shape=(40, 56), seed=0) -> bytes:
+    rng = np.random.default_rng(seed)
+    buf = io.BytesIO()
+    Image.fromarray(rng.integers(0, 255, shape, dtype=np.uint8),
+                    "L").save(buf, "JPEG")
+    return buf.getvalue()
+
+
+def _make_bundle(tmp_path, batch=2, size=32) -> str:
+    model = create_model("UNet", base_filters=8, depth=3)
+    v = model.init({"params": jax.random.PRNGKey(0)},
+                   jnp.zeros((1, size, size, 1)), train=False)
+    path = str(tmp_path / "m.stablehlo")
+    with open(path, "wb") as f:
+        f.write(export_serving(model, v["params"], v["batch_stats"],
+                               batch=batch, size=size,
+                               input_dtype=jnp.uint8))
+    return path
+
+
+@pytest.fixture()
+def bundle_server(tmp_path):
+    args = get_parser().parse_args(
+        ["--checkpoint", _make_bundle(tmp_path), "--port", "0",
+         "--compilation_cache", "off"])
+    server = create_server(args)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield server
+    server.shutdown()
+    server.close()
+    t.join(timeout=10)
+
+
+def _request(server, method, path, body=None):
+    conn = http.client.HTTPConnection("127.0.0.1",
+                                      server.server_address[1], timeout=60)
+    conn.request(method, path, body=body)
+    resp = conn.getresponse()
+    data = resp.read()
+    conn.close()
+    return resp, data
+
+
+def test_serve_healthz_and_predict(bundle_server):
+    resp, data = _request(bundle_server, "GET", "/healthz")
+    assert resp.status == 200
+    health = json.loads(data)
+    assert health["status"] == "ok"
+    assert health["batch"] == 2 and health["size"] == 32
+    assert health["artifact"] == "m.stablehlo"
+
+    # predict returns a PNG mask at the ORIGINAL (non-square) resolution
+    resp, data = _request(bundle_server, "POST", "/predict", _jpeg_bytes())
+    assert resp.status == 200
+    assert resp.getheader("Content-Type") == "image/png"
+    mask = np.asarray(Image.open(io.BytesIO(data)))
+    assert mask.shape == (40, 56)
+    assert set(np.unique(mask)) <= {0, 255}
+
+    # overlay variant: RGB, same size, red-only contour pixels
+    resp, data = _request(bundle_server, "POST", "/predict?overlay=1",
+                          _jpeg_bytes())
+    assert resp.status == 200
+    ov = np.asarray(Image.open(io.BytesIO(data)))
+    assert ov.shape == (40, 56, 3)
+    colored = ov[:, :, 0] != ov[:, :, 1]
+    assert np.all(ov[colored, 0] == 255) and np.all(ov[colored, 1] == 0)
+
+    resp, data = _request(bundle_server, "GET", "/stats")
+    stats = json.loads(data)
+    assert stats["requests"] == 2 and stats["images"] == 2
+    assert stats["errors"] == 0
+    assert stats["mean_latency_ms"] > 0
+
+
+def test_serve_error_paths(bundle_server):
+    resp, data = _request(bundle_server, "POST", "/predict",
+                          b"not an image")
+    assert resp.status == 400
+    assert "could not decode" in json.loads(data)["error"]
+    resp, _ = _request(bundle_server, "GET", "/nope")
+    assert resp.status == 404
+    resp, _ = _request(bundle_server, "POST", "/nope", b"")
+    assert resp.status == 404
+    _, data = _request(bundle_server, "GET", "/stats")
+    assert json.loads(data)["errors"] == 1
+
+
+def test_serve_concurrent_coalescing(bundle_server):
+    """8 concurrent requests through a batch-2 program: every request is
+    answered correctly and the batcher runs fewer device programs than
+    images (micro-batching actually coalesces)."""
+    results = [None] * 8
+
+    def hit(i):
+        resp, data = _request(bundle_server, "POST", "/predict",
+                              _jpeg_bytes(seed=i))
+        results[i] = (resp.status, data)
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    for status, data in results:
+        assert status == 200
+        assert np.asarray(Image.open(io.BytesIO(data))).shape == (40, 56)
+    _, data = _request(bundle_server, "GET", "/stats")
+    stats = json.loads(data)
+    assert stats["images"] == 8
+    assert stats["batches"] < 8  # at least one coalesced batch
+    assert stats["mean_batch_fill"] > 1.0
+
+
+def test_serve_live_checkpoint(tmp_path):
+    """Non-bundle path: --checkpoint <.npz> builds the live model exactly
+    like cli/infer.py and serves through jit(make_serve_fn)."""
+    model = create_model("UNet", base_filters=8, depth=3)
+    v = model.init({"params": jax.random.PRNGKey(0)},
+                   jnp.zeros((1, 32, 32, 1)), train=False)
+    ck = str(tmp_path / "w.npz")
+    save_params_npz(ck, v["params"], v["batch_stats"])
+    args = get_parser().parse_args(
+        ["--checkpoint", ck, "--model_type", "UNet", "--base_filters", "8",
+         "--depth", "3", "--image_size", "32", "--batch_size", "2",
+         "--port", "0", "--compilation_cache", "off"])
+    server = create_server(args)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        resp, data = _request(server, "GET", "/healthz")
+        assert json.loads(data)["model"] == "UNet"
+        resp, data = _request(server, "POST", "/predict", _jpeg_bytes())
+        assert resp.status == 200
+        assert np.asarray(Image.open(io.BytesIO(data))).shape == (40, 56)
+    finally:
+        server.shutdown()
+        server.close()
+        t.join(timeout=10)
+
+
+def test_batcher_direct():
+    """Batcher semantics without HTTP: identity predictor, padded tails,
+    error propagation, clean close."""
+    calls = []
+
+    def predict(x):
+        calls.append(x.shape)
+        return x
+
+    b = Batcher(predict, batch_n=4, max_wait_ms=1.0)
+    a = np.full((8, 8, 1), 7, np.uint8)
+    out = b.submit(a)
+    assert np.array_equal(out, a)
+    assert calls == [(4, 8, 8, 1)]  # padded to the compiled batch
+
+    def boom(x):
+        raise RuntimeError("device on fire")
+
+    b2 = Batcher(boom, batch_n=2, max_wait_ms=1.0)
+    with pytest.raises(RuntimeError, match="device on fire"):
+        b2.submit(a)
+    b.close()
+    b2.close()
+    assert not b._thread.is_alive() and not b2._thread.is_alive()
