@@ -132,6 +132,14 @@ def get_parser() -> argparse.ArgumentParser:
                    help="strict-parity mode: run the PIL/cv2 host "
                         "augmentation chain (reference oracle) instead of "
                         "the on-device pipeline")
+    p.add_argument("--grad_accum", default=1, type=int,
+                   help="microbatches per optimizer step: each train step "
+                        "scans batch_size/grad_accum-sized microbatches, "
+                        "averages their gradients and applies ONE update — "
+                        "peak activation memory is the microbatch's, so "
+                        "effective batches that OOM in one shot fit "
+                        "(BatchNorm normalizes per microbatch, like torch "
+                        "accumulation loops)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize conv-block activations in the "
                         "backward pass (fits f32 512x512 batch-16 training "

@@ -67,6 +67,10 @@ class Config:
     lr: float = 1e-5
     weight_decay: float = 1e-2    # parsed-but-unused in the reference; the
     # torch AdamW default (0.01) applied regardless — we reproduce that.
+    grad_accum: int = 1           # microbatches per optimizer step: grads
+    # are averaged over grad_accum sequential microbatches of
+    # batch_size/grad_accum before ONE update (BN normalizes per
+    # microbatch, EMA chained). Fits large effective batches in HBM.
     save_interval: int = 20
     log_every: int = 20  # in-epoch INFO progress interval (steps); 0 = off
     max_keep_checkpoints: int = 3  # rotation depth of periodic checkpoints

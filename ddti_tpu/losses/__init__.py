@@ -1,4 +1,5 @@
 from .losses import (  # noqa: F401
+    LossTerms,
     bce_with_logits_loss,
     boundary_loss,
     composite_loss,

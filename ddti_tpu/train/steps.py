@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from ddti_tpu.data.augment import AugmentConfig, augment_batch, eval_preprocess, mixup
 from ddti_tpu.eval.metrics import ConfusionCounts, confusion_counts
-from ddti_tpu.losses import weighted_loss
+from ddti_tpu.losses import LossTerms, weighted_loss
 
 
 class StepMetrics(NamedTuple):
@@ -217,18 +217,12 @@ def _build_train_step_impl(config, aug_cfg: AugmentConfig) -> Callable:
     mixup_alpha = float(config.mixup_alpha)
     mixup_prob = float(config.mixup_prob)
     ds_weight = float(getattr(config, "alpha", 0.0) or 0.0)
+    grad_accum = int(getattr(config, "grad_accum", 1) or 1)
 
-    def step(state, images_u8, masks_u8, key):
-        images, masks = _to_float(images_u8, masks_u8)
-        k_aug, k_mix, k_drop = jax.random.split(key, 3)
-        images, masks = augment_batch(k_aug, images, masks, aug_cfg)
-        if use_mixup:
-            images, masks = mixup(k_mix, images, masks, mixup_alpha,
-                                  mixup_prob)
-
-        def loss_fn(params):
+    def make_loss_fn(state, images, masks, k_drop):
+        def loss_fn(params, batch_stats):
             out, updates = state.apply_fn(
-                {"params": params, "batch_stats": state.batch_stats},
+                {"params": params, "batch_stats": batch_stats},
                 images, train=True, mutable=["batch_stats"],
                 rngs={"dropout": k_drop})
             logits = _main_logits(out)
@@ -238,14 +232,70 @@ def _build_train_step_impl(config, aug_cfg: AugmentConfig) -> Callable:
                 terms = terms._replace(total=terms.total + aux)
             return terms.total, (terms, updates, logits)
 
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (_, (terms, updates, logits)), grads = grad_fn(state.params)
-        state = state.apply_gradients(grads, updates["batch_stats"])
-        counts = confusion_counts(logits, masks)
-        m = StepMetrics(terms.total, terms.bce, terms.dice, terms.focal,
-                        terms.boundary, counts,
-                        jnp.asarray(images.shape[0], jnp.float32))
-        return state, m
+        return loss_fn
+
+    def step(state, images_u8, masks_u8, key):
+        images, masks = _to_float(images_u8, masks_u8)
+        k_aug, k_mix, k_drop = jax.random.split(key, 3)
+        images, masks = augment_batch(k_aug, images, masks, aug_cfg)
+        if use_mixup:
+            images, masks = mixup(k_mix, images, masks, mixup_alpha,
+                                  mixup_prob)
+        n = jnp.asarray(images.shape[0], jnp.float32)
+
+        if grad_accum == 1:
+            loss_fn = make_loss_fn(state, images, masks, k_drop)
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+            (_, (terms, updates, logits)), grads = grad_fn(
+                state.params, state.batch_stats)
+            state = state.apply_gradients(grads, updates["batch_stats"])
+            counts = confusion_counts(logits, masks)
+            return state, StepMetrics(terms.total, terms.bce, terms.dice,
+                                      terms.focal, terms.boundary, counts, n)
+
+        # Gradient accumulation: scan over grad_accum microbatches of the
+        # (already augmented/mixed) batch, sum gradients and metrics, apply
+        # ONE optimizer update with the mean gradient. Peak activation
+        # memory drops to the microbatch's — effective batches that OOM in
+        # one shot (e.g. 32 @ 512^2 f32 on a 16 GB chip) fit without remat.
+        # BatchNorm normalizes per MICROBATCH and chains its EMA through
+        # the scan (the standard accumulation semantics — same as torch
+        # accumulation loops; a grad_accum>1 step is therefore NOT
+        # bit-identical to the same batch in one shot).
+        if images.shape[0] % grad_accum:
+            raise ValueError(
+                f"batch_size {images.shape[0]} not divisible by "
+                f"grad_accum {grad_accum}")
+        micro = images.shape[0] // grad_accum
+        im = images.reshape(grad_accum, micro, *images.shape[1:])
+        mk = masks.reshape(grad_accum, micro, *masks.shape[1:])
+        kd = jax.vmap(lambda i: jax.random.fold_in(k_drop, i))(
+            jnp.arange(grad_accum))
+
+        zero = jnp.float32(0.0)
+        g0 = jax.tree.map(jnp.zeros_like, state.params)
+        t0 = LossTerms(zero, zero, zero, zero, zero)
+        c0 = ConfusionCounts(zero, zero, zero, zero, zero, zero)
+
+        def body(carry, xs):
+            bstats, gacc, tacc, cacc = carry
+            xi, mi, ki = xs
+            loss_fn = make_loss_fn(state, xi, mi, ki)
+            (_, (terms, updates, logits)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, bstats)
+            gacc = jax.tree.map(jnp.add, gacc, grads)
+            tacc = jax.tree.map(jnp.add, tacc, terms)
+            cacc = cacc + confusion_counts(logits, mi)
+            return (updates["batch_stats"], gacc, tacc, cacc), None
+
+        (bstats, gsum, tsum, counts), _ = jax.lax.scan(
+            body, (state.batch_stats, g0, t0, c0), (im, mk, kd))
+        inv = jnp.float32(1.0 / grad_accum)
+        grads = jax.tree.map(lambda g: g * inv, gsum)
+        terms = jax.tree.map(lambda t: t * inv, tsum)
+        state = state.apply_gradients(grads, bstats)
+        return state, StepMetrics(terms.total, terms.bce, terms.dice,
+                                  terms.focal, terms.boundary, counts, n)
 
     return step
 

@@ -454,3 +454,91 @@ def test_step_progress_and_tb_scalars(tmp_path):
             # tensorboardX sanitizes spaces in tags to underscores
             t = f"{tag}/{phase}".replace(" ", "_").encode()
             assert t in raw, f"{tag}/{phase} missing"
+
+
+def test_grad_accum_matches_manual_microbatching(tmp_path, tiny_data):
+    """grad_accum=K must equal the hand-rolled accumulation semantics:
+    augment/mixup the FULL batch, then per microbatch value_and_grad with
+    chained BatchNorm stats, mean gradient, one optimizer update."""
+    from ddti_tpu.data.augment import augment_batch, mixup
+    from ddti_tpu.losses import weighted_loss
+
+    cfg = _tiny_cfg(tmp_path, use_mixup=True, grad_accum=2)
+    aug = aug_config_from(cfg)
+    model = create_model("UNet", base_filters=8, depth=3)
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, 32, 32, 1),
+                               cfg.lr, steps_per_epoch=10)
+    ref_state = jax.tree.map(jnp.copy, state)  # the step donates its arg
+
+    im, ma = tiny_data
+    key = jax.random.PRNGKey(7)
+    step = make_train_step(cfg, aug_config_from(cfg))
+    new_state, m = step(state, im[:4], ma[:4], key)
+
+    # --- manual oracle (same key derivation as the step) ---
+    images = im[:4].astype(jnp.float32) / 255.0
+    masks = ma[:4].astype(jnp.float32) / 255.0
+    k_aug, k_mix, k_drop = jax.random.split(key, 3)
+    images, masks = augment_batch(k_aug, images, masks, aug)
+    images, masks = mixup(k_mix, images, masks, cfg.mixup_alpha,
+                          cfg.mixup_prob)
+    loss_kw = dict(bce_ratio=cfg.bce_ratio, dice_ratio=cfg.dice_ratio,
+                   focal_ratio=cfg.focal_ratio,
+                   boundary_ratio=cfg.boundary_ratio,
+                   compute_unused=cfg.compute_unused_losses)
+    bstats = ref_state.batch_stats
+    gsum = jax.tree.map(jnp.zeros_like, ref_state.params)
+    losses = []
+    for i in range(2):
+        xi, mi = images[2 * i:2 * i + 2], masks[2 * i:2 * i + 2]
+        ki = jax.random.fold_in(k_drop, i)
+
+        def loss_fn(p, bs):
+            out, upd = ref_state.apply_fn(
+                {"params": p, "batch_stats": bs}, xi, train=True,
+                mutable=["batch_stats"], rngs={"dropout": ki})
+            return weighted_loss(out, mi, **loss_kw).total, upd
+        (loss, upd), g = jax.value_and_grad(loss_fn, has_aux=True)(
+            ref_state.params, bstats)
+        bstats = upd["batch_stats"]
+        gsum = jax.tree.map(jnp.add, gsum, g)
+        losses.append(float(loss))
+    grads = jax.tree.map(lambda x: x / 2.0, gsum)
+    expect = ref_state.apply_gradients(grads, bstats)
+
+    # f32 jit-vs-eager reassociation noise is ~1e-5; a wrong implementation
+    # (missing 1/K, unchained BN stats, wrong keys) is O(1) relative.
+    np.testing.assert_allclose(float(m.loss), np.mean(losses), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(new_state.params),
+                    jax.tree.leaves(expect.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-4)
+    for a, b in zip(jax.tree.leaves(new_state.batch_stats),
+                    jax.tree.leaves(expect.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-4)
+
+
+def test_grad_accum_trainer_end_to_end(tmp_path):
+    """Trainer runs with --grad_accum 2: losses finite, params update."""
+    cfg = _tiny_cfg(tmp_path, epochs=2, batch_size=4, grad_accum=2)
+    cfg.make_dirs()
+    logger = create_logger(os.path.join(cfg.log_dir, "train_log.log"))
+    srcs = tuple(
+        DeviceDataSource(*generate_ddti_like(n, (32, 32), s))
+        for n, s in ((8, 0), (4, 1), (4, 2)))
+    model = create_model("UNet", base_filters=8, depth=3)
+    tr = Trainer(cfg, srcs, logger, model)
+    tr.train()
+    assert np.isfinite(tr.best_val_iou)
+
+
+def test_grad_accum_indivisible_batch_raises(tmp_path, tiny_data):
+    cfg = _tiny_cfg(tmp_path, grad_accum=3)
+    model = create_model("UNet", base_filters=8, depth=3)
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, 32, 32, 1),
+                               cfg.lr, steps_per_epoch=10)
+    im, ma = tiny_data
+    step = make_train_step(cfg, aug_config_from(cfg))
+    with pytest.raises(ValueError, match="not divisible"):
+        step(state, im[:4], ma[:4], jax.random.PRNGKey(1))
