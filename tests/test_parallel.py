@@ -376,3 +376,41 @@ def test_infer_cli_sharded_bundle(tmp_path, mesh8):
                      "--output_dir", out])
     assert rc == 0
     assert len(os.listdir(out)) == 3
+
+
+def test_dp_grad_accum_step_matches_single_device(mesh8):
+    """grad_accum=2 under a data-sharded mesh: the (K, B/K, ...) microbatch
+    reshape must stay GSPMD-shardable and match the single-device result
+    (same global batch, same key; SGD for delta-is-gradient exactness)."""
+    import optax
+
+    from ddti_tpu.train.state import TrainState
+
+    cfg = Config(batch_size=16, image_size=32, store_size=32, lr=1e-3,
+                 grad_accum=2)
+    model = create_model("UNet", base_filters=8, depth=3)
+    v = model.init({"params": jax.random.PRNGKey(0)},
+                   jnp.zeros((1, 32, 32, 1)), train=False)
+    tx = optax.sgd(1e-2)
+    state1 = TrainState(step=jnp.zeros((), jnp.int32), params=v["params"],
+                        batch_stats=v["batch_stats"],
+                        opt_state=tx.init(v["params"]), tx=tx,
+                        apply_fn=model.apply)
+    im, ma = generate_ddti_like(16, (32, 32), 0)
+    im, ma = jnp.asarray(im), jnp.asarray(ma)
+    state2 = jax.device_put(jax.device_get(state1), replicated(mesh8))
+    step = make_train_step(cfg, aug_config_from(cfg))
+    key = jax.random.PRNGKey(3)
+
+    new1, m1 = step(state1, im, ma, key)
+    sh = batch_sharding(mesh8)
+    with mesh8:
+        new2, m2 = step(state2, jax.device_put(im, sh),
+                        jax.device_put(ma, sh), key)
+
+    assert float(m1.loss) == pytest.approx(float(m2.loss), rel=2e-5)
+    assert float(m1.counts.tp) == float(m2.counts.tp)
+    for a, b in zip(jax.tree.leaves(new1.params),
+                    jax.tree.leaves(new2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
