@@ -66,41 +66,11 @@ def make_host_train_step(config) -> Callable:
     (``--host_augment``): batches arrive already augmented/resized as
     float32 (the PIL/cv2 chain ran on the host, exactly like the
     reference's DataLoader), so the device step is mixup + forward/backward
-    + update only. (state, images_f, masks_f, key) -> (state, StepMetrics).
-    """
-    loss_kw = dict(bce_ratio=config.bce_ratio, dice_ratio=config.dice_ratio,
-                   focal_ratio=config.focal_ratio,
-                   boundary_ratio=config.boundary_ratio,
-                   compute_unused=config.compute_unused_losses)
-    use_mixup = bool(config.use_mixup)
-    mixup_alpha = float(config.mixup_alpha)
-    mixup_prob = float(config.mixup_prob)
-
-    def step(state, images, masks, key):
-        k_mix, k_drop = jax.random.split(key)
-        if use_mixup:
-            images, masks = mixup(k_mix, images, masks, mixup_alpha,
-                                  mixup_prob)
-
-        def loss_fn(params):
-            out, updates = state.apply_fn(
-                {"params": params, "batch_stats": state.batch_stats},
-                images, train=True, mutable=["batch_stats"],
-                rngs={"dropout": k_drop})
-            logits = _main_logits(out)
-            terms = weighted_loss(logits, masks, **loss_kw)
-            return terms.total, (terms, updates, logits)
-
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (_, (terms, updates, logits)), grads = grad_fn(state.params)
-        state = state.apply_gradients(grads, updates["batch_stats"])
-        counts = confusion_counts(logits, masks)
-        m = StepMetrics(terms.total, terms.bce, terms.dice, terms.focal,
-                        terms.boundary, counts,
-                        jnp.asarray(images.shape[0], jnp.float32))
-        return state, m
-
-    return jax.jit(step, donate_argnums=(0,))
+    + update only — the shared step body with the device augmentation
+    chain disabled (grad_accum and deep supervision work here too).
+    (state, images_f, masks_f, key) -> (state, StepMetrics)."""
+    return jax.jit(_build_train_step_impl(config, None, augment=False),
+                   donate_argnums=(0,))
 
 
 def make_eval_step(config) -> Callable:
@@ -207,8 +177,11 @@ def _ds_aux_loss(out, masks, loss_kw, ds_weight: float):
     return ds_weight * total / max(len(ds_outs), 1)
 
 
-def _build_train_step_impl(config, aug_cfg: AugmentConfig) -> Callable:
-    """Unjitted train-step body shared by make_train_step / make_scan_epoch."""
+def _build_train_step_impl(config, aug_cfg: AugmentConfig | None,
+                           augment: bool = True) -> Callable:
+    """Unjitted train-step body shared by make_train_step / make_scan_epoch
+    / make_host_train_step (``augment=False`` skips the device augmentation
+    chain for host-augmented float batches)."""
     loss_kw = dict(bce_ratio=config.bce_ratio, dice_ratio=config.dice_ratio,
                    focal_ratio=config.focal_ratio,
                    boundary_ratio=config.boundary_ratio,
@@ -237,7 +210,8 @@ def _build_train_step_impl(config, aug_cfg: AugmentConfig) -> Callable:
     def step(state, images_u8, masks_u8, key):
         images, masks = _to_float(images_u8, masks_u8)
         k_aug, k_mix, k_drop = jax.random.split(key, 3)
-        images, masks = augment_batch(k_aug, images, masks, aug_cfg)
+        if augment:
+            images, masks = augment_batch(k_aug, images, masks, aug_cfg)
         if use_mixup:
             images, masks = mixup(k_mix, images, masks, mixup_alpha,
                                   mixup_prob)
