@@ -542,3 +542,35 @@ def test_grad_accum_indivisible_batch_raises(tmp_path, tiny_data):
     step = make_train_step(cfg, aug_config_from(cfg))
     with pytest.raises(ValueError, match="not divisible"):
         step(state, im[:4], ma[:4], jax.random.PRNGKey(1))
+
+
+def test_fused_epoch_with_grad_accum(tmp_path):
+    """fused_epoch x grad_accum: the accumulation scan nests inside the
+    epoch scan; same final params as the stepwise grad_accum path."""
+    from ddti_tpu.core import create_logger
+    from ddti_tpu.data import DeviceDataSource
+
+    def run(fused):
+        cfg = _tiny_cfg(tmp_path, epochs=1, fused_epoch=fused, grad_accum=2,
+                        base_dir=str(tmp_path / f"ga_f{fused}"))
+        cfg.make_dirs()
+        logger = create_logger(os.path.join(cfg.log_dir, "log.log"))
+        srcs = tuple(
+            DeviceDataSource(*generate_ddti_like(n, (32, 32), s))
+            for n, s in ((8, 0), (4, 1), (4, 2)))
+        model = create_model("UNet", base_filters=8, depth=3)
+        tr = Trainer(cfg, srcs, logger, model)
+        tr.train_one_epoch(0)
+        return jax.device_get(tr.state)
+
+    s1 = run(False)
+    s2 = run(True)
+    assert int(s1.step) == int(s2.step)
+    lr = 3e-3
+    total = close = 0
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(a, b, atol=2.5 * lr)
+        close += int(np.isclose(a, b, rtol=1e-4, atol=1e-6).sum())
+        total += a.size
+    assert close / total >= 0.98
