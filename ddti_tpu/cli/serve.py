@@ -37,29 +37,48 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 
+class QueueFull(Exception):
+    """Raised by ``Batcher.submit`` when the pending queue is at
+    ``max_queue`` — the HTTP layer maps it to 503 + Retry-After."""
+
+
 class Batcher:
     """Micro-batching executor: requests enqueue single frames; a worker
     thread coalesces up to ``batch_n`` of them (waiting at most
     ``max_wait_ms`` after the first arrival), zero-pads the tail, and runs
     one fixed-shape device program for the whole group. This is the online
-    analogue of the offline padded-tail batching in cli/infer.py."""
+    analogue of the offline padded-tail batching in cli/infer.py.
 
-    def __init__(self, predict, batch_n: int, max_wait_ms: float = 5.0):
+    ``max_queue`` bounds the pending-frame queue (backpressure): beyond it
+    ``submit`` raises :class:`QueueFull` instead of letting latency — and
+    one blocked handler thread per request — grow without bound."""
+
+    def __init__(self, predict, batch_n: int, max_wait_ms: float = 5.0,
+                 max_queue: int | None = None):
         self._predict = predict
         self.batch_n = int(batch_n)
         self.max_wait = max_wait_ms / 1000.0
+        self.max_queue = int(max_queue) if max_queue else 8 * self.batch_n
         self._q: queue.Queue = queue.Queue()
         self._stop = False
         self.lock = threading.Lock()
         self.n_batches = 0
         self.n_images = 0
+        self.n_rejected = 0
         self._thread = threading.Thread(target=self._run, daemon=True,
                                         name="ddti-batcher")
         self._thread.start()
 
     def submit(self, arr):
         """``arr``: (size, size, 1) uint8 frame. Blocks until its mask is
-        computed; returns the (size, size, 1) uint8 {0,1} mask."""
+        computed; returns the (size, size, 1) uint8 {0,1} mask. Raises
+        :class:`QueueFull` when ``max_queue`` frames are already waiting."""
+        if self._q.qsize() >= self.max_queue:
+            with self.lock:
+                self.n_rejected += 1
+            raise QueueFull(
+                f"{self._q.qsize()} frames pending (max_queue="
+                f"{self.max_queue})")
         ev = threading.Event()
         slot: dict = {}
         self._q.put((arr, ev, slot))
@@ -236,6 +255,8 @@ class _Handler(BaseHTTPRequestHandler):
                         srv.batcher.n_images / max(up, 1e-9), 3),
                     "mean_latency_ms": round(
                         1e3 * srv.total_latency / max(n, 1), 3),
+                    "rejected": srv.batcher.n_rejected,
+                    "queue_depth": srv.batcher._q.qsize(),
                 })
         else:
             self._json(404, {"error": f"unknown path {path}"})
@@ -264,6 +285,15 @@ class _Handler(BaseHTTPRequestHandler):
                          np.uint8)[..., None]
         try:
             mask = srv.batcher.submit(arr)
+        except QueueFull as e:
+            self.send_response(503)
+            body = json.dumps({"error": f"overloaded: {e}"}).encode()
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.send_header("Retry-After", "1")
+            self.end_headers()
+            self.wfile.write(body)
+            return
         except Exception as e:
             with srv.stats_lock:
                 srv.n_errors += 1
@@ -322,7 +352,8 @@ def create_server(args) -> PredictionServer:
     predict, batch_n, size, info = load_predictor(args)
     if not args.no_warmup:
         predict(np.zeros((batch_n, size, size, 1), np.uint8))
-    batcher = Batcher(predict, batch_n, max_wait_ms=args.max_wait_ms)
+    batcher = Batcher(predict, batch_n, max_wait_ms=args.max_wait_ms,
+                      max_queue=args.max_queue)
     return PredictionServer((args.host, args.port), batcher, size, info,
                             verbose=args.verbose)
 
@@ -354,6 +385,10 @@ def get_parser() -> argparse.ArgumentParser:
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--compilation_cache", default="auto",
                     help="persistent XLA compile cache dir; 'off' disables")
+    ap.add_argument("--max_queue", type=int, default=0,
+                    help="backpressure bound on pending frames (0 = "
+                         "8x batch); beyond it /predict returns 503 + "
+                         "Retry-After instead of queueing unboundedly")
     ap.add_argument("--no_warmup", action="store_true")
     ap.add_argument("--verbose", action="store_true",
                     help="per-request access log")

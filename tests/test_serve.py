@@ -188,3 +188,41 @@ def test_batcher_direct():
     b.close()
     b2.close()
     assert not b._thread.is_alive() and not b2._thread.is_alive()
+
+
+def test_batcher_backpressure():
+    """max_queue bounds the pending queue: submits beyond it raise
+    QueueFull (the HTTP layer maps this to 503 + Retry-After) and are
+    counted in n_rejected; the queue drains and accepts again."""
+    import time
+
+    from ddti_tpu.cli.serve import QueueFull
+
+    release = threading.Event()
+
+    def slow_predict(x):
+        release.wait(timeout=30)
+        return x
+
+    b = Batcher(slow_predict, batch_n=1, max_wait_ms=0.0, max_queue=2)
+    a = np.full((8, 8, 1), 3, np.uint8)
+    threads = [threading.Thread(target=lambda: b.submit(a), daemon=True)
+               for _ in range(3)]
+    for t in threads:
+        t.start()
+    # wait until the worker holds one frame and two more are queued
+    deadline = time.time() + 10
+    while b._q.qsize() < 2 and time.time() < deadline:
+        time.sleep(0.01)
+    assert b._q.qsize() >= 2
+    with pytest.raises(QueueFull):
+        b.submit(a)
+    assert b.n_rejected == 1
+
+    release.set()  # drain
+    for t in threads:
+        t.join(timeout=10)
+    out = b.submit(a)  # accepted again after drain
+    assert np.array_equal(out, a)
+    assert b.n_rejected == 1
+    b.close()
