@@ -44,11 +44,13 @@ def main(argv=None) -> int:
                     help="directory of calibration images (up to "
                          "--calib_count used); synthetic frames if omitted")
     ap.add_argument("--calib_count", type=int, default=32)
-    ap.add_argument("--min_channels", type=int, default=0,
+    ap.add_argument("--min_channels", default="0",
                     help="mixed precision: quantize only convs with "
                          "max(cin,cout) >= this (shallow high-res levels "
                          "are HBM-bound and faster in bf16 — use 128 for "
-                         "512^2 serving; benchmarks/PERF_NOTES.md)")
+                         "512^2 serving; benchmarks/PERF_NOTES.md). "
+                         "'auto' exports the 0 and 128 variants, times "
+                         "both on the device, and keeps the faster")
     ap.add_argument("--input_dtype", choices=["f32", "uint8"],
                     default="f32",
                     help="exported program input: f32 [0,1] (infer-CLI "
@@ -119,13 +121,53 @@ def main(argv=None) -> int:
           f"({'real' if args.calib_dir else 'synthetic'})")
 
     in_dtype = jnp.uint8 if args.input_dtype == "uint8" else jnp.float32
-    blob, svars = export_serving_int8(
-        model, params, stats, batch=args.batch_size, size=size,
-        calib_images=jnp.asarray(calib), input_dtype=in_dtype,
-        min_channels=args.min_channels)
-
     prog = args.output + "_serving_program.stablehlo"
     os.makedirs(os.path.dirname(os.path.abspath(prog)), exist_ok=True)
+
+    if args.min_channels == "auto":
+        # export both documented crossover candidates (PERF_NOTES.md:
+        # full int8 wins at 256², mc=128 at 512²), time them AOT-compiled
+        # on the device, keep the faster
+        import time
+
+        from ddti_tpu.train.export import load_serving_bundle
+
+        best = None
+        for mc in (0, 128):
+            blob, svars = export_serving_int8(
+                model, params, stats, batch=args.batch_size, size=size,
+                calib_images=jnp.asarray(calib), input_dtype=in_dtype,
+                min_channels=mc)
+            cand = args.output + f"_mc{mc}_serving_program.stablehlo"
+            with open(cand, "wb") as f:
+                f.write(blob)
+            save_variables_npz(cand.replace(".stablehlo", ".npz"), svars)
+            fn, batch_n, sz, dt = load_serving_bundle(cand)
+            x = np.zeros((batch_n, sz, sz, 1),
+                         np.uint8 if np.dtype(dt) == np.uint8
+                         else np.float32)
+            np.asarray(fn(x))  # compile + warm
+            t0 = time.perf_counter()
+            for _ in range(6):
+                r = fn(x)
+            np.asarray(r)  # device sync (block_until_ready is unreliable
+            #                on the axon tunnel backend)
+            ms = (time.perf_counter() - t0) / 6 * 1e3
+            print(f"min_channels={mc}: {ms:.1f} ms/batch "
+                  f"({args.batch_size / ms * 1e3:.1f} img/s)")
+            if best is None or ms < best[1]:
+                best = (mc, ms, blob, svars)
+        mc, ms, blob, svars = best
+        print(f"auto: keeping min_channels={mc}")
+        for loser in (0, 128):
+            for ext in (".stablehlo", ".npz"):
+                os.remove(args.output + f"_mc{loser}_serving_program{ext}")
+    else:
+        blob, svars = export_serving_int8(
+            model, params, stats, batch=args.batch_size, size=size,
+            calib_images=jnp.asarray(calib), input_dtype=in_dtype,
+            min_channels=int(args.min_channels))
+
     with open(prog, "wb") as f:
         f.write(blob)
     save_variables_npz(args.output + "_serving_program.npz", svars)

@@ -346,3 +346,32 @@ def test_conv_geometry_exact(conv_kwargs):
     got = quantized_apply(m, {"params": params, "quant": qtree}, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=0, atol=1e-2)
+
+
+def test_quantize_cli_min_channels_auto(tmp_path):
+    """--min_channels auto exports both candidates, keeps the faster, and
+    leaves no temp variant files behind."""
+    from ddti_tpu.cli.quantize import main
+    from ddti_tpu.models import create_model
+    from ddti_tpu.train.checkpoint import save_params_npz
+
+    model = create_model("UNet", base_filters=8, depth=3)
+    v = model.init({"params": jax.random.PRNGKey(0)},
+                   jnp.zeros((1, 32, 32, 1)), train=False)
+    ck = os.path.join(tmp_path, "w.npz")
+    save_params_npz(ck, v["params"], v["batch_stats"])
+    out = os.path.join(tmp_path, "q")
+    rc = main(["--checkpoint", ck, "--output", out, "--model_type", "UNet",
+               "--base_filters", "8", "--depth", "3", "--image_size", "32",
+               "--batch_size", "2", "--calib_count", "4",
+               "--min_channels", "auto", "--cpu",
+               "--compilation_cache", "off"])
+    assert rc == 0
+    left = sorted(os.listdir(tmp_path))
+    assert left == ["q_serving_program.npz", "q_serving_program.stablehlo",
+                    "w.npz"]
+    fn, batch, size, dt = load_serving_bundle(
+        out + "_serving_program.stablehlo")
+    assert (batch, size) == (2, 32)
+    masks = np.asarray(fn(jnp.zeros((2, 32, 32, 1), jnp.float32)))
+    assert masks.shape == (2, 32, 32, 1) and masks.dtype == np.uint8
