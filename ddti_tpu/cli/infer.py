@@ -62,6 +62,10 @@ def main(argv=None) -> int:
     ap.add_argument("--stride", type=int, default=256)
     ap.add_argument("--overlay", action="store_true",
                     help="also write contour overlays")
+    ap.add_argument("--tta", action="store_true",
+                    help="4-way flip test-time augmentation (live "
+                         "checkpoints; for .stablehlo bundles TTA is baked "
+                         "at export time via --tta on the exporter)")
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--fold_bn", action="store_true",
                     help="fold BatchNorm into conv kernels before serving")
@@ -119,7 +123,18 @@ def main(argv=None) -> int:
         print(f"no images in {args.input_dir}")
         return 1
 
-    apply_fn = jax.jit(lambda v, x: model.apply(v, x, train=False))
+    def _logits(v, x):
+        out = model.apply(v, x, train=False)
+        return out[0] if isinstance(out, tuple) else out
+
+    if args.tta:
+        # the flip ensemble expressed as a logit map: downstream sigmoid/
+        # threshold and the sliding-window blender consume it unchanged
+        from ddti_tpu.eval.tta import tta_logits
+        apply_fn = jax.jit(
+            lambda v, x: tta_logits(lambda im: _logits(v, im), x))
+    else:
+        apply_fn = jax.jit(_logits)
     t0 = time.perf_counter()
     n_done = 0
 

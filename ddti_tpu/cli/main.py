@@ -126,6 +126,11 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--export_serving", action="store_true",
                    help="after training, write a StableHLO serving artifact "
                         "(weights baked in, loadable without model code)")
+    p.add_argument("--tta", action="store_true",
+                   help="4-way flip test-time augmentation: Trainer.test() "
+                        "and exported serving artifacts average sigmoid "
+                        "probabilities over {identity, h, v, hv} flips "
+                        "(4 fused forward passes, eval/tta.py)")
     p.add_argument("--mode", default="test", choices=["train", "test", "both"],
                    help="the reference's checked-in behavior is test-only")
     p.add_argument("--host_augment", action="store_true",
@@ -221,7 +226,8 @@ def load_sources(cfg, native: str = "auto"):
                     seed=cfg.seed)))
             else:
                 sources.append(DeviceDataSource(
-                    *decode_to_store(ds, size, cache_dir=cache)))
+                    *decode_to_store(ds, size, cache_dir=cache),
+                    names=ds.img_names))
     else:
         for n, seed in ((64, 0), (16, 10_000), (16, 20_000)):
             sources.append(DeviceDataSource(*generate_ddti_like(

@@ -61,6 +61,9 @@ def main(argv=None) -> int:
                     help="JSON dict of extra create_model kwargs (e.g. "
                          "'{\"embed_dim\": 128, \"num_heads\": 4}' for a "
                          "non-default TransUNet)")
+    ap.add_argument("--tta", action="store_true",
+                    help="bake the 4-way flip TTA ensemble into the "
+                         "exported serving program (eval/tta.py)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--compilation_cache", default="auto",
                     help="persistent XLA compile cache dir; 'off' disables")
@@ -137,7 +140,7 @@ def main(argv=None) -> int:
             blob, svars = export_serving_int8(
                 model, params, stats, batch=args.batch_size, size=size,
                 calib_images=jnp.asarray(calib), input_dtype=in_dtype,
-                min_channels=mc)
+                min_channels=mc, tta=args.tta)
             cand = args.output + f"_mc{mc}_serving_program.stablehlo"
             with open(cand, "wb") as f:
                 f.write(blob)
@@ -166,7 +169,7 @@ def main(argv=None) -> int:
         blob, svars = export_serving_int8(
             model, params, stats, batch=args.batch_size, size=size,
             calib_images=jnp.asarray(calib), input_dtype=in_dtype,
-            min_channels=int(args.min_channels))
+            min_channels=int(args.min_channels), tta=args.tta)
 
     with open(prog, "wb") as f:
         f.write(blob)

@@ -80,6 +80,9 @@ class Config:
                                    # max(cin,cout) >= this (128 for 512^2)
     early_stop_patience: int = 50
     alpha: float = 2.0
+    tta: bool = False  # 4-way flip test-time augmentation at test/serving:
+    # mean sigmoid over {identity, h, v, hv} flips (eval/tta.py); applies
+    # to Trainer.test() and any serving artifact exported by the run
 
     # parallel / precision (TPU-native additions; reference analogues:
     # use_data_parallel -> DataParallel, use_amp_autocast -> AMP)

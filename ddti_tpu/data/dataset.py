@@ -168,9 +168,12 @@ class DeviceDataSource:
     the jitted step, so HBM holds 1 byte/pixel)."""
 
     def __init__(self, images: np.ndarray, masks: np.ndarray,
-                 sharding=None):
+                 sharding=None, names=None):
         assert images.ndim == 4 and masks.ndim == 4
         self.n = images.shape[0]
+        # optional per-item identifiers (dataset filenames) for audit
+        # outputs like the per-image test-metrics CSV
+        self.names = list(names) if names is not None else None
         if sharding is not None:
             self.images = jax.device_put(jnp.asarray(images), sharding)
             self.masks = jax.device_put(jnp.asarray(masks), sharding)

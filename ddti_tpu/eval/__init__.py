@@ -12,5 +12,6 @@ from .sliding_window import (  # noqa: F401
     sliding_window_logits,
     sliding_window_predict,
 )
+from .tta import tta_logits, tta_probs  # noqa: F401
 from .visualize import save_boundary_grids  # noqa: F401
 from .confusion import save_confusion_matrix  # noqa: F401

@@ -41,19 +41,25 @@ class ConfusionCounts(NamedTuple):
 
 
 def confusion_counts(logits: jnp.ndarray, targets: jnp.ndarray,
-                     threshold: float = 0.5) -> ConfusionCounts:
-    """Device-side confusion counts; pred = sigmoid(logits) > threshold."""
+                     threshold: float = 0.5,
+                     per_image: bool = False) -> ConfusionCounts:
+    """Device-side confusion counts; pred = sigmoid(logits) > threshold.
+
+    ``per_image=True`` reduces over the spatial/channel axes only, so each
+    count is a (batch,)-vector — the per-image audit rows written by
+    ``Trainer.test()``. Their sums equal the global (scalar) counts."""
+    axes = tuple(range(1, logits.ndim)) if per_image else None
     pred = (jax.nn.sigmoid(logits.astype(jnp.float32)) > threshold)
     t = targets.astype(jnp.float32)
     pos_i = t >= 1.0   # astype(int) truncation semantics on [0, 1] floats
     pos_b = t > 0.0    # astype(bool) semantics
     f32 = jnp.float32
-    tp = jnp.sum((pred & pos_i).astype(f32))
-    fp = jnp.sum((pred & ~pos_i).astype(f32))
-    fn = jnp.sum((~pred & pos_i).astype(f32))
-    tn = jnp.sum((~pred & ~pos_i).astype(f32))
-    inter = jnp.sum((pred & pos_b).astype(f32))
-    union = jnp.sum((pred | pos_b).astype(f32))
+    tp = jnp.sum((pred & pos_i).astype(f32), axis=axes)
+    fp = jnp.sum((pred & ~pos_i).astype(f32), axis=axes)
+    fn = jnp.sum((~pred & pos_i).astype(f32), axis=axes)
+    tn = jnp.sum((~pred & ~pos_i).astype(f32), axis=axes)
+    inter = jnp.sum((pred & pos_b).astype(f32), axis=axes)
+    union = jnp.sum((pred | pos_b).astype(f32), axis=axes)
     return ConfusionCounts(tp, fp, fn, tn, inter, union)
 
 

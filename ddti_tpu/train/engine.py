@@ -185,34 +185,40 @@ class Trainer:
             (np.asarray(images)[lo:lo + per],
              np.asarray(masks)[lo:lo + per]), self.mesh)
 
-    def _iter_batches(self, src, shuffle: bool):
+    def _iter_batches(self, src, shuffle: bool, with_idx: bool = False):
         """Unify device-resident and host-streaming sources: yields device
         batch arrays (uint8 store batches or host-augmented float batches —
-        the jitted steps accept both; dtype is static per source)."""
+        the jitted steps accept both; dtype is static per source).
+        ``with_idx=True`` prefixes each yield with the dataset indices of
+        the batch items (None for host-streaming sources, which shuffle
+        internally) — used by the per-image test audit."""
+        def emit(idx, batch):
+            return (idx, *batch) if with_idx else batch
+
         if self._is_device_src(src):
             for idx in src.epoch_batches(self.rng, self.config.batch_size,
                                          shuffle=shuffle):
                 if self._multihost:  # host store -> process-local shards
-                    yield self._shard_multihost(src.images[idx],
-                                                src.masks[idx])
+                    yield emit(idx, self._shard_multihost(src.images[idx],
+                                                          src.masks[idx]))
                     continue
                 batch = gather_batch(src.images, src.masks,
                                      jax.numpy.asarray(idx))
                 if self._batch_sh is not None:
                     batch = tuple(jax.device_put(x, self._batch_sh)
                                   for x in batch)
-                yield batch
+                yield emit(idx, batch)
         else:
             for images, masks in src:
                 if self._multihost:
-                    yield self._shard_multihost(images, masks)
+                    yield emit(None, self._shard_multihost(images, masks))
                     continue
                 batch = (jax.numpy.asarray(images),
                          jax.numpy.asarray(masks))
                 if self._batch_sh is not None:
                     batch = tuple(jax.device_put(x, self._batch_sh)
                                   for x in batch)
-                yield batch
+                yield emit(None, batch)
 
     def train_one_epoch(self, epoch: int):
         if (self.scan_epoch is not None and not self._multihost
@@ -353,6 +359,7 @@ class Trainer:
         cfg = self.config
         sd = getattr(cfg, "serving_dtype", "f32")
         wd = jax.numpy.bfloat16 if sd == "bf16" else None
+        tta = bool(getattr(cfg, "tta", False))
         from .checkpoint import save_variables_npz
         from .export import export_serving_program, save_serving
 
@@ -380,12 +387,13 @@ class Trainer:
                 variables = variables_q
                 blob = export_quantized_program(
                     self.model, variables_q, batch=cfg.batch_size,
-                    size=cfg.image_size, input_dtype=jax.numpy.float32)
+                    size=cfg.image_size, input_dtype=jax.numpy.float32,
+                    tta=tta)
             else:
                 blob, variables = export_serving_program(
                     self.model, self.state.params,
                     self.state.batch_stats, batch=cfg.batch_size,
-                    size=cfg.image_size, weights_dtype=wd)
+                    size=cfg.image_size, weights_dtype=wd, tta=tta)
             with open(ppath, "wb") as f:
                 f.write(blob)
             save_variables_npz(ppath[: -len(".stablehlo")] + ".npz",
@@ -405,7 +413,8 @@ class Trainer:
                     sblob = export_quantized_program(
                         self.model, variables_q,
                         batch=cfg.batch_size, size=cfg.image_size,
-                        input_dtype=jax.numpy.float32, mesh=self.mesh)
+                        input_dtype=jax.numpy.float32, mesh=self.mesh,
+                        tta=tta)
                     svars = variables_q
                 else:
                     from .export import export_serving_sharded
@@ -413,7 +422,7 @@ class Trainer:
                         self.model, self.state.params,
                         self.state.batch_stats, self.mesh,
                         batch=cfg.batch_size, size=cfg.image_size,
-                        weights_dtype=wd)
+                        weights_dtype=wd, tta=tta)
                 spath = os.path.join(
                     cfg.model_dir,
                     f"{cfg.model_type}_serving_sharded.stablehlo")
@@ -433,7 +442,7 @@ class Trainer:
                                 f"{cfg.model_type}_serving.stablehlo")
             save_serving(path, self.model, self.state.params,
                          self.state.batch_stats, batch=cfg.batch_size,
-                         size=cfg.image_size)
+                         size=cfg.image_size, tta=tta)
             self.logger.info(f"--Baked serving artifact: {path}")
         except Exception as e:
             self.logger.warning(f"baked serving export failed: {e}")
@@ -467,12 +476,17 @@ class Trainer:
             visualize = False
         all_imgs, all_masks, all_preds = [], [], []
         counts_total = None
-        for images, masks in self._iter_batches(self.test_src,
-                                                shuffle=True):
-            imgs_f, masks_f, preds, counts = self.infer_step(
+        audit = self._multihost and jax.process_count() > 1
+        rows, seen = [], set()  # per-image audit rows (skipped multi-host)
+        for idx, images, masks in self._iter_batches(self.test_src,
+                                                     shuffle=True,
+                                                     with_idx=True):
+            imgs_f, masks_f, preds, counts, per_img = self.infer_step(
                 self.state, images, masks)
             counts_total = (counts if counts_total is None
                             else counts_total + counts)
+            if not audit:
+                self._collect_per_image(rows, seen, idx, per_img)
             if visualize:
                 all_imgs.append(np.asarray(imgs_f)[..., 0])
                 all_masks.append(np.asarray(masks_f)[..., 0].astype(np.uint8))
@@ -492,9 +506,84 @@ class Trainer:
         print(msg)
         self.logger.info(msg)
 
+        # machine-readable twin of the log block — the sweep aggregator
+        # (cli/aggregate.py) reads this instead of scraping logs
+        try:
+            import json
+            with open(os.path.join(self.config.result_dir,
+                                   "test_metrics.json"), "w") as f:
+                json.dump({**{k: float(v) for k, v in m.items()},
+                           "total_images": total,
+                           "model_type": self.config.model_type,
+                           "tta": bool(getattr(self.config, "tta", False))},
+                          f, indent=1)
+        except OSError as e:  # metrics were already logged; don't fail test()
+            self.logger.warning(f"test_metrics.json write failed: {e}")
+
+        if rows:
+            self._write_per_image_csv(rows)
+
         if visualize and all_imgs:
             save_boundary_grids(np.concatenate(all_imgs),
                                 np.concatenate(all_masks),
                                 np.concatenate(all_preds),
                                 self.config.result_dir)
         return m
+
+    def _collect_per_image(self, rows: list, seen: set, idx, per_img):
+        """Accumulate per-image audit rows from one test batch. ``idx`` is
+        the dataset index array (None for host-streaming sources — rows
+        then carry a running position only). Wraparound-padded duplicates
+        in the final short batch are dropped via ``seen``."""
+        c = jax.device_get(per_img)
+        n = len(c.tp)
+        ids = (np.asarray(idx) if idx is not None
+               else np.arange(len(rows), len(rows) + n))
+        names = getattr(self.test_src, "names", None)
+        for j in range(n):
+            i = int(ids[j])
+            if idx is not None:
+                if i in seen:
+                    continue
+                seen.add(i)
+            tp, fp, fn = float(c.tp[j]), float(c.fp[j]), float(c.fn[j])
+            inter, union = float(c.inter[j]), float(c.union[j])
+            rows.append({
+                "index": i,
+                "name": (names[i] if names is not None and idx is not None
+                         else ""),
+                # per-image IoU under the reference's bool convention
+                # (utils.py:225-231); empty target+pred -> nan
+                "iou": inter / union if union > 0 else float("nan"),
+                # soft-dice-free pixel Dice from the int-convention counts
+                "dice": (2 * tp / (2 * tp + fp + fn)
+                         if (2 * tp + fp + fn) > 0 else float("nan")),
+                "tp": int(tp), "fp": int(fp), "fn": int(fn),
+                "tn": int(c.tn[j]),
+            })
+
+    def _write_per_image_csv(self, rows: list) -> None:
+        """``result/per_image_metrics.csv`` — one audit row per test image
+        (worst cases first), plus a summary log line. Beyond-reference:
+        the torch reference only reports the micro-average over all
+        pixels, which hides failing images entirely."""
+        import csv
+        import math
+
+        rows = sorted(rows, key=lambda r: (math.isnan(r["iou"]),
+                                           r["iou"]))
+        path = os.path.join(self.config.result_dir,
+                            "per_image_metrics.csv")
+        with open(path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+            w.writeheader()
+            w.writerows(rows)
+        ious = [r["iou"] for r in rows if not math.isnan(r["iou"])]
+        if ious:
+            med = float(np.median(ious))
+            worst = ", ".join(
+                f"{r['name'] or r['index']}={r['iou']:.3f}"
+                for r in rows[:3] if not math.isnan(r["iou"]))
+            self.logger.info(
+                f"Per-image IoU: median {med:.4f}, min {min(ious):.4f} "
+                f"(worst: {worst}) — {path}")

@@ -17,22 +17,31 @@ from jax import export as jax_export
 
 
 def serve_body(model, variables, images, threshold: float = 0.5,
-               apply_fn=None):
+               apply_fn=None, tta: bool = False):
     """THE serving computation, shared by every exporter (plain, sharded,
     int8 via ``apply_fn``): uint8 [0,255] or float [0,1] images in,
-    binarized uint8 masks out."""
+    binarized uint8 masks out. ``tta=True`` bakes the 4-way flip
+    test-time-augmentation ensemble (eval/tta.py) into the graph."""
     if images.dtype == jnp.uint8:
         compute = getattr(model, "dtype", None) or jnp.float32
         images = images.astype(compute) / 255.0
     apply = apply_fn or (lambda v, im: model.apply(v, im, train=False))
-    out = apply(variables, images)
-    logits = out[0] if isinstance(out, tuple) else out
-    probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+
+    def fwd(im):
+        out = apply(variables, im)
+        return out[0] if isinstance(out, tuple) else out
+
+    if tta:
+        from ddti_tpu.eval.tta import tta_probs
+        probs = tta_probs(fwd, images)
+    else:
+        probs = jax.nn.sigmoid(fwd(images).astype(jnp.float32))
     return (probs > threshold).astype(jnp.uint8)
 
 
 def make_serve_fn(model, params: Any, batch_stats: Any,
-                  threshold: float = 0.5, input_dtype=jnp.float32):
+                  threshold: float = 0.5, input_dtype=jnp.float32,
+                  tta: bool = False):
     """Closed-over inference function -> uint8 masks. With
     ``input_dtype=jnp.uint8`` the function is the full serving entry:
     raw [0,255] bytes in, binarized masks out (the uint8->model-dtype
@@ -41,7 +50,7 @@ def make_serve_fn(model, params: Any, batch_stats: Any,
     variables = {"params": params, "batch_stats": batch_stats}
 
     def serve(images):
-        return serve_body(model, variables, images, threshold)
+        return serve_body(model, variables, images, threshold, tta=tta)
 
     return serve
 
@@ -49,7 +58,7 @@ def make_serve_fn(model, params: Any, batch_stats: Any,
 def export_serving(model, params: Any, batch_stats: Any, batch: int,
                    size: int, in_channels: int = 1,
                    threshold: float = 0.5, fold_bn: bool = False,
-                   input_dtype=jnp.float32) -> bytes:
+                   input_dtype=jnp.float32, tta: bool = False) -> bytes:
     """Serialize the inference function (weights baked in) for the input
     shape (batch, size, size, in_channels). ``fold_bn=True`` folds
     BatchNorm into the conv kernels first (train/fold_bn.py) so the
@@ -58,7 +67,7 @@ def export_serving(model, params: Any, batch_stats: Any, batch: int,
         from ddti_tpu.train.fold_bn import fold_batchnorm
         params, batch_stats = fold_batchnorm(model, params, batch_stats)
     serve = make_serve_fn(model, params, batch_stats, threshold,
-                          input_dtype)
+                          input_dtype, tta=tta)
     spec = jax.ShapeDtypeStruct((batch, size, size, in_channels),
                                 input_dtype)
     exported = jax_export.export(jax.jit(serve))(spec)
@@ -122,7 +131,8 @@ def export_serving_program(model, params: Any, batch_stats: Any, batch: int,
                            size: int, in_channels: int = 1,
                            threshold: float = 0.5, fold_bn: bool = False,
                            input_dtype=jnp.float32,
-                           weights_dtype=None) -> tuple[bytes, dict]:
+                           weights_dtype=None,
+                           tta: bool = False) -> tuple[bytes, dict]:
     """Weights-as-ARGUMENTS export: returns ``(blob, variables)`` where the
     StableHLO program takes ``(variables, images)``. This is the
     production split — a small program artifact plus a weight bundle —
@@ -134,7 +144,7 @@ def export_serving_program(model, params: Any, batch_stats: Any, batch: int,
                                    weights_dtype)
 
     def serve(variables, images):
-        return serve_body(model, variables, images, threshold)
+        return serve_body(model, variables, images, threshold, tta=tta)
 
     return export_program(serve, variables, batch, size, in_channels,
                           input_dtype), variables
@@ -144,7 +154,8 @@ def export_serving_sharded(model, params: Any, batch_stats: Any, mesh,
                            batch: int, size: int, in_channels: int = 1,
                            threshold: float = 0.5, fold_bn: bool = False,
                            input_dtype=jnp.float32,
-                           weights_dtype=None) -> tuple[bytes, dict]:
+                           weights_dtype=None,
+                           tta: bool = False) -> tuple[bytes, dict]:
     """Multi-chip serving export: the StableHLO program carries GSPMD
     shardings — weights replicated, the image batch sharded over the
     mesh's ``data`` axis — so one deserialized artifact serves a batch
@@ -158,7 +169,7 @@ def export_serving_sharded(model, params: Any, batch_stats: Any, mesh,
                                    weights_dtype)
 
     def serve(variables, images):
-        return serve_body(model, variables, images, threshold)
+        return serve_body(model, variables, images, threshold, tta=tta)
 
     return export_program(serve, variables, batch, size, in_channels,
                           input_dtype, mesh=mesh), variables

@@ -266,7 +266,8 @@ def quantize_serving(model, params: Any, batch_stats: Any, calib_images,
 def export_quantized_program(model, variables: dict, batch: int,
                              size: int, in_channels: int = 1,
                              threshold: float = 0.5,
-                             input_dtype=jnp.uint8, mesh=None) -> bytes:
+                             input_dtype=jnp.uint8, mesh=None,
+                             tta: bool = False) -> bytes:
     """Serialize an already-quantized ``variables`` tree (from
     ``quantize_serving``) as a weights-as-arguments StableHLO serving
     program. With ``mesh``, the program carries GSPMD shardings (weights +
@@ -280,7 +281,7 @@ def export_quantized_program(model, variables: dict, batch: int,
         return serve_body(
             model, variables, images, threshold,
             apply_fn=lambda v, im: quantized_apply(model, v, im,
-                                                   train=False))
+                                                   train=False), tta=tta)
 
     return export_program(serve, variables, batch, size, in_channels,
                           input_dtype, mesh=mesh)
@@ -290,7 +291,7 @@ def export_serving_int8(model, params: Any, batch_stats: Any, batch: int,
                         size: int, calib_images, in_channels: int = 1,
                         threshold: float = 0.5, input_dtype=jnp.uint8,
                         min_channels: int = 0,
-                        mesh=None) -> tuple[bytes, dict]:
+                        mesh=None, tta: bool = False) -> tuple[bytes, dict]:
     """Quantize + export in one call: ``serve(variables, images) ->
     uint8 masks`` with all tabled convs in s8 x s8 -> s32. Returns
     ``(blob, variables)``; pair with
@@ -302,7 +303,7 @@ def export_serving_int8(model, params: Any, batch_stats: Any, batch: int,
                                  calib_images, min_channels=min_channels)
     blob = export_quantized_program(model, variables, batch, size,
                                     in_channels, threshold, input_dtype,
-                                    mesh)
+                                    mesh, tta=tta)
     return blob, variables
 
 
@@ -311,9 +312,10 @@ def export_serving_int8_sharded(model, params: Any, batch_stats: Any,
                                 in_channels: int = 1,
                                 threshold: float = 0.5,
                                 input_dtype=jnp.uint8,
-                                min_channels: int = 0) -> tuple[bytes, dict]:
+                                min_channels: int = 0,
+                                tta: bool = False) -> tuple[bytes, dict]:
     """Int8 quantization + GSPMD scale-out in one artifact (convenience
     wrapper over ``export_serving_int8(mesh=...)``)."""
     return export_serving_int8(model, params, batch_stats, batch, size,
                                calib_images, in_channels, threshold,
-                               input_dtype, min_channels, mesh)
+                               input_dtype, min_channels, mesh, tta=tta)

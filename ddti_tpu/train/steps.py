@@ -99,20 +99,35 @@ def make_eval_step(config) -> Callable:
 
 def make_infer_step(config) -> Callable:
     """(state, images_u8, masks_u8) -> (images_f, masks_f, preds_u8, counts)
-    for the test routine (predictions come back binarized uint8)."""
+    for the test routine (predictions come back binarized uint8).
+
+    With ``config.tta`` the logits are the 4-way flip-TTA ensemble
+    (eval/tta.py) — all four forwards fuse into this one jitted step."""
     size = (config.image_size, config.image_size)
+    use_tta = bool(getattr(config, "tta", False))
 
     def step(state, images_u8, masks_u8):
         images, masks = _to_float(images_u8, masks_u8)
         images, masks = eval_preprocess(images, masks, size)
-        out = state.apply_fn(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            images, train=False)
-        logits = _main_logits(out)
+
+        def fwd(x):
+            out = state.apply_fn(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                x, train=False)
+            return _main_logits(out)
+
+        if use_tta:
+            from ddti_tpu.eval.tta import tta_logits
+            logits = tta_logits(fwd, images)
+        else:
+            logits = fwd(images)
         preds = (jax.nn.sigmoid(logits.astype(jnp.float32)) > 0.5
                  ).astype(jnp.uint8)
-        counts = confusion_counts(logits, masks)
-        return images, masks, preds, counts
+        # one per-image reduction; the global counts are its sum (the
+        # same values the reference's flattened test() pass produces)
+        per_img = confusion_counts(logits, masks, per_image=True)
+        counts = ConfusionCounts(*(x.sum() for x in per_img))
+        return images, masks, preds, counts, per_img
 
     return jax.jit(step)
 

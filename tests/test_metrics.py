@@ -42,6 +42,22 @@ def test_counts_match_numpy_conventions(soft_case):
     assert float(c.union) == np.logical_or(pred, t_bool).sum()
 
 
+def test_per_image_counts_sum_to_global(soft_case):
+    logits, targets = soft_case
+    c = confusion_counts(jnp.asarray(logits), jnp.asarray(targets))
+    p = confusion_counts(jnp.asarray(logits), jnp.asarray(targets),
+                         per_image=True)
+    assert p.tp.shape == (2,)
+    for g, v in zip(c, p):
+        assert float(g) == float(v.sum())
+    # each row matches the numpy computation restricted to that image
+    pred = (1 / (1 + np.exp(-logits)) > 0.5)
+    t_bool = targets.astype(bool)
+    for j in range(2):
+        assert float(p.inter[j]) == np.logical_and(pred[j], t_bool[j]).sum()
+        assert float(p.union[j]) == np.logical_or(pred[j], t_bool[j]).sum()
+
+
 def test_epoch_metrics_match_reference_functions(soft_case):
     logits, targets = soft_case
     pred = (1 / (1 + np.exp(-logits)) > 0.5)

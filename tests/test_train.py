@@ -163,6 +163,15 @@ def test_trainer_end_to_end(tmp_path):
     assert 0.0 <= m["acc"] <= 1.0
     assert os.path.isfile(os.path.join(cfg.result_dir,
                                        "test_boundaries_0.png"))
+    # per-image audit CSV: one deduped row per test image; counts sum to
+    # the global (micro-averaged) totals
+    import csv
+    with open(os.path.join(cfg.result_dir, "per_image_metrics.csv")) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 4
+    assert sorted(int(r["index"]) for r in rows) == [0, 1, 2, 3]
+    for key in ("tp", "fp", "fn", "tn"):
+        assert sum(int(r[key]) for r in rows) == int(m[key])
 
 
 def test_trainer_boundary_loss_path(tmp_path):
