@@ -126,6 +126,10 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--export_serving", action="store_true",
                    help="after training, write a StableHLO serving artifact "
                         "(weights baked in, loadable without model code)")
+    p.add_argument("--ema_decay", type=float, default=0.0,
+                   help="exponential-moving-average shadow of the params "
+                        "(e.g. 0.999), updated inside the jitted step; "
+                        "validation/test/serving use the EMA weights")
     p.add_argument("--tta", action="store_true",
                    help="4-way flip test-time augmentation: Trainer.test() "
                         "and exported serving artifacts average sigmoid "

@@ -189,7 +189,7 @@ def load_predictor(args):
 
         params, stats = fold_batchnorm(model, params, stats)
     serve = jax.jit(make_serve_fn(model, params, stats,
-                                  input_dtype=jnp.uint8))
+                                  input_dtype=jnp.uint8, tta=args.tta))
 
     def predict(x):
         return np.asarray(serve(jnp.asarray(x)))
@@ -378,6 +378,9 @@ def get_parser() -> argparse.ArgumentParser:
                     help="compiled batch shape (live-checkpoint path; "
                          "bundles carry their own)")
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--tta", action="store_true",
+                    help="4-way flip TTA for live checkpoints (for "
+                         ".stablehlo bundles, bake it at export time)")
     ap.add_argument("--fold_bn", action="store_true")
     ap.add_argument("--weights", default=None,
                     help=".npz weight bundle for weights-as-arguments "

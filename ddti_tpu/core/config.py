@@ -80,6 +80,9 @@ class Config:
                                    # max(cin,cout) >= this (128 for 512^2)
     early_stop_patience: int = 50
     alpha: float = 2.0
+    ema_decay: float = 0.0  # >0 keeps an exponential-moving-average
+    # shadow of the params (ema <- d*ema + (1-d)*params after every
+    # optimizer step); validation/test/serving then use the EMA weights
     tta: bool = False  # 4-way flip test-time augmentation at test/serving:
     # mean sigmoid over {identity, h, v, hv} flips (eval/tta.py); applies
     # to Trainer.test() and any serving artifact exported by the run

@@ -17,12 +17,17 @@ import jax
 
 
 def _tree_dict(state) -> dict:
-    return {
+    d = {
         "step": state.step,
         "params": state.params,
         "batch_stats": state.batch_stats,
         "opt_state": state.opt_state,
     }
+    # only present under --ema_decay; omitted otherwise so checkpoints
+    # stay interchangeable with pre-EMA runs
+    if getattr(state, "ema_params", None) is not None:
+        d["ema_params"] = state.ema_params
+    return d
 
 
 def save_checkpoint(path: str, state) -> None:
@@ -45,7 +50,9 @@ def restore_checkpoint(path: str, state):
     restored = ckptr.restore(path, target)
     return state.replace(step=restored["step"], params=restored["params"],
                          batch_stats=restored["batch_stats"],
-                         opt_state=restored["opt_state"])
+                         opt_state=restored["opt_state"],
+                         ema_params=restored.get("ema_params",
+                                                 state.ema_params))
 
 
 class ManagedCheckpointer:

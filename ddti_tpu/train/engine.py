@@ -75,7 +75,8 @@ class Trainer:
                      getattr(model, "in_channels", 1))
             state = create_train_state(
                 model, jax.random.PRNGKey(config.seed), shape,
-                config.lr, steps_per_epoch, config.weight_decay)
+                config.lr, steps_per_epoch, config.weight_decay,
+                ema=float(getattr(config, "ema_decay", 0.0) or 0.0) > 0)
         self.state = state
         self._batch_sh = None
         self._multihost = mesh is not None and jax.process_count() > 1
@@ -328,8 +329,7 @@ class Trainer:
                 best = os.path.join(cfg.model_dir,
                                     f"{cfg.model_type}_best")
                 save_checkpoint(best, self.state)
-                save_params_npz(best + ".npz", self.state.params,
-                                self.state.batch_stats)
+                save_params_npz(best + ".npz", *self._eval_weights())
                 self._maybe_export_pth(best + ".pth")
                 self.logger.info(f"--Best model saved at epoch {epoch + 1} "
                                  f"with IoU: {self.best_val_iou:.4f}")
@@ -341,8 +341,7 @@ class Trainer:
 
         last = os.path.join(cfg.model_dir, f"{cfg.model_type}_last")
         save_checkpoint(last, self.state)
-        save_params_npz(last + ".npz", self.state.params,
-                        self.state.batch_stats)
+        save_params_npz(last + ".npz", *self._eval_weights())
         self._maybe_export_pth(last + ".pth")
         if getattr(cfg, "export_serving", False):
             self._export_serving_artifacts()
@@ -360,6 +359,7 @@ class Trainer:
         sd = getattr(cfg, "serving_dtype", "f32")
         wd = jax.numpy.bfloat16 if sd == "bf16" else None
         tta = bool(getattr(cfg, "tta", False))
+        eval_params, eval_stats = self._eval_weights()
         from .checkpoint import save_variables_npz
         from .export import export_serving_program, save_serving
 
@@ -380,8 +380,7 @@ class Trainer:
                 from .quantize import (export_quantized_program,
                                        quantize_serving)
                 variables_q = quantize_serving(
-                    self.model, self.state.params,
-                    self.state.batch_stats,
+                    self.model, eval_params, eval_stats,
                     self._calibration_batch(),
                     min_channels=getattr(cfg, "quant_min_channels", 0))
                 variables = variables_q
@@ -391,8 +390,8 @@ class Trainer:
                     tta=tta)
             else:
                 blob, variables = export_serving_program(
-                    self.model, self.state.params,
-                    self.state.batch_stats, batch=cfg.batch_size,
+                    self.model, eval_params, eval_stats,
+                    batch=cfg.batch_size,
                     size=cfg.image_size, weights_dtype=wd, tta=tta)
             with open(ppath, "wb") as f:
                 f.write(blob)
@@ -419,8 +418,7 @@ class Trainer:
                 else:
                     from .export import export_serving_sharded
                     sblob, svars = export_serving_sharded(
-                        self.model, self.state.params,
-                        self.state.batch_stats, self.mesh,
+                        self.model, eval_params, eval_stats, self.mesh,
                         batch=cfg.batch_size, size=cfg.image_size,
                         weights_dtype=wd, tta=tta)
                 spath = os.path.join(
@@ -440,12 +438,22 @@ class Trainer:
             # limit, see export_serving_program's docstring)
             path = os.path.join(cfg.model_dir,
                                 f"{cfg.model_type}_serving.stablehlo")
-            save_serving(path, self.model, self.state.params,
-                         self.state.batch_stats, batch=cfg.batch_size,
+            save_serving(path, self.model, eval_params, eval_stats,
+                         batch=cfg.batch_size,
                          size=cfg.image_size, tta=tta)
             self.logger.info(f"--Baked serving artifact: {path}")
         except Exception as e:
             self.logger.warning(f"baked serving export failed: {e}")
+
+    def _eval_weights(self) -> tuple:
+        """(params, batch_stats) used for evaluation/serving: the EMA
+        shadow under --ema_decay (matching what validate/test score),
+        else the live params."""
+        st = self.state
+        use_ema = float(getattr(self.config, "ema_decay", 0.0) or 0.0) > 0
+        params = (st.ema_params
+                  if use_ema and st.ema_params is not None else st.params)
+        return params, st.batch_stats
 
     def _maybe_export_pth(self, path: str) -> None:
         """Also export reference-format .pth weights (torch interop) so the
@@ -453,9 +461,8 @@ class Trainer:
         model types without a key mapping or when torch is unavailable."""
         try:
             from .torch_interop import save_pth
-            state = jax.device_get(self.state)
-            save_pth(path, self.config.model_type, state.params,
-                     state.batch_stats)
+            params, batch_stats = jax.device_get(self._eval_weights())
+            save_pth(path, self.config.model_type, params, batch_stats)
         except Exception as e:  # legacy models / missing torch
             self.logger.debug(f".pth export skipped: {e}")
 

@@ -24,8 +24,13 @@ class TrainState(struct.PyTreeNode):
     params: Any
     batch_stats: Any
     opt_state: Any
-    tx: optax.GradientTransformation = struct.field(pytree_node=False)
-    apply_fn: Callable = struct.field(pytree_node=False)
+    # exponential moving average of params (None unless ema_decay > 0);
+    # evaluation/test/serving use these when present — the standard
+    # production trick for smoother segmentation masks
+    ema_params: Any = None
+    tx: optax.GradientTransformation = struct.field(pytree_node=False,
+                                                    default=None)
+    apply_fn: Callable = struct.field(pytree_node=False, default=None)
 
     def apply_gradients(self, grads, new_batch_stats):
         updates, new_opt_state = self.tx.update(grads, self.opt_state,
@@ -34,6 +39,16 @@ class TrainState(struct.PyTreeNode):
         return self.replace(step=self.step + 1, params=new_params,
                             batch_stats=new_batch_stats,
                             opt_state=new_opt_state)
+
+    def update_ema(self, decay: float) -> "TrainState":
+        """ema <- decay*ema + (1-decay)*params (no-op when EMA is off)."""
+        if self.ema_params is None:
+            return self
+        d = jnp.float32(decay)
+        ema = jax.tree.map(
+            lambda e, p: (e * d + p.astype(e.dtype) * (1 - d)),
+            self.ema_params, self.params)
+        return self.replace(ema_params=ema)
 
 
 def flat_fused(inner: optax.GradientTransformation
@@ -75,7 +90,8 @@ def make_optimizer(lr: float, steps_per_epoch: int,
 
 def create_train_state(model, key, input_shape, lr: float,
                        steps_per_epoch: int,
-                       weight_decay: float = 1e-2) -> TrainState:
+                       weight_decay: float = 1e-2,
+                       ema: bool = False) -> TrainState:
     variables = model.init({"params": key},
                            jnp.zeros(input_shape, jnp.float32), train=False)
     params = variables["params"]
@@ -86,6 +102,7 @@ def create_train_state(model, key, input_shape, lr: float,
         params=params,
         batch_stats=batch_stats,
         opt_state=tx.init(params),
+        ema_params=jax.tree.map(jnp.copy, params) if ema else None,
         tx=tx,
         apply_fn=model.apply,
     )

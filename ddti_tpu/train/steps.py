@@ -73,6 +73,15 @@ def make_host_train_step(config) -> Callable:
                    donate_argnums=(0,))
 
 
+def _eval_variables(state, use_ema: bool) -> dict:
+    """Evaluation weights: the EMA shadow when --ema_decay is on (the
+    standard production choice — smoother than the raw online params),
+    else the live params."""
+    params = (state.ema_params
+              if use_ema and state.ema_params is not None else state.params)
+    return {"params": params, "batch_stats": state.batch_stats}
+
+
 def make_eval_step(config) -> Callable:
     """(state, images_u8, masks_u8) -> StepMetrics (no param update)."""
     loss_kw = dict(bce_ratio=config.bce_ratio, dice_ratio=config.dice_ratio,
@@ -80,12 +89,13 @@ def make_eval_step(config) -> Callable:
                    boundary_ratio=config.boundary_ratio,
                    compute_unused=config.compute_unused_losses)
     size = (config.image_size, config.image_size)
+    use_ema = float(getattr(config, "ema_decay", 0.0) or 0.0) > 0
 
     def step(state, images_u8, masks_u8):
         images, masks = _to_float(images_u8, masks_u8)
         images, masks = eval_preprocess(images, masks, size)
         out = state.apply_fn(
-            {"params": state.params, "batch_stats": state.batch_stats},
+            _eval_variables(state, use_ema),
             images, train=False)
         logits = _main_logits(out)
         terms = weighted_loss(logits, masks, **loss_kw)
@@ -105,15 +115,15 @@ def make_infer_step(config) -> Callable:
     (eval/tta.py) — all four forwards fuse into this one jitted step."""
     size = (config.image_size, config.image_size)
     use_tta = bool(getattr(config, "tta", False))
+    use_ema = float(getattr(config, "ema_decay", 0.0) or 0.0) > 0
 
     def step(state, images_u8, masks_u8):
         images, masks = _to_float(images_u8, masks_u8)
         images, masks = eval_preprocess(images, masks, size)
 
         def fwd(x):
-            out = state.apply_fn(
-                {"params": state.params, "batch_stats": state.batch_stats},
-                x, train=False)
+            out = state.apply_fn(_eval_variables(state, use_ema),
+                                 x, train=False)
             return _main_logits(out)
 
         if use_tta:
@@ -206,6 +216,7 @@ def _build_train_step_impl(config, aug_cfg: AugmentConfig | None,
     mixup_prob = float(config.mixup_prob)
     ds_weight = float(getattr(config, "alpha", 0.0) or 0.0)
     grad_accum = int(getattr(config, "grad_accum", 1) or 1)
+    ema_decay = float(getattr(config, "ema_decay", 0.0) or 0.0)
 
     def make_loss_fn(state, images, masks, k_drop):
         def loss_fn(params, batch_stats):
@@ -238,6 +249,8 @@ def _build_train_step_impl(config, aug_cfg: AugmentConfig | None,
             (_, (terms, updates, logits)), grads = grad_fn(
                 state.params, state.batch_stats)
             state = state.apply_gradients(grads, updates["batch_stats"])
+            if ema_decay:
+                state = state.update_ema(ema_decay)
             counts = confusion_counts(logits, masks)
             return state, StepMetrics(terms.total, terms.bce, terms.dice,
                                       terms.focal, terms.boundary, counts, n)
@@ -283,6 +296,8 @@ def _build_train_step_impl(config, aug_cfg: AugmentConfig | None,
         grads = jax.tree.map(lambda g: g * inv, gsum)
         terms = jax.tree.map(lambda t: t * inv, tsum)
         state = state.apply_gradients(grads, bstats)
+        if ema_decay:
+            state = state.update_ema(ema_decay)
         return state, StepMetrics(terms.total, terms.bce, terms.dice,
                                   terms.focal, terms.boundary, counts, n)
 
