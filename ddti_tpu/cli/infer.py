@@ -62,6 +62,10 @@ def main(argv=None) -> int:
     ap.add_argument("--stride", type=int, default=256)
     ap.add_argument("--overlay", action="store_true",
                     help="also write contour overlays")
+    ap.add_argument("--prob", action="store_true",
+                    help="write soft probability maps (grayscale 0-255) "
+                         "instead of binary masks — per-pixel confidence "
+                         "for clinical review / downstream thresholding")
     ap.add_argument("--tta", action="store_true",
                     help="4-way flip test-time augmentation (live "
                          "checkpoints; for .stablehlo bundles TTA is baked "
@@ -139,17 +143,18 @@ def main(argv=None) -> int:
     n_done = 0
 
     if args.sliding_window:
-        from ddti_tpu.eval.sliding_window import sliding_window_predict
+        from ddti_tpu.eval.sliding_window import sliding_window_logits
         for name in names:
             img = Image.open(os.path.join(args.input_dir, name)).convert("L")
             arr = jnp.asarray(np.asarray(img, np.float32)[..., None] / 255.0)
             # pass the HOISTED apply_fn: it is a static jit arg of the
             # sliding-window program, so a fresh lambda per image would
             # recompile every frame (~minutes each on the TPU tunnel)
-            pred = sliding_window_predict(
+            logits = sliding_window_logits(
                 apply_fn, variables, arr,
                 window=args.window, stride=args.stride)
-            out = np.asarray(pred)[..., 0] * 255
+            probs = np.asarray(jax.nn.sigmoid(logits.astype(jnp.float32)))
+            out = (probs if args.prob else (probs > 0.5))[..., 0] * 255
             Image.fromarray(out.astype(np.uint8)).save(
                 os.path.join(args.output_dir,
                              os.path.splitext(name)[0] + "_pred.png"))
@@ -165,11 +170,12 @@ def main(argv=None) -> int:
                 return
             x = jnp.asarray(np.stack(batch))
             logits = apply_fn(variables, x)
-            preds = np.asarray(
-                jax.nn.sigmoid(logits.astype(jnp.float32)) > 0.5)
+            probs = np.asarray(jax.nn.sigmoid(logits.astype(jnp.float32)))
+            preds = probs if args.prob else (probs > 0.5)
             for p, (name, orig_size) in zip(preds, metas):
                 m = Image.fromarray((p[..., 0] * 255).astype(np.uint8))
-                m = m.resize(orig_size, Image.NEAREST)
+                m = m.resize(orig_size,
+                             Image.BILINEAR if args.prob else Image.NEAREST)
                 m.save(os.path.join(
                     args.output_dir,
                     os.path.splitext(name)[0] + "_pred.png"))

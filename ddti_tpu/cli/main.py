@@ -126,6 +126,10 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--export_serving", action="store_true",
                    help="after training, write a StableHLO serving artifact "
                         "(weights baked in, loadable without model code)")
+    p.add_argument("--tune_threshold", action="store_true",
+                   help="pick the mask binarization threshold maximizing "
+                        "val IoU (19-point device sweep) and test with it "
+                        "instead of the fixed 0.5")
     p.add_argument("--ema_decay", type=float, default=0.0,
                    help="exponential-moving-average shadow of the params "
                         "(e.g. 0.999), updated inside the jitted step; "

@@ -83,6 +83,9 @@ class Config:
     ema_decay: float = 0.0  # >0 keeps an exponential-moving-average
     # shadow of the params (ema <- d*ema + (1-d)*params after every
     # optimizer step); validation/test/serving then use the EMA weights
+    tune_threshold: bool = False  # sweep the binarization threshold on
+    # the VAL split (one device pass over a 19-point grid) and run test()
+    # at the argmax-IoU operating point instead of the fixed 0.5
     tta: bool = False  # 4-way flip test-time augmentation at test/serving:
     # mean sigmoid over {identity, h, v, hv} flips (eval/tta.py); applies
     # to Trainer.test() and any serving artifact exported by the run

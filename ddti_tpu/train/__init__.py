@@ -19,6 +19,7 @@ from .steps import (  # noqa: F401
     make_eval_step,
     make_host_train_step,
     make_infer_step,
+    make_threshold_sweep_step,
     make_train_step,
 )
 from .torch_interop import (  # noqa: F401

@@ -468,12 +468,44 @@ class Trainer:
 
     # ------------------------------------------------------------------
 
+    def tune_threshold(self, grid=None) -> float:
+        """Sweep binarization thresholds over the VAL split in one jitted
+        pass per batch (all candidates scored from the same logits) and
+        return the argmax-IoU operating point. Beyond-reference: the torch
+        stack hardcodes 0.5 (/root/reference/utils/trainer.py:102,218)."""
+        from ddti_tpu.train.steps import make_threshold_sweep_step
+
+        grid = (np.round(np.arange(0.05, 0.951, 0.05), 2)
+                if grid is None else np.asarray(grid))
+        sweep = make_threshold_sweep_step(self.config, grid)
+        total = None
+        for images, masks in self._iter_batches(self.val_src,
+                                                shuffle=False):
+            c = sweep(self.state, images, masks)
+            total = c if total is None else total + c
+        total = jax.device_get(total)
+        ious = np.asarray(total.inter) / np.maximum(np.asarray(total.union),
+                                                    1e-8)
+        best = int(np.argmax(ious))
+        t = float(grid[best])
+        self.logger.info(
+            "Threshold sweep (val IoU): "
+            + ", ".join(f"{g:.2f}:{i:.4f}" for g, i in zip(grid, ious))
+            + f" -> using {t:.2f}")
+        return t
+
     def test(self, visualize: bool = True):
         """Global micro-averaged pixel metrics over the test split plus the
         contour-overlay grids (trainer.py:206-299). The test loader keeps the
         reference's shuffle=True quirk via the rng permutation."""
         self.logger.info(
             "------------------Starting Testing Model------------------")
+        threshold = 0.5
+        if getattr(self.config, "tune_threshold", False):
+            threshold = self.tune_threshold()
+            if threshold != 0.5:
+                from ddti_tpu.train.steps import make_infer_step
+                self.infer_step = make_infer_step(self.config, threshold)
         if visualize and self._multihost and jax.process_count() > 1:
             # per-batch outputs are globally sharded across hosts;
             # np.asarray on a non-addressable array raises. Metrics (device
@@ -522,6 +554,7 @@ class Trainer:
                 json.dump({**{k: float(v) for k, v in m.items()},
                            "total_images": total,
                            "model_type": self.config.model_type,
+                           "threshold": threshold,
                            "tta": bool(getattr(self.config, "tta", False))},
                           f, indent=1)
         except OSError as e:  # metrics were already logged; don't fail test()

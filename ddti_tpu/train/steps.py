@@ -107,12 +107,14 @@ def make_eval_step(config) -> Callable:
     return jax.jit(step)
 
 
-def make_infer_step(config) -> Callable:
+def make_infer_step(config, threshold: float = 0.5) -> Callable:
     """(state, images_u8, masks_u8) -> (images_f, masks_f, preds_u8, counts)
     for the test routine (predictions come back binarized uint8).
 
     With ``config.tta`` the logits are the 4-way flip-TTA ensemble
-    (eval/tta.py) — all four forwards fuse into this one jitted step."""
+    (eval/tta.py) — all four forwards fuse into this one jitted step.
+    ``threshold`` is the binarization operating point (0.5 = reference;
+    --tune_threshold rebuilds the step with the val-selected value)."""
     size = (config.image_size, config.image_size)
     use_tta = bool(getattr(config, "tta", False))
     use_ema = float(getattr(config, "ema_decay", 0.0) or 0.0) > 0
@@ -131,13 +133,45 @@ def make_infer_step(config) -> Callable:
             logits = tta_logits(fwd, images)
         else:
             logits = fwd(images)
-        preds = (jax.nn.sigmoid(logits.astype(jnp.float32)) > 0.5
+        preds = (jax.nn.sigmoid(logits.astype(jnp.float32)) > threshold
                  ).astype(jnp.uint8)
         # one per-image reduction; the global counts are its sum (the
         # same values the reference's flattened test() pass produces)
-        per_img = confusion_counts(logits, masks, per_image=True)
+        per_img = confusion_counts(logits, masks, threshold=threshold,
+                                   per_image=True)
         counts = ConfusionCounts(*(x.sum() for x in per_img))
         return images, masks, preds, counts, per_img
+
+    return jax.jit(step)
+
+
+def make_threshold_sweep_step(config, thresholds) -> Callable:
+    """(state, images_u8, masks_u8) -> ConfusionCounts with a leading
+    thresholds axis: ONE pass over a split scores every candidate
+    binarization threshold at once (--tune_threshold). Uses the same
+    logits as the test path (EMA shadow / flip-TTA ensemble when those
+    are enabled) so the tuned operating point transfers exactly."""
+    size = (config.image_size, config.image_size)
+    use_tta = bool(getattr(config, "tta", False))
+    use_ema = float(getattr(config, "ema_decay", 0.0) or 0.0) > 0
+    ts = jnp.asarray(thresholds, jnp.float32)
+
+    def step(state, images_u8, masks_u8):
+        images, masks = _to_float(images_u8, masks_u8)
+        images, masks = eval_preprocess(images, masks, size)
+
+        def fwd(x):
+            out = state.apply_fn(_eval_variables(state, use_ema),
+                                 x, train=False)
+            return _main_logits(out)
+
+        if use_tta:
+            from ddti_tpu.eval.tta import tta_logits
+            logits = tta_logits(fwd, images)
+        else:
+            logits = fwd(images)
+        return jax.vmap(
+            lambda t: confusion_counts(logits, masks, threshold=t))(ts)
 
     return jax.jit(step)
 
