@@ -30,6 +30,7 @@ ap.add_argument("--dir", default=None)
 ARGS = ap.parse_args()
 SIZE, BATCH, STEPS_T = ARGS.size, ARGS.batch, 10
 N_TEST = 128
+assert ARGS.n_train >= ARGS.batch, "--n_train must be >= --batch"
 
 
 def iou(pred, gt):

@@ -113,7 +113,7 @@ def main(argv=None) -> int:
     ap.add_argument("--experiments_dir", default="experiments")
     ap.add_argument("--output", default=None,
                     help="also write the summary as CSV")
-    ap.add_argument("--sort", default="iou",
+    ap.add_argument("--sort", default="iou", choices=_METRIC_COLS,
                     help="metric column to rank by (descending)")
     args = ap.parse_args(argv)
 

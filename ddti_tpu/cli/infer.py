@@ -25,8 +25,10 @@ import time
 def _maybe_overlay(args, name: str, mask) -> None:
     """--overlay output: the original grayscale image with the predicted
     contours drawn in red (marching-squares, eval/contours.py), written as
-    ``<name>_overlay.png``. ``mask`` is the final binary mask at the
-    ORIGINAL image resolution (bool/0-255 array or PIL image)."""
+    ``<name>_overlay.png``. ``mask`` is the final mask at the ORIGINAL
+    image resolution — binary (bool/0-255) or, under --prob, a soft
+    0-255 probability map; either way the contour is drawn at the 0.5
+    decision level."""
     if not getattr(args, "overlay", False):
         return
     import numpy as np
@@ -37,7 +39,8 @@ def _maybe_overlay(args, name: str, mask) -> None:
     gray = np.asarray(
         Image.open(os.path.join(args.input_dir, name)).convert("L"))
     rgb = np.repeat(gray[..., None], 3, axis=-1).copy()
-    m = (np.asarray(mask) > 0).astype(np.float32)
+    m = np.asarray(mask, np.float32)
+    m = (m > 127.5 if m.max() > 1 else m > 0.5).astype(np.float32)
     for c in find_contours(m, 0.5):
         rr = np.clip(np.round(c[:, 0]).astype(int), 0, rgb.shape[0] - 1)
         cc = np.clip(np.round(c[:, 1]).astype(int), 0, rgb.shape[1] - 1)
@@ -65,7 +68,9 @@ def main(argv=None) -> int:
     ap.add_argument("--prob", action="store_true",
                     help="write soft probability maps (grayscale 0-255) "
                          "instead of binary masks — per-pixel confidence "
-                         "for clinical review / downstream thresholding")
+                         "for clinical review / downstream thresholding "
+                         "(live checkpoints only; .stablehlo bundles bake "
+                         "the binarization in)")
     ap.add_argument("--tta", action="store_true",
                     help="4-way flip test-time augmentation (live "
                          "checkpoints; for .stablehlo bundles TTA is baked "
@@ -94,6 +99,10 @@ def main(argv=None) -> int:
     from PIL import Image
 
     if args.checkpoint.endswith(".stablehlo"):
+        if args.prob:
+            print("warning: --prob is unavailable for .stablehlo bundles "
+                  "(binarization is baked into the exported program); "
+                  "writing binary masks")
         return _infer_serving_bundle(args)
 
     from ddti_tpu.models import create_model

@@ -49,11 +49,14 @@ def tta_logits(forward: Callable[[jnp.ndarray], jnp.ndarray],
                images: jnp.ndarray) -> jnp.ndarray:
     """Flip-TTA ensemble expressed as a logit map: logit(mean-prob).
 
-    sigmoid(tta_logits(...)) == tta_probs(...) exactly, so any consumer
-    that thresholds sigmoid(logits) (confusion counts, serve_body, the
-    sliding-window blender) gets the ensembled prediction without an
-    interface change. Saturated probabilities map to +/-inf, which
-    threshold and sigmoid both handle exactly.
+    sigmoid(tta_logits(...)) == tta_probs(...) up to a +/-16.6 logit
+    clamp (p clipped to [1e-7, 1-1e-7]), so any consumer that thresholds
+    sigmoid(logits) (confusion counts, serve_body) gets the ensembled
+    prediction unchanged. The clamp keeps saturated probabilities FINITE:
+    the sliding-window blender computes weighted averages of these
+    logits, and an infinity there would override every overlapping tile
+    (and inf - inf across tiles is NaN).
     """
-    p = tta_probs(forward, images)
+    eps = jnp.float32(1e-7)
+    p = jnp.clip(tta_probs(forward, images), eps, 1.0 - eps)
     return jnp.log(p) - jnp.log1p(-p)

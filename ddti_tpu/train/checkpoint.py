@@ -40,19 +40,61 @@ def save_checkpoint(path: str, state) -> None:
     ckptr.wait_until_finished()
 
 
+def _ckpt_top_keys(path: str):
+    """Top-level keys of a saved checkpoint tree (None if the installed
+    Orbax can't report metadata) — used to reconcile the ema_params key,
+    which is present only for --ema_decay runs, against the caller's
+    template (Orbax's structure check has no partial restore)."""
+    try:
+        import orbax.checkpoint as ocp
+
+        md = ocp.StandardCheckpointer().metadata(path)
+        tree = md.item_metadata.tree if hasattr(md, "item_metadata") else md
+        return set(tree.keys())
+    except Exception:
+        return None
+
+
+def _align_ema_target(target: dict, keys) -> dict:
+    """Make the restore template's ema_params presence match the
+    checkpoint's (the shadow has the params' shapes, so params serve as
+    its template)."""
+    if keys is None:
+        return target
+    if "ema_params" in keys and "ema_params" not in target:
+        return dict(target, ema_params=target["params"])
+    if "ema_params" not in keys and "ema_params" in target:
+        return {k: v for k, v in target.items() if k != "ema_params"}
+    return target
+
+
+def _merge_restored_ema(state, restored: dict):
+    """The ema_params to carry forward: the saved shadow when the run
+    wants one; a pre-EMA checkpoint seeds the shadow from the restored
+    weights; with EMA off any saved shadow is dropped."""
+    if state.ema_params is None:
+        return None
+    ema = restored.get("ema_params")
+    if ema is None:
+        ema = jax.tree.map(lambda p: p, restored["params"])
+    return ema
+
+
 def restore_checkpoint(path: str, state):
-    """Restore into the structure of ``state`` (returns a new TrainState)."""
+    """Restore into the structure of ``state`` (returns a new TrainState).
+    Checkpoints with/without an EMA shadow restore into states
+    with/without one in any combination (see _merge_restored_ema)."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
-    target = jax.device_get(_tree_dict(state))
+    target = _align_ema_target(jax.device_get(_tree_dict(state)),
+                               _ckpt_top_keys(path))
     restored = ckptr.restore(path, target)
     return state.replace(step=restored["step"], params=restored["params"],
                          batch_stats=restored["batch_stats"],
                          opt_state=restored["opt_state"],
-                         ema_params=restored.get("ema_params",
-                                                 state.ema_params))
+                         ema_params=_merge_restored_ema(state, restored))
 
 
 class ManagedCheckpointer:
@@ -100,12 +142,23 @@ class ManagedCheckpointer:
         if step is None:
             return None
         target = jax.device_get(_tree_dict(state))
-        restored = self.manager.restore(
-            step, args=self._ocp.args.StandardRestore(target))
+        try:
+            restored = self.manager.restore(
+                step, args=self._ocp.args.StandardRestore(target))
+        except ValueError:
+            # ema_params presence differs between this run's flags and
+            # the saved checkpoint; retry with the key toggled
+            target = (dict(target, ema_params=target["params"])
+                      if "ema_params" not in target else
+                      {k: v for k, v in target.items()
+                       if k != "ema_params"})
+            restored = self.manager.restore(
+                step, args=self._ocp.args.StandardRestore(target))
         return state.replace(
             step=restored["step"], params=restored["params"],
             batch_stats=restored["batch_stats"],
-            opt_state=restored["opt_state"]), step
+            opt_state=restored["opt_state"],
+            ema_params=_merge_restored_ema(state, restored)), step
 
     def wait(self) -> None:
         self.manager.wait_until_finished()
@@ -143,7 +196,12 @@ def load_checkpoint_into(path: str, model_type: str, params: Any,
             lambda t, g: jnp.asarray(g, getattr(t, "dtype", None)),
             tmpl, got)
 
-    return (cast_like(params, restored["params"]),
+    # --ema_decay runs validate/export with the EMA shadow; serve the
+    # same weights the run's logged metrics describe, not the live ones
+    weights = restored.get("ema_params")
+    if weights is None:
+        weights = restored["params"]
+    return (cast_like(params, weights),
             cast_like(batch_stats, restored["batch_stats"]))
 
 

@@ -448,12 +448,13 @@ class Trainer:
     def _eval_weights(self) -> tuple:
         """(params, batch_stats) used for evaluation/serving: the EMA
         shadow under --ema_decay (matching what validate/test score),
-        else the live params."""
-        st = self.state
+        else the live params. Same selection rule as the jitted steps
+        (steps._eval_variables)."""
+        from .steps import _eval_variables
+
         use_ema = float(getattr(self.config, "ema_decay", 0.0) or 0.0) > 0
-        params = (st.ema_params
-                  if use_ema and st.ema_params is not None else st.params)
-        return params, st.batch_stats
+        v = _eval_variables(self.state, use_ema)
+        return v["params"], v["batch_stats"]
 
     def _maybe_export_pth(self, path: str) -> None:
         """Also export reference-format .pth weights (torch interop) so the
@@ -531,11 +532,23 @@ class Trainer:
                 all_masks.append(np.asarray(masks_f)[..., 0].astype(np.uint8))
                 all_preds.append(np.asarray(preds)[..., 0])
 
-        counts_total = jax.device_get(counts_total)
-        m = metrics_from_counts(counts_total.tp, counts_total.fp,
-                                counts_total.fn, counts_total.tn)
-        total = int(m["tp"] + m["fp"] + m["fn"] + m["tn"]) // (
-            self.config.image_size ** 2)
+        if rows:
+            # non-divisible test sets get their last batch wraparound-
+            # padded (static shapes); the reference iterates each image
+            # exactly once (drop_last=False, no padding), so the global
+            # metrics come from the DEDUPED per-image rows — identical to
+            # the device totals whenever batch_size divides the set
+            m = metrics_from_counts(
+                sum(r["tp"] for r in rows), sum(r["fp"] for r in rows),
+                sum(r["fn"] for r in rows), sum(r["tn"] for r in rows))
+            total = len(rows)
+        else:  # multi-host path: device psum totals (batches unpadded
+            # only if batch_size divides the split)
+            counts_total = jax.device_get(counts_total)
+            m = metrics_from_counts(counts_total.tp, counts_total.fp,
+                                    counts_total.fn, counts_total.tn)
+            total = int(m["tp"] + m["fp"] + m["fn"] + m["tn"]) // (
+                self.config.image_size ** 2)
         msg = (f"Test Metrics  —  Total Images: {total}\n"
                f"  TP={int(m['tp'])}, FP={int(m['fp'])}, "
                f"FN={int(m['fn'])}, TN={int(m['tn'])}\n"

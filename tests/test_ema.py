@@ -149,3 +149,69 @@ def test_trainer_ema_end_to_end(tmp_path):
         lambda a, b: bool(np.allclose(a, b, atol=1e-9)),
         jax.device_get(loaded), jax.device_get(tr.state.params))
     assert not all(jax.tree.leaves(same_as_live))
+
+
+def test_checkpoint_ema_flag_toggles(tmp_path):
+    """Restores work in every save/restore EMA-flag combination."""
+    from ddti_tpu.train.checkpoint import (
+        load_checkpoint_into,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    model = create_model("UNet", base_filters=8, depth=3)
+
+    def fresh(seed, ema):
+        return create_train_state(model, jax.random.PRNGKey(seed),
+                                  (1, 32, 32, 1), 1e-3, steps_per_epoch=4,
+                                  ema=ema)
+
+    # pre-EMA checkpoint -> EMA run: shadow seeds from restored weights
+    plain = fresh(0, ema=False)
+    p1 = str(tmp_path / "plain_ck")
+    save_checkpoint(p1, plain)
+    r = restore_checkpoint(p1, fresh(1, ema=True))
+    for e, p in zip(_leaves(r.ema_params), _leaves(plain.params)):
+        np.testing.assert_array_equal(e, p)
+
+    # EMA checkpoint -> plain run: shadow dropped, params restored
+    emast = fresh(2, ema=True).replace(
+        ema_params=jax.tree.map(lambda p: p + 1.0, fresh(2, True).params))
+    p2 = str(tmp_path / "ema_ck")
+    save_checkpoint(p2, emast)
+    r2 = restore_checkpoint(p2, fresh(3, ema=False))
+    assert r2.ema_params is None
+    for a, b in zip(_leaves(r2.params), _leaves(emast.params)):
+        np.testing.assert_array_equal(a, b)
+
+    # inference loader prefers the saved shadow (what the run validated)
+    lp, _ = load_checkpoint_into(p2, "UNet", emast.params,
+                                 emast.batch_stats)
+    for a, b in zip(_leaves(lp), _leaves(emast.ema_params)):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_managed_checkpointer_restores_ema(tmp_path):
+    """Crash-recovery path (--resume via the rotation manager) carries
+    the EMA shadow instead of silently resetting it."""
+    from ddti_tpu.train.checkpoint import ManagedCheckpointer
+
+    model = create_model("UNet", base_filters=8, depth=3)
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, 32, 32, 1),
+                               1e-3, steps_per_epoch=4, ema=True)
+    planted = jax.tree.map(lambda p: p - 0.5, state.params)
+    state = state.replace(ema_params=planted)
+    mgr = ManagedCheckpointer(str(tmp_path / "periodic"), max_to_keep=2,
+                              async_save=False)
+    assert mgr.save(1, state)
+    mgr.close()
+
+    mgr2 = ManagedCheckpointer(str(tmp_path / "periodic"), max_to_keep=2,
+                               async_save=False)
+    fresh = create_train_state(model, jax.random.PRNGKey(9), (1, 32, 32, 1),
+                               1e-3, steps_per_epoch=4, ema=True)
+    restored, step = mgr2.restore_latest(fresh)
+    mgr2.close()
+    assert step == 1
+    for a, b in zip(_leaves(restored.ema_params), _leaves(planted)):
+        np.testing.assert_array_equal(a, b)

@@ -174,6 +174,38 @@ def test_trainer_end_to_end(tmp_path):
         assert sum(int(r[key]) for r in rows) == int(m[key])
 
 
+def test_test_metrics_dedupe_wraparound_padding(tmp_path):
+    """Non-divisible test sets: the final batch is wraparound-padded for
+    static shapes, but the global metrics must count each image exactly
+    once (the reference iterates the set unpadded)."""
+    cfg = _tiny_cfg(tmp_path, epochs=1)
+    cfg.make_dirs()
+    logger = create_logger(os.path.join(cfg.log_dir, "train_log.log"))
+    # test split n=6 with batch 4 -> batches [4, 2+2 wrap-pad]
+    srcs = (DeviceDataSource(*generate_ddti_like(8, (32, 32), 0)),
+            DeviceDataSource(*generate_ddti_like(4, (32, 32), 1)),
+            DeviceDataSource(*generate_ddti_like(6, (32, 32), 2)))
+    model = create_model("UNet", base_filters=8, depth=3)
+    tr = Trainer(cfg, srcs, logger, model)
+    m = tr.test(visualize=False)
+
+    logits = model.apply({"params": tr.state.params,
+                          "batch_stats": tr.state.batch_stats},
+                         np.asarray(srcs[2].images, np.float32) / 255.0,
+                         train=False)
+    pred = 1 / (1 + np.exp(-np.asarray(logits, np.float32))) > 0.5
+    t_int = (np.asarray(srcs[2].masks, np.float32) / 255.0).astype(int)
+    assert int(m["tp"]) == np.logical_and(pred, t_int == 1).sum()
+    assert int(m["fp"]) == np.logical_and(pred, t_int == 0).sum()
+    assert int(m["fn"]) == np.logical_and(~pred, t_int == 1).sum()
+    assert int(m["tn"]) == np.logical_and(~pred, t_int == 0).sum()
+
+    import csv
+    with open(os.path.join(cfg.result_dir, "per_image_metrics.csv")) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 6
+
+
 def test_trainer_boundary_loss_path(tmp_path):
     # boundary_ratio > 0 exercises the on-device EDT inside the jitted step
     cfg = _tiny_cfg(tmp_path, boundary_ratio=0.5)
