@@ -26,7 +26,8 @@ import re
 _CONFIG_COLS = ("model_type", "base_filters", "depth", "image_size",
                 "batch_size", "lr", "use_elastic", "use_speckle", "use_tgc",
                 "use_clahe", "use_mixup", "tta")
-_METRIC_COLS = ("iou", "f1", "precision", "recall", "acc", "total_images")
+_METRIC_COLS = ("iou", "f1", "precision", "recall", "acc", "threshold",
+                "total_images")
 
 _LOG_RE = re.compile(
     r"ACC=([\d.]+), Precision=([\d.]+), Recall=([\d.]+), "

@@ -289,9 +289,21 @@ class Trainer:
 
     def validate(self, epoch: int):
         total = None
-        for images, masks in self._iter_batches(self.val_src,
-                                                shuffle=False):
-            m = self.eval_step(self.state, images, masks)
+        seen = set()
+        for idx, images, masks in self._iter_batches(self.val_src,
+                                                     shuffle=False,
+                                                     with_idx=True):
+            valid = None
+            if idx is not None and not self._multihost:
+                # weight out wraparound-padded duplicates so the val
+                # metrics count each image exactly once (the reference
+                # loader is unpadded)
+                mask = []
+                for i in np.asarray(idx):
+                    mask.append(0.0 if int(i) in seen else 1.0)
+                    seen.add(int(i))
+                valid = jax.numpy.asarray(mask, jax.numpy.float32)
+            m = self.eval_step(self.state, images, masks, valid)
             total = accumulate(total, m)
         total = jax.device_get(total)
         em = epoch_metrics_from_counts(total.counts)

@@ -91,7 +91,13 @@ def make_eval_step(config) -> Callable:
     size = (config.image_size, config.image_size)
     use_ema = float(getattr(config, "ema_decay", 0.0) or 0.0) > 0
 
-    def step(state, images_u8, masks_u8):
+    def step(state, images_u8, masks_u8, valid=None):
+        """``valid`` (B,) f32 {0,1} marks real (non-wraparound-padded)
+        images: confusion counts weight each image by it, and ``n`` is
+        the valid count, so val metrics count every image exactly once —
+        like the reference's unpadded loader. The loss terms remain means
+        over the full padded batch (QUIRKS #22). Omitting ``valid`` keeps
+        the plain all-images behavior (bench, tests)."""
         images, masks = _to_float(images_u8, masks_u8)
         images, masks = eval_preprocess(images, masks, size)
         out = state.apply_fn(
@@ -99,10 +105,16 @@ def make_eval_step(config) -> Callable:
             images, train=False)
         logits = _main_logits(out)
         terms = weighted_loss(logits, masks, **loss_kw)
-        counts = confusion_counts(logits, masks)
+        if valid is None:
+            counts = confusion_counts(logits, masks)
+            n = jnp.asarray(images.shape[0], jnp.float32)
+        else:
+            per_img = confusion_counts(logits, masks, per_image=True)
+            counts = ConfusionCounts(
+                *((v * valid).sum() for v in per_img))
+            n = valid.sum()
         return StepMetrics(terms.total, terms.bce, terms.dice, terms.focal,
-                           terms.boundary, counts,
-                           jnp.asarray(images.shape[0], jnp.float32))
+                           terms.boundary, counts, n)
 
     return jax.jit(step)
 

@@ -206,6 +206,30 @@ def test_test_metrics_dedupe_wraparound_padding(tmp_path):
     assert len(rows) == 6
 
 
+def test_val_metrics_dedupe_wraparound_padding(tmp_path):
+    """validate() must count each val image exactly once despite the
+    wraparound-padded final batch (QUIRKS #22)."""
+    cfg = _tiny_cfg(tmp_path, epochs=1)
+    cfg.make_dirs()
+    logger = create_logger(os.path.join(cfg.log_dir, "train_log.log"))
+    srcs = (DeviceDataSource(*generate_ddti_like(8, (32, 32), 0)),
+            DeviceDataSource(*generate_ddti_like(6, (32, 32), 1)),
+            DeviceDataSource(*generate_ddti_like(4, (32, 32), 2)))
+    model = create_model("UNet", base_filters=8, depth=3)
+    tr = Trainer(cfg, srcs, logger, model)
+    _, val_iou = tr.validate(0)
+
+    logits = model.apply({"params": tr.state.params,
+                          "batch_stats": tr.state.batch_stats},
+                         np.asarray(srcs[1].images, np.float32) / 255.0,
+                         train=False)
+    pred = 1 / (1 + np.exp(-np.asarray(logits, np.float32))) > 0.5
+    t_bool = (np.asarray(srcs[1].masks, np.float32) / 255.0) > 0
+    want = (np.logical_and(pred, t_bool).sum()
+            / np.logical_or(pred, t_bool).sum())
+    assert val_iou == pytest.approx(float(want), abs=1e-6)
+
+
 def test_trainer_boundary_loss_path(tmp_path):
     # boundary_ratio > 0 exercises the on-device EDT inside the jitted step
     cfg = _tiny_cfg(tmp_path, boundary_ratio=0.5)
