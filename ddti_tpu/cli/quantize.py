@@ -64,6 +64,10 @@ def main(argv=None) -> int:
     ap.add_argument("--tta", action="store_true",
                     help="bake the 4-way flip TTA ensemble into the "
                          "exported serving program (eval/tta.py)")
+    ap.add_argument("--threshold", type=float, default=0.5,
+                    help="binarization threshold baked into the program "
+                         "(e.g. the train CLI's --tune_threshold result, "
+                         "logged as 'Threshold sweep ... -> using T')")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--compilation_cache", default="auto",
                     help="persistent XLA compile cache dir; 'off' disables")
@@ -140,7 +144,7 @@ def main(argv=None) -> int:
             blob, svars = export_serving_int8(
                 model, params, stats, batch=args.batch_size, size=size,
                 calib_images=jnp.asarray(calib), input_dtype=in_dtype,
-                min_channels=mc, tta=args.tta)
+                threshold=args.threshold, min_channels=mc, tta=args.tta)
             cand = args.output + f"_mc{mc}_serving_program.stablehlo"
             with open(cand, "wb") as f:
                 f.write(blob)
@@ -169,6 +173,7 @@ def main(argv=None) -> int:
         blob, svars = export_serving_int8(
             model, params, stats, batch=args.batch_size, size=size,
             calib_images=jnp.asarray(calib), input_dtype=in_dtype,
+            threshold=args.threshold,
             min_channels=int(args.min_channels), tta=args.tta)
 
     with open(prog, "wb") as f:

@@ -121,6 +121,7 @@ class Trainer:
         self.key = jax.random.PRNGKey(config.seed)
         self.best_val_iou = -np.inf
         self._ckpt_manager = None  # lazy ManagedCheckpointer (rotation)
+        self._tuned_threshold = None  # cached --tune_threshold sweep result
 
     # ------------------------------------------------------------------
 
@@ -371,6 +372,7 @@ class Trainer:
         sd = getattr(cfg, "serving_dtype", "f32")
         wd = jax.numpy.bfloat16 if sd == "bf16" else None
         tta = bool(getattr(cfg, "tta", False))
+        thr = self._serving_threshold()
         eval_params, eval_stats = self._eval_weights()
         from .checkpoint import save_variables_npz
         from .export import export_serving_program, save_serving
@@ -398,13 +400,13 @@ class Trainer:
                 variables = variables_q
                 blob = export_quantized_program(
                     self.model, variables_q, batch=cfg.batch_size,
-                    size=cfg.image_size, input_dtype=jax.numpy.float32,
-                    tta=tta)
+                    size=cfg.image_size, threshold=thr,
+                    input_dtype=jax.numpy.float32, tta=tta)
             else:
                 blob, variables = export_serving_program(
                     self.model, eval_params, eval_stats,
-                    batch=cfg.batch_size,
-                    size=cfg.image_size, weights_dtype=wd, tta=tta)
+                    batch=cfg.batch_size, size=cfg.image_size,
+                    threshold=thr, weights_dtype=wd, tta=tta)
             with open(ppath, "wb") as f:
                 f.write(blob)
             save_variables_npz(ppath[: -len(".stablehlo")] + ".npz",
@@ -424,15 +426,15 @@ class Trainer:
                     sblob = export_quantized_program(
                         self.model, variables_q,
                         batch=cfg.batch_size, size=cfg.image_size,
-                        input_dtype=jax.numpy.float32, mesh=self.mesh,
-                        tta=tta)
+                        threshold=thr, input_dtype=jax.numpy.float32,
+                        mesh=self.mesh, tta=tta)
                     svars = variables_q
                 else:
                     from .export import export_serving_sharded
                     sblob, svars = export_serving_sharded(
                         self.model, eval_params, eval_stats, self.mesh,
                         batch=cfg.batch_size, size=cfg.image_size,
-                        weights_dtype=wd, tta=tta)
+                        threshold=thr, weights_dtype=wd, tta=tta)
                 spath = os.path.join(
                     cfg.model_dir,
                     f"{cfg.model_type}_serving_sharded.stablehlo")
@@ -452,7 +454,7 @@ class Trainer:
                                 f"{cfg.model_type}_serving.stablehlo")
             save_serving(path, self.model, eval_params, eval_stats,
                          batch=cfg.batch_size,
-                         size=cfg.image_size, tta=tta)
+                         size=cfg.image_size, threshold=thr, tta=tta)
             self.logger.info(f"--Baked serving artifact: {path}")
         except Exception as e:
             self.logger.warning(f"baked serving export failed: {e}")
@@ -505,7 +507,25 @@ class Trainer:
             "Threshold sweep (val IoU): "
             + ", ".join(f"{g:.2f}:{i:.4f}" for g, i in zip(grid, ious))
             + f" -> using {t:.2f}")
+        self._tuned_threshold = t
         return t
+
+    def _serving_threshold(self) -> float:
+        """Binarization threshold baked into serving exports: the
+        val-tuned operating point under --tune_threshold (cached — test()
+        reuses the same sweep), else the reference's hardcoded 0.5. The
+        export path must never fail the run, so a sweep error (e.g. empty
+        val split) falls back to 0.5."""
+        if not getattr(self.config, "tune_threshold", False):
+            return 0.5
+        if self._tuned_threshold is None:
+            try:
+                self.tune_threshold()
+            except Exception as e:
+                self.logger.warning(
+                    f"threshold sweep failed ({e}); exporting at 0.5")
+                return 0.5
+        return self._tuned_threshold
 
     def test(self, visualize: bool = True):
         """Global micro-averaged pixel metrics over the test split plus the
@@ -515,7 +535,11 @@ class Trainer:
             "------------------Starting Testing Model------------------")
         threshold = 0.5
         if getattr(self.config, "tune_threshold", False):
-            threshold = self.tune_threshold()
+            # reuse the sweep the serving export already ran (same final
+            # weights, same val split) — tune once per trained model
+            threshold = (self._tuned_threshold
+                         if self._tuned_threshold is not None
+                         else self.tune_threshold())
             if threshold != 0.5:
                 from ddti_tpu.train.steps import make_infer_step
                 self.infer_step = make_infer_step(self.config, threshold)

@@ -86,3 +86,44 @@ def test_trainer_tunes_and_tests_at_argmax(tmp_path):
         saved = json.load(f)
     assert saved["threshold"] == t
     assert 0.0 <= m["iou"] <= 1.0
+
+
+def test_serving_export_bakes_tuned_threshold(tmp_path):
+    """--tune_threshold + --export_serving coherence: the exported serving
+    program binarizes at the val-tuned operating point (not the
+    reference's hardcoded 0.5), so deployed masks match what test()
+    scored; test() then reuses the cached sweep instead of re-running."""
+    from ddti_tpu.core import create_logger
+    from ddti_tpu.train.engine import Trainer
+    from ddti_tpu.train.export import load_serving_bundle
+
+    cfg = Config(batch_size=4, image_size=32, store_size=32, lr=1e-3,
+                 epochs=1, model_type="UNet", base_dir=str(tmp_path),
+                 use_data_parallel=False, tune_threshold=True,
+                 export_serving=True)
+    cfg.make_dirs()
+    logger = create_logger(os.path.join(cfg.log_dir, "train_log.log"))
+    srcs = tuple(DeviceDataSource(*generate_ddti_like(4, (32, 32), s))
+                 for s in (0, 1, 2))
+    model = create_model("UNet", base_filters=8, depth=3)
+    tr = Trainer(cfg, srcs, logger, model)
+
+    x = np.asarray(srcs[1].images, np.float32) / 255.0
+    logits = model.apply({"params": tr.state.params,
+                          "batch_stats": tr.state.batch_stats},
+                         x, train=False)
+    probs = 1 / (1 + np.exp(-np.asarray(logits, np.float32)))
+    thr = float(np.quantile(probs, 0.75))
+    # sanity: the pinned operating point actually flips pixels vs 0.5
+    assert ((probs > min(thr, 0.5)) & (probs <= max(thr, 0.5))).any()
+
+    tr._tuned_threshold = thr  # pin the sweep result; plumbing under test
+    tr._export_serving_artifacts()
+    assert tr._serving_threshold() == thr  # export reused the cache
+
+    prog = os.path.join(cfg.model_dir, "UNet_serving_program.stablehlo")
+    fn, batch, size, in_dtype = load_serving_bundle(prog)
+    assert (batch, size) == (4, 32)
+    got = np.asarray(fn(jnp.asarray(x, in_dtype)))
+    np.testing.assert_array_equal(got, (probs > thr).astype(np.uint8))
+    assert not np.array_equal(got, (probs > 0.5).astype(np.uint8))
