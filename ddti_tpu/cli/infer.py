@@ -27,8 +27,8 @@ def _maybe_overlay(args, name: str, mask) -> None:
     contours drawn in red (marching-squares, eval/contours.py), written as
     ``<name>_overlay.png``. ``mask`` is the final mask at the ORIGINAL
     image resolution — binary (bool/0-255) or, under --prob, a soft
-    0-255 probability map; either way the contour is drawn at the 0.5
-    decision level."""
+    0-255 probability map; the contour is drawn at the operating
+    threshold (--threshold, a no-op for binary masks)."""
     if not getattr(args, "overlay", False):
         return
     import numpy as np
@@ -39,8 +39,9 @@ def _maybe_overlay(args, name: str, mask) -> None:
     gray = np.asarray(
         Image.open(os.path.join(args.input_dir, name)).convert("L"))
     rgb = np.repeat(gray[..., None], 3, axis=-1).copy()
+    thr = float(getattr(args, "threshold", 0.5))
     m = np.asarray(mask, np.float32)
-    m = (m > 127.5 if m.max() > 1 else m > 0.5).astype(np.float32)
+    m = (m > thr * 255 if m.max() > 1 else m > thr).astype(np.float32)
     for c in find_contours(m, 0.5):
         rr = np.clip(np.round(c[:, 0]).astype(int), 0, rgb.shape[0] - 1)
         cc = np.clip(np.round(c[:, 1]).astype(int), 0, rgb.shape[1] - 1)
@@ -75,6 +76,10 @@ def main(argv=None) -> int:
                     help="4-way flip test-time augmentation (live "
                          "checkpoints; for .stablehlo bundles TTA is baked "
                          "at export time via --tta on the exporter)")
+    ap.add_argument("--threshold", type=float, default=0.5,
+                    help="binarization threshold for live checkpoints — "
+                         "e.g. the train CLI's --tune_threshold operating "
+                         "point (.stablehlo bundles bake theirs at export)")
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--fold_bn", action="store_true",
                     help="fold BatchNorm into conv kernels before serving")
@@ -163,7 +168,8 @@ def main(argv=None) -> int:
                 apply_fn, variables, arr,
                 window=args.window, stride=args.stride)
             probs = np.asarray(jax.nn.sigmoid(logits.astype(jnp.float32)))
-            out = (probs if args.prob else (probs > 0.5))[..., 0] * 255
+            out = (probs if args.prob
+                   else (probs > args.threshold))[..., 0] * 255
             Image.fromarray(out.astype(np.uint8)).save(
                 os.path.join(args.output_dir,
                              os.path.splitext(name)[0] + "_pred.png"))
@@ -180,7 +186,7 @@ def main(argv=None) -> int:
             x = jnp.asarray(np.stack(batch))
             logits = apply_fn(variables, x)
             probs = np.asarray(jax.nn.sigmoid(logits.astype(jnp.float32)))
-            preds = probs if args.prob else (probs > 0.5)
+            preds = probs if args.prob else (probs > args.threshold)
             for p, (name, orig_size) in zip(preds, metas):
                 m = Image.fromarray((p[..., 0] * 255).astype(np.uint8))
                 m = m.resize(orig_size,

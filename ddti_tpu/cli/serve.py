@@ -189,6 +189,7 @@ def load_predictor(args):
 
         params, stats = fold_batchnorm(model, params, stats)
     serve = jax.jit(make_serve_fn(model, params, stats,
+                                  threshold=args.threshold,
                                   input_dtype=jnp.uint8, tta=args.tta))
 
     def predict(x):
@@ -378,6 +379,10 @@ def get_parser() -> argparse.ArgumentParser:
                     help="compiled batch shape (live-checkpoint path; "
                          "bundles carry their own)")
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--threshold", type=float, default=0.5,
+                    help="binarization threshold for live checkpoints "
+                         "(e.g. the --tune_threshold operating point); "
+                         ".stablehlo bundles bake theirs at export")
     ap.add_argument("--tta", action="store_true",
                     help="4-way flip TTA for live checkpoints (for "
                          ".stablehlo bundles, bake it at export time)")

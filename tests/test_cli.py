@@ -145,6 +145,23 @@ def test_infer_cli_end_to_end(tmp_path):
     assert rc == 0
     assert len(os.listdir(out2)) == 3
 
+    # --threshold moves the operating point (live checkpoints): extreme
+    # thresholds produce all-foreground / all-background masks
+    import numpy as np
+    from PIL import Image
+    masks = {}
+    for t in ("0.001", "0.999"):
+        outt = str(tmp_path / f"preds_t{t}")
+        rc = infer_main(["--checkpoint", ck, "--input_dir",
+                         os.path.join(root, "train"), "--output_dir", outt,
+                         "--model_type", "UNet", "--base_filters", "8",
+                         "--depth", "3", "--image_size", "32",
+                         "--batch_size", "2", "--threshold", t])
+        assert rc == 0
+        name = sorted(os.listdir(outt))[0]
+        masks[t] = np.asarray(Image.open(os.path.join(outt, name)))
+    assert masks["0.001"].min() == 255 and masks["0.999"].max() == 0
+
 
 def test_infer_cli_serving_bundle(tmp_path):
     """Serving-bundle path: --checkpoint <program>.stablehlo + paired .npz

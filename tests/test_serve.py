@@ -148,7 +148,8 @@ def test_serve_live_checkpoint(tmp_path):
     args = get_parser().parse_args(
         ["--checkpoint", ck, "--model_type", "UNet", "--base_filters", "8",
          "--depth", "3", "--image_size", "32", "--batch_size", "2",
-         "--port", "0", "--compilation_cache", "off"])
+         "--threshold", "0.999", "--port", "0",
+         "--compilation_cache", "off"])
     server = create_server(args)
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
@@ -157,7 +158,11 @@ def test_serve_live_checkpoint(tmp_path):
         assert json.loads(data)["model"] == "UNet"
         resp, data = _request(server, "POST", "/predict", _jpeg_bytes())
         assert resp.status == 200
-        assert np.asarray(Image.open(io.BytesIO(data))).shape == (40, 56)
+        mask = np.asarray(Image.open(io.BytesIO(data)))
+        assert mask.shape == (40, 56)
+        # --threshold reached the live predictor: at 0.999 a random-init
+        # model (probs ~0.5) predicts no foreground at all
+        assert mask.max() == 0
     finally:
         server.shutdown()
         server.close()
