@@ -75,6 +75,10 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--log_every", default=20, type=int,
                    help="in-epoch progress interval in steps (loss + "
                         "img/s, the tqdm-equivalent); 0 disables")
+    p.add_argument("--profile", dest="profile_steps", default=0, type=int,
+                   help="capture an XLA device trace of the first N train "
+                        "steps into <result_dir>/trace (view in "
+                        "TensorBoard); 0 disables")
     p.add_argument("--max_keep_checkpoints", default=3, type=int,
                    help="rotation depth of the periodic checkpoint manager")
     p.add_argument("--early_stop_patience", default=50, type=int)

@@ -73,6 +73,10 @@ class Config:
     # microbatch, EMA chained). Fits large effective batches in HBM.
     save_interval: int = 20
     log_every: int = 20  # in-epoch INFO progress interval (steps); 0 = off
+    profile_steps: int = 0  # capture an XLA device trace of the first N
+    # train steps of epoch 1 into <result_dir>/trace (TensorBoard-viewable;
+    # core/profiling.py). Stepwise path only — incompatible with
+    # --fused_epoch's one-program epochs.
     max_keep_checkpoints: int = 3  # rotation depth of periodic checkpoints
     export_serving: bool = False   # write a StableHLO serving artifact
     serving_dtype: str = "f32"     # exported bundle precision (f32|bf16|int8)

@@ -237,10 +237,21 @@ class Trainer:
         # fast path stays sync-free.
         import time as _time
         log_every = int(getattr(self.config, "log_every", 20) or 0)
+        # --profile N: device trace of the first N steps of epoch 1
+        # (core/profiling.py); guarded — tracing must never fail the run
+        prof_n = (int(getattr(self.config, "profile_steps", 0) or 0)
+                  if epoch == 0 else 0)
+        prof_dir = os.path.join(self.config.result_dir, "trace")
         t0 = _time.perf_counter()
         n_imgs = 0
         for i, (images, masks) in enumerate(
                 self._iter_batches(self.train_src, shuffle=True)):
+            if prof_n and i == 0:
+                try:
+                    jax.profiler.start_trace(prof_dir)
+                except Exception as e:
+                    self.logger.warning(f"trace capture unavailable: {e}")
+                    prof_n = 0
             # uint8 batches are raw store data -> full on-device
             # augmentation; float batches were augmented on the host
             # (oracle chain) -> mixup+train only
@@ -250,6 +261,15 @@ class Trainer:
             self.state, m = step(self.state, images, masks, step_key)
             total = accumulate(total, m)
             n_imgs += int(images.shape[0])
+            if prof_n and i + 1 == prof_n:
+                try:
+                    float(m.loss)  # drain the device into the trace window
+                    jax.profiler.stop_trace()
+                    self.logger.info(f"--Trace of {prof_n} steps written "
+                                     f"to {prof_dir}")
+                except Exception as e:
+                    self.logger.warning(f"trace capture failed: {e}")
+                prof_n = 0
             if log_every and (i + 1) % log_every == 0:
                 ips = n_imgs / max(_time.perf_counter() - t0, 1e-9)
                 self.logger.info(
@@ -258,6 +278,12 @@ class Trainer:
             else:
                 self.logger.debug(f"Epoch {epoch + 1} step {i + 1} done "
                                   f"({n_imgs} imgs)")
+        if prof_n:  # epoch ended before step prof_n: close the trace
+            try:
+                jax.profiler.stop_trace()
+                self.logger.info(f"--Trace written to {prof_dir}")
+            except Exception as e:
+                self.logger.warning(f"trace capture failed: {e}")
         total = jax.device_get(total)
         em = epoch_metrics_from_counts(total.counts)
         self._log_epoch("Train", epoch, self._avgs(total), em)

@@ -398,6 +398,29 @@ def test_trainer_export_serving_artifact(tmp_path):
     assert out.shape == (4, 32, 32, 1) and out.dtype == np.uint8
 
 
+def test_profile_steps_writes_trace(tmp_path):
+    """--profile N captures an XLA device trace of the first N train steps
+    into <result_dir>/trace (engine.train_one_epoch; core/profiling.py).
+    The reference has no profiler at all (SURVEY.md section 5)."""
+    from ddti_tpu.core import create_logger
+    from ddti_tpu.train.engine import Trainer
+
+    cfg = _tiny_cfg(tmp_path, profile_steps=2, use_data_parallel=False)
+    cfg.make_dirs()
+    logger = create_logger(os.path.join(cfg.log_dir, "train_log.log"))
+    srcs = tuple(DeviceDataSource(*generate_ddti_like(8, (32, 32), s))
+                 for s in (0, 1, 2))
+    model = create_model("UNet", base_filters=8, depth=3)
+    tr = Trainer(cfg, srcs, logger, model)
+    tr.train_one_epoch(0)
+    trace_dir = os.path.join(cfg.result_dir, "trace")
+    hits = [os.path.join(r, f) for r, _, fs in os.walk(trace_dir)
+            for f in fs if f.endswith((".xplane.pb", ".trace.json.gz"))]
+    assert hits, f"no trace artifacts under {trace_dir}"
+    # epoch 2 must not try to trace again (start_trace would raise)
+    tr.train_one_epoch(1)
+
+
 def test_trainer_export_serving_int8(tmp_path):
     """--serving_dtype int8: end of training writes an int8-quantized
     weights-as-arguments bundle (calibrated on a val batch) that
