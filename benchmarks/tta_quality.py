@@ -25,7 +25,8 @@ ap.add_argument("--size", type=int, default=256)
 ap.add_argument("--batch", type=int, default=64)
 ap.add_argument("--n_train", type=int, default=512)
 ap.add_argument("--epochs", type=int, default=10)
-ap.add_argument("--phase", choices=["train", "plain", "tta"], default=None)
+ap.add_argument("--phase", choices=["train", "plain", "tta", "int8tta"],
+                default=None)
 ap.add_argument("--dir", default=None)
 ARGS = ap.parse_args()
 SIZE, BATCH, STEPS_T = ARGS.size, ARGS.batch, 10
@@ -104,9 +105,16 @@ def phase_serve(workdir: str, variant: str) -> None:
         tv["params"], tv["batch_stats"])
     images = np.load(os.path.join(workdir, "images.npy"))
 
-    blob, variables = export_serving_program(
-        model, params, batch_stats, batch=BATCH, size=SIZE,
-        fold_bn=True, input_dtype=jnp.uint8, tta=(variant == "tta"))
+    if variant == "int8tta":
+        from ddti_tpu.train.quantize import export_serving_int8
+        calib = jnp.asarray(images[:32]).astype(jnp.float32) / 255.0
+        blob, variables = export_serving_int8(
+            model, params, batch_stats, batch=BATCH, size=SIZE,
+            calib_images=calib, tta=True)
+    else:
+        blob, variables = export_serving_program(
+            model, params, batch_stats, batch=BATCH, size=SIZE,
+            fold_bn=True, input_dtype=jnp.uint8, tta=(variant == "tta"))
     serve = aot_compile_serving(blob)
     variables = jax.device_put(variables)
 
@@ -155,14 +163,18 @@ def main():
         run_phase(workdir, "train")
         ips_p = run_phase(workdir, "plain")
         ips_t = run_phase(workdir, "tta")
+        ips_q = run_phase(workdir, "int8tta")
         gt = np.load(os.path.join(workdir, "masks.npy"))
         plain = np.load(os.path.join(workdir, "pred_plain.npy"))
         tta = np.load(os.path.join(workdir, "pred_tta.npy"))
+        qtta = np.load(os.path.join(workdir, "pred_int8tta.npy"))
 
     print(f"[{SIZE}^2 bs{BATCH}, {N_TEST} held-out images]")
-    print(f"plain: {ips_p:8.1f} img/s   test IoU {iou(plain, gt):.4f}")
-    print(f"tta:   {ips_t:8.1f} img/s   test IoU {iou(tta, gt):.4f}"
+    print(f"plain:    {ips_p:8.1f} img/s   test IoU {iou(plain, gt):.4f}")
+    print(f"tta:      {ips_t:8.1f} img/s   test IoU {iou(tta, gt):.4f}"
           f"   ({ips_t / ips_p:.2f}x throughput)")
+    print(f"int8+tta: {ips_q:8.1f} img/s   test IoU {iou(qtta, gt):.4f}"
+          f"   ({ips_q / ips_t:.2f}x vs bf16 tta)")
     # per-image IoU deltas: where does the ensemble help/hurt?
     deltas = [iou(tta[i], gt[i]) - iou(plain[i], gt[i])
               for i in range(N_TEST)]
