@@ -106,8 +106,14 @@ def phase_serve(workdir: str, variant: str) -> None:
     images = np.load(os.path.join(workdir, "images.npy"))
 
     if variant == "int8tta":
+        from ddti_tpu.data import generate_ddti_like
         from ddti_tpu.train.quantize import export_serving_int8
-        calib = jnp.asarray(images[:32]).astype(jnp.float32) / 255.0
+
+        # calibrate on TRAIN-distribution frames (seed 0 = phase_train's
+        # set), never on the held-out test images being scored — mirrors
+        # the product path (Trainer._calibration_batch uses VAL)
+        cal_img, _ = generate_ddti_like(32, (SIZE, SIZE), 0)
+        calib = jnp.asarray(cal_img).astype(jnp.float32) / 255.0
         blob, variables = export_serving_int8(
             model, params, batch_stats, batch=BATCH, size=SIZE,
             calib_images=calib, tta=True)

@@ -39,9 +39,13 @@ def _maybe_overlay(args, name: str, mask) -> None:
     gray = np.asarray(
         Image.open(os.path.join(args.input_dir, name)).convert("L"))
     rgb = np.repeat(gray[..., None], 3, axis=-1).copy()
-    thr = float(getattr(args, "threshold", 0.5))
-    m = np.asarray(mask, np.float32)
-    m = (m > thr * 255 if m.max() > 1 else m > thr).astype(np.float32)
+    # masks arrive 0-255: binarized upstream at --threshold (contour any
+    # level strictly inside (0, 255)), or a soft prob*255 map under
+    # --prob (contour AT the operating threshold). No scale sniffing —
+    # the --prob flag says which.
+    thr255 = (float(getattr(args, "threshold", 0.5)) * 255
+              if getattr(args, "prob", False) else 127.5)
+    m = (np.asarray(mask, np.float32) > thr255).astype(np.float32)
     for c in find_contours(m, 0.5):
         rr = np.clip(np.round(c[:, 0]).astype(int), 0, rgb.shape[0] - 1)
         cc = np.clip(np.round(c[:, 1]).astype(int), 0, rgb.shape[1] - 1)
@@ -108,6 +112,7 @@ def main(argv=None) -> int:
             print("warning: --prob is unavailable for .stablehlo bundles "
                   "(binarization is baked into the exported program); "
                   "writing binary masks")
+            args.prob = False  # downstream (overlay) sees binary masks
         return _infer_serving_bundle(args)
 
     from ddti_tpu.models import create_model

@@ -225,6 +225,11 @@ class Trainer:
     def train_one_epoch(self, epoch: int):
         if (self.scan_epoch is not None and not self._multihost
                 and self._is_device_src(self.train_src)):
+            if epoch == 0 and getattr(self.config, "profile_steps", 0):
+                self.logger.warning(
+                    "--profile is ignored under --fused_epoch (the epoch "
+                    "is ONE XLA program — there are no per-step trace "
+                    "boundaries); rerun without --fused_epoch to trace")
             return self._train_one_epoch_fused(epoch)
         total = None
         # same key derivation as the fused-epoch path: one epoch key, one
@@ -314,23 +319,36 @@ class Trainer:
         em = epoch_metrics_from_counts(counts)
         self._log_epoch("Train", epoch, avgs, em)
 
+    def _first_occurrence_mask(self, idx, seen: set):
+        """(B,) f32 {0,1} mask weighting out wraparound-padded duplicates
+        so metrics count each image exactly once, like the reference's
+        unpadded loaders (QUIRKS #22). None for host-streaming sources
+        (idx is None: they already yield true ragged batches). Multi-host:
+        every process computes the full mask from the (identical-RNG)
+        indices and materializes only ITS rows, exactly like the batch
+        itself (_shard_multihost)."""
+        if idx is None:
+            return None
+        mask = []
+        for i in np.asarray(idx):
+            mask.append(0.0 if int(i) in seen else 1.0)
+            seen.add(int(i))
+        mask = np.asarray(mask, np.float32)
+        if self._multihost:
+            from ddti_tpu.parallel import process_local_batch
+            per = len(mask) // jax.process_count()
+            lo = jax.process_index() * per
+            return process_local_batch(mask[lo:lo + per], self.mesh)
+        return jax.numpy.asarray(mask)
+
     def validate(self, epoch: int):
         total = None
         seen = set()
         for idx, images, masks in self._iter_batches(self.val_src,
                                                      shuffle=False,
                                                      with_idx=True):
-            valid = None
-            if idx is not None and not self._multihost:
-                # weight out wraparound-padded duplicates so the val
-                # metrics count each image exactly once (the reference
-                # loader is unpadded)
-                mask = []
-                for i in np.asarray(idx):
-                    mask.append(0.0 if int(i) in seen else 1.0)
-                    seen.add(int(i))
-                valid = jax.numpy.asarray(mask, jax.numpy.float32)
-            m = self.eval_step(self.state, images, masks, valid)
+            m = self.eval_step(self.state, images, masks,
+                               self._first_occurrence_mask(idx, seen))
             total = accumulate(total, m)
         total = jax.device_get(total)
         em = epoch_metrics_from_counts(total.counts)
@@ -520,9 +538,14 @@ class Trainer:
                 if grid is None else np.asarray(grid))
         sweep = make_threshold_sweep_step(self.config, grid)
         total = None
-        for images, masks in self._iter_batches(self.val_src,
-                                                shuffle=False):
-            c = sweep(self.state, images, masks)
+        seen = set()
+        for idx, images, masks in self._iter_batches(self.val_src,
+                                                     shuffle=False,
+                                                     with_idx=True):
+            # the same exact per-image accounting validate() uses
+            # (QUIRKS #22), so the sweep's IoU curve matches validate()'s
+            c = sweep(self.state, images, masks,
+                      self._first_occurrence_mask(idx, seen))
             total = c if total is None else total + c
         total = jax.device_get(total)
         ious = np.asarray(total.inter) / np.maximum(np.asarray(total.union),
@@ -585,6 +608,16 @@ class Trainer:
                                                      with_idx=True):
             imgs_f, masks_f, preds, counts, per_img = self.infer_step(
                 self.state, images, masks)
+            if audit:
+                # multi-host: the host-side audit rows can't be collected
+                # (per_img spans non-addressable devices), but the padded
+                # duplicates still weight out ON DEVICE so the global
+                # metrics count each image exactly once (QUIRKS #22)
+                valid = self._first_occurrence_mask(idx, seen)
+                if valid is not None:
+                    from ddti_tpu.eval.metrics import ConfusionCounts
+                    counts = ConfusionCounts(
+                        *((v * valid).sum() for v in per_img))
             counts_total = (counts if counts_total is None
                             else counts_total + counts)
             if not audit:
@@ -604,8 +637,8 @@ class Trainer:
                 sum(r["tp"] for r in rows), sum(r["fp"] for r in rows),
                 sum(r["fn"] for r in rows), sum(r["tn"] for r in rows))
             total = len(rows)
-        else:  # multi-host path: device psum totals (batches unpadded
-            # only if batch_size divides the split)
+        else:  # multi-host path: device totals (padded duplicates already
+            # weighted out above, so these are exact too)
             counts_total = jax.device_get(counts_total)
             m = metrics_from_counts(counts_total.tp, counts_total.fp,
                                     counts_total.fn, counts_total.tn)

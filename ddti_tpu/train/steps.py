@@ -158,17 +158,19 @@ def make_infer_step(config, threshold: float = 0.5) -> Callable:
 
 
 def make_threshold_sweep_step(config, thresholds) -> Callable:
-    """(state, images_u8, masks_u8) -> ConfusionCounts with a leading
-    thresholds axis: ONE pass over a split scores every candidate
+    """(state, images_u8, masks_u8[, valid]) -> ConfusionCounts with a
+    leading thresholds axis: ONE pass over a split scores every candidate
     binarization threshold at once (--tune_threshold). Uses the same
     logits as the test path (EMA shadow / flip-TTA ensemble when those
-    are enabled) so the tuned operating point transfers exactly."""
+    are enabled) so the tuned operating point transfers exactly.
+    ``valid`` (B,) f32 {0,1} weights out wraparound-padded duplicates,
+    matching validate()'s exact per-image accounting (QUIRKS #22)."""
     size = (config.image_size, config.image_size)
     use_tta = bool(getattr(config, "tta", False))
     use_ema = float(getattr(config, "ema_decay", 0.0) or 0.0) > 0
     ts = jnp.asarray(thresholds, jnp.float32)
 
-    def step(state, images_u8, masks_u8):
+    def step(state, images_u8, masks_u8, valid=None):
         images, masks = _to_float(images_u8, masks_u8)
         images, masks = eval_preprocess(images, masks, size)
 
@@ -182,8 +184,15 @@ def make_threshold_sweep_step(config, thresholds) -> Callable:
             logits = tta_logits(fwd, images)
         else:
             logits = fwd(images)
-        return jax.vmap(
-            lambda t: confusion_counts(logits, masks, threshold=t))(ts)
+
+        def counts_at(t):
+            if valid is None:
+                return confusion_counts(logits, masks, threshold=t)
+            per_img = confusion_counts(logits, masks, threshold=t,
+                                       per_image=True)
+            return ConfusionCounts(*((v * valid).sum() for v in per_img))
+
+        return jax.vmap(counts_at)(ts)
 
     return jax.jit(step)
 

@@ -113,13 +113,31 @@ cfg = Config(epochs=1, batch_size=8, image_size=32, store_size=32,
              base_dir=os.environ["RUN_DIR"])
 cfg.make_dirs()
 logger = create_logger(os.path.join(cfg.log_dir, "log.log"))
+# val split of 6 with batch 8: the single val batch carries 2
+# wraparound-padded duplicates, which multi-host validate() must weight
+# out on device (QUIRKS #22)
 srcs = tuple(DeviceDataSource(*generate_ddti_like(n, (32, 32), s))
-             for n, s in ((16, 0), (8, 1), (8, 2)))
+             for n, s in ((16, 0), (6, 1), (8, 2)))
 model = create_model("UNet", base_filters=8, depth=3)
 tr = Trainer(cfg, srcs, logger, model, mesh=mesh)
 assert tr._multihost
 tr.train_one_epoch(0)
 _, iou = tr.validate(0)
+
+# exact-IoU oracle: replicated final weights, host forward over the 6
+# UNIQUE val images (bool-convention inter/union like the epoch IoU)
+import numpy as np
+w = jax.tree.map(lambda a: np.asarray(a.addressable_data(0)),
+                 {"params": tr.state.params,
+                  "batch_stats": tr.state.batch_stats})
+logits = model.apply(w, np.asarray(srcs[1].images, np.float32) / 255.0,
+                     train=False)
+probs = 1 / (1 + np.exp(-np.asarray(logits, np.float32)))
+gt = np.asarray(srcs[1].masks, np.float32) / 255.0 > 0
+pred = probs > 0.5
+expect = np.logical_and(pred, gt).sum() / max(
+    np.logical_or(pred, gt).sum(), 1e-8)
+assert abs(iou - expect) < 1e-5, (iou, expect)
 print(f"RANK{jax.process_index()} IOU {iou:.6f}", flush=True)
 """
 

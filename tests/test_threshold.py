@@ -59,8 +59,10 @@ def test_trainer_tunes_and_tests_at_argmax(tmp_path):
                  use_data_parallel=False, tune_threshold=True)
     cfg.make_dirs()
     logger = create_logger(os.path.join(cfg.log_dir, "train_log.log"))
-    srcs = tuple(DeviceDataSource(*generate_ddti_like(4, (32, 32), s))
-                 for s in (0, 1, 2))
+    # val split of 6 with batch 4: the final batch carries 2 wraparound-
+    # padded duplicates, which the sweep must weight out (QUIRKS #22)
+    srcs = tuple(DeviceDataSource(*generate_ddti_like(n, (32, 32), s))
+                 for n, s in ((4, 0), (6, 1), (4, 2)))
     model = create_model("UNet", base_filters=8, depth=3)
     tr = Trainer(cfg, srcs, logger, model)
 
@@ -113,7 +115,13 @@ def test_serving_export_bakes_tuned_threshold(tmp_path):
                           "batch_stats": tr.state.batch_stats},
                          x, train=False)
     probs = 1 / (1 + np.exp(-np.asarray(logits, np.float32)))
-    thr = float(np.quantile(probs, 0.75))
+    # operating point at the MIDPOINT between two adjacent observed probs:
+    # maximally far from every pixel, so host-vs-device sigmoid rounding
+    # can never flip the comparison (bitwise mask equality stays robust)
+    sp = np.unique(probs.ravel())
+    i = min(max(np.searchsorted(sp, np.quantile(probs, 0.75)), 1),
+            len(sp) - 1)
+    thr = float((sp[i - 1] + sp[i]) / 2)
     # sanity: the pinned operating point actually flips pixels vs 0.5
     assert ((probs > min(thr, 0.5)) & (probs <= max(thr, 0.5))).any()
 
