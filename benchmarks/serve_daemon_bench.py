@@ -29,6 +29,9 @@ ap.add_argument("--clients", type=int, default=8)
 ap.add_argument("--n", type=int, default=200, help="total requests")
 ap.add_argument("--dtype", default="int8", choices=["int8", "bf16"])
 ap.add_argument("--max_wait_ms", type=float, default=5.0)
+ap.add_argument("--format", default="png", choices=["png", "raw"],
+                help="response encoding: PNG (default) or raw uint8 bytes"
+                     " (?format=raw — skips the host PNG encoder)")
 ap.add_argument("--reuse", action="store_true",
                 help="reuse /tmp/daemon_bench_<dtype>.{stablehlo,npz} "
                      "from a previous run instead of re-exporting")
@@ -95,10 +98,13 @@ payload = buf.getvalue()
 print(f"payload {len(payload)} bytes ({frame.shape[1]}x{frame.shape[2]})")
 
 
+PATH = "/predict" + ("?format=raw" if args.format == "raw" else "")
+
+
 def one_request():
     conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
     t = time.perf_counter()
-    conn.request("POST", "/predict", body=payload)
+    conn.request("POST", PATH, body=payload)
     resp = conn.getresponse()
     data = resp.read()
     conn.close()

@@ -16,6 +16,9 @@ Endpoints:
   POST /predict   body = raw image bytes (JPEG/PNG/BMP, any size);
                   response = PNG mask at the ORIGINAL resolution.
                   ``?overlay=1`` returns the red-contour overlay instead.
+                  ``?format=raw`` returns raw uint8 bytes (X-Width /
+                  X-Height / X-Channels headers) — skips the PNG encoder,
+                  the dominant per-request host cost on codec-bound boxes.
 
 Usage:
   python -m ddti_tpu.cli.serve --checkpoint model.stablehlo --port 8080
@@ -302,20 +305,38 @@ class _Handler(BaseHTTPRequestHandler):
             return
         m = Image.fromarray((mask[..., 0] * 255).astype(np.uint8))
         m = m.resize(orig_size, Image.NEAREST)
-        want_overlay = parse_qs(parsed.query).get("overlay", ["0"])[0]
+        query = parse_qs(parsed.query)
+        want_overlay = query.get("overlay", ["0"])[0]
         if want_overlay not in ("0", "", "false"):
             out_img = Image.fromarray(_overlay_png(img, np.asarray(m)))
         else:
             out_img = m
-        buf = io.BytesIO()
-        out_img.save(buf, "PNG")
-        body = buf.getvalue()
+        if query.get("format", ["png"])[0] == "raw":
+            # raw row-major uint8 bytes (mask: 0/255 single-plane; overlay:
+            # interleaved RGB) — skips the PNG encoder, the dominant
+            # per-request host cost on codec-bound boxes (PERF_NOTES.md);
+            # dimensions ride response headers
+            arr = np.asarray(out_img)
+            body = arr.tobytes()
+            ctype = "application/octet-stream"
+            dims = {"X-Width": str(arr.shape[1]),
+                    "X-Height": str(arr.shape[0]),
+                    "X-Channels": str(1 if arr.ndim == 2
+                                      else arr.shape[2])}
+        else:
+            buf = io.BytesIO()
+            out_img.save(buf, "PNG")
+            body = buf.getvalue()
+            ctype = "image/png"
+            dims = {}
         with srv.stats_lock:
             srv.n_requests += 1
             srv.total_latency += time.perf_counter() - t0
         self.send_response(200)
-        self.send_header("Content-Type", "image/png")
+        self.send_header("Content-Type", ctype)
         self.send_header("Content-Length", str(len(body)))
+        for k, v in dims.items():
+            self.send_header(k, v)
         self.end_headers()
         self.wfile.write(body)
 

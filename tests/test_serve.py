@@ -91,9 +91,20 @@ def test_serve_healthz_and_predict(bundle_server):
     colored = ov[:, :, 0] != ov[:, :, 1]
     assert np.all(ov[colored, 0] == 255) and np.all(ov[colored, 1] == 0)
 
+    # ?format=raw: identical mask as raw uint8 bytes, no PNG encode
+    resp, raw = _request(bundle_server, "POST", "/predict?format=raw",
+                         _jpeg_bytes())
+    assert resp.status == 200
+    assert resp.getheader("Content-Type") == "application/octet-stream"
+    w, h, c = (int(resp.getheader(k)) for k in ("X-Width", "X-Height",
+                                                "X-Channels"))
+    assert (h, w, c) == (40, 56, 1) and len(raw) == h * w
+    np.testing.assert_array_equal(
+        np.frombuffer(raw, np.uint8).reshape(h, w), mask)
+
     resp, data = _request(bundle_server, "GET", "/stats")
     stats = json.loads(data)
-    assert stats["requests"] == 2 and stats["images"] == 2
+    assert stats["requests"] == 3 and stats["images"] == 3
     assert stats["errors"] == 0
     assert stats["mean_latency_ms"] > 0
 
@@ -204,8 +215,10 @@ def test_batcher_backpressure():
     from ddti_tpu.cli.serve import QueueFull
 
     release = threading.Event()
+    started = threading.Event()
 
     def slow_predict(x):
+        started.set()
         release.wait(timeout=30)
         return x
 
@@ -213,13 +226,17 @@ def test_batcher_backpressure():
     a = np.full((8, 8, 1), 3, np.uint8)
     threads = [threading.Thread(target=lambda: b.submit(a), daemon=True)
                for _ in range(3)]
-    for t in threads:
+    # deterministic fill: let the worker DEQUEUE frame 1 first (otherwise
+    # frame 3 could race the dequeue and get rejected itself), then queue
+    # exactly two more
+    threads[0].start()
+    assert started.wait(timeout=10)
+    for t in threads[1:]:
         t.start()
-    # wait until the worker holds one frame and two more are queued
     deadline = time.time() + 10
     while b._q.qsize() < 2 and time.time() < deadline:
         time.sleep(0.01)
-    assert b._q.qsize() >= 2
+    assert b._q.qsize() == 2
     with pytest.raises(QueueFull):
         b.submit(a)
     assert b.n_rejected == 1
