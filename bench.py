@@ -137,36 +137,49 @@ def bench(batch: int = 128, size: int = 256, steps: int = 20,
         del serve_q, last, p
         jax.tree.map(lambda a: a.delete(), variables_q)
 
-    # train throughput with --aug_shared_geometry (one flip/rotation draw
-    # per batch -> batch-invariant gather index, the TPU-fast warp path;
-    # QUIRKS #20 opt-in divergence). Secondary metric, measured in its
-    # OWN subprocess: after this process's many compiles/frees the device
-    # heap is fragmented enough to distort (or OOM) a second full train
+    # train throughput of the two opt-in warp variants: --aug_fast_warp
+    # (Paeth three-shear barrel warp, per-image geometry kept, QUIRKS #23)
+    # and --aug_shared_geometry (one flip/rotation draw per batch,
+    # QUIRKS #20). Secondary metrics, each measured in its OWN subprocess:
+    # after this process's many compiles/frees the device heap is
+    # fragmented enough to distort (or OOM) a second full train
     # program — measured 7.5 img/s in-process vs 302.8 standalone.
     import subprocess
     import sys
 
-    try:
-        out = subprocess.run(
-            [sys.executable, __file__, "--sg_only", "--batch", str(batch),
-             "--size", str(size), "--steps", str(steps)],
-            capture_output=True, text=True, timeout=1500, check=True)
-        train_sg_ips = float(out.stdout.strip().splitlines()[-1])
-    except Exception as e:  # secondary metric must never sink the bench
-        print(f"shared-geometry measurement failed: {e!r}",
-              file=sys.stderr)
-        train_sg_ips = 0.0
+    def _variant_ips(name: str) -> float:
+        try:
+            out = subprocess.run(
+                [sys.executable, __file__, "--variant_only", name,
+                 "--batch", str(batch), "--size", str(size),
+                 "--steps", str(steps)],
+                capture_output=True, text=True, timeout=1500, check=True)
+            return float(out.stdout.strip().splitlines()[-1])
+        except Exception as e:  # secondary metric must never sink the bench
+            print(f"{name} variant measurement failed: {e!r}",
+                  file=sys.stderr)
+            return 0.0
+
+    train_fw_ips = _variant_ips("fastwarp")
+    train_sg_ips = _variant_ips("sg")
 
     return {"train_ips": train_ips, "train_sg_ips": train_sg_ips,
+            "train_fw_ips": train_fw_ips,
             "infer_ips": infer_ips, "serve_ips": serve_ips,
             "serve_int8_ips": serve_int8_ips,
             "backend": jax.default_backend(), "batch": batch, "size": size}
 
 
-def bench_sg(batch: int, size: int, steps: int = 20,
-             warmup: int = 2) -> float:
-    """The --aug_shared_geometry train variant, standalone (run in a fresh
-    process by bench(); also invocable directly via --sg_only)."""
+_VARIANT_FLAGS = {
+    "sg": {"aug_shared_geometry": True},
+    "fastwarp": {"aug_fast_warp": True},
+}
+
+
+def bench_variant(variant: str, batch: int, size: int, steps: int = 20,
+                  warmup: int = 2) -> float:
+    """One opt-in train variant, standalone (run in a fresh process by
+    bench(); also invocable directly via --variant_only sg|fastwarp)."""
     import jax
     import jax.numpy as jnp
 
@@ -178,7 +191,7 @@ def bench_sg(batch: int, size: int, steps: int = 20,
 
     cfg = Config(batch_size=batch, image_size=size, store_size=size,
                  lr=1e-5, model_type="ResUNet", use_mixup=False,
-                 compute_unused_losses=False, aug_shared_geometry=True)
+                 compute_unused_losses=False, **_VARIANT_FLAGS[variant])
     model = ResUNet(in_channels=1, out_channels=1, base_filters=64, depth=5,
                     dtype=jnp.bfloat16)
     state = create_train_state(model, jax.random.PRNGKey(0),
@@ -208,12 +221,13 @@ def main() -> int:
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--remat", action="store_true")
-    ap.add_argument("--sg_only", action="store_true",
-                    help="print only the shared-geometry train img/s "
+    ap.add_argument("--variant_only", choices=sorted(_VARIANT_FLAGS),
+                    help="print only this train variant's img/s "
                          "(used by bench() as an isolated subprocess)")
     args = ap.parse_args()
-    if args.sg_only:
-        print(bench_sg(batch=args.batch, size=args.size, steps=args.steps))
+    if args.variant_only:
+        print(bench_variant(args.variant_only, batch=args.batch,
+                            size=args.size, steps=args.steps))
         return 0
     r = bench(batch=args.batch, size=args.size, steps=args.steps,
               remat=args.remat)
@@ -222,6 +236,7 @@ def main() -> int:
         "value": round(r["train_ips"], 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(r["train_ips"] / TORCH_CPU_TRAIN_IPS, 1),
+        "train_fast_warp_images_per_sec": round(r["train_fw_ips"], 2),
         "train_shared_geometry_images_per_sec": round(r["train_sg_ips"], 2),
         "infer_images_per_sec_per_chip": round(r["infer_ips"], 2),
         "infer_vs_baseline": round(r["infer_ips"] / TORCH_CPU_INFER_IPS, 1),

@@ -58,3 +58,5 @@ if __name__ == "__main__":
         run("shared-geometry bs128", 128, aug_shared_geometry=True)
     if "bs256remat" in which:
         run("bs256 + remat       ", 256, remat=True)
+    if "fastwarp" in which:
+        run("fast-warp bs128     ", 128, aug_fast_warp=True)

@@ -51,6 +51,10 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--aug_shared_geometry", action="store_true",
                    help="one flip/rotation draw per batch (TPU-fast warp; "
                         "diverges from the reference's per-image draws)")
+    p.add_argument("--aug_fast_warp", action="store_true",
+                   help="Paeth three-shear flip+rotate (no gather, ~9x "
+                        "faster warp, per-image geometry kept; sub-pixel "
+                        "nearest-rounding divergence from PIL, QUIRKS #23)")
 
     # model config
     p.add_argument("--model_type", default="ResUNet", type=str)

@@ -49,6 +49,9 @@ class Config:
     # one flip/rotation draw per BATCH instead of per image: ~11x faster
     # warp gather on TPU, batch-correlated geometry (QUIRKS.md divergence)
     aug_shared_geometry: bool = False
+    # Paeth three-shear warp: no gather, per-image geometry preserved,
+    # sub-pixel rounding divergence from the PIL map (QUIRKS.md #23)
+    aug_fast_warp: bool = False
 
     # model
     model_type: str = "ResUNet"

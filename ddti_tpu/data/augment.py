@@ -36,6 +36,7 @@ from ddti_tpu.ops.clahe import clahe_float
 from ddti_tpu.ops.resample import (
     fused_flip_rotate,
     gaussian_blur_17,
+    paeth_flip_rotate,
     remap,
     resize_bilinear_hw,
 )
@@ -74,6 +75,13 @@ class AugmentConfig:
     # at the cost of batch-correlated geometry: a deliberate divergence
     # from the reference's per-image draws (QUIRKS.md), default OFF.
     shared_geometry: bool = False
+    # Opt-in perf mode: Paeth three-shear flip+rotate (barrel shifter, no
+    # gather: 75 -> ~8 ms per 128x256^2 batch) with PER-IMAGE geometry
+    # preserved. Sub-pixel nearest-rounding divergence from the PIL map
+    # (mean 0.3 px, max 1.4 px source displacement; exact at 0/90/180/270
+    # and for flips) — QUIRKS.md #23, default OFF. Square images only
+    # (non-square falls back to the exact gather warp).
+    fast_warp: bool = False
 
 
 def _u(key, lo, hi, shape=()):
@@ -177,7 +185,10 @@ def _augment_one(key, img, mask, cfg: AugmentConfig, warp=None):
     if warp is None:
         warp = _draw_warp(keys[1], keys[2], cfg)
     fh, fv, ang = warp
-    img, mask = fused_flip_rotate(img, mask, fh, fv, ang)
+    if cfg.fast_warp and img.shape[0] == img.shape[1]:
+        img, mask = paeth_flip_rotate(img, mask, fh, fv, ang)
+    else:
+        img, mask = fused_flip_rotate(img, mask, fh, fv, ang)
     img = _brightness_one(keys[3], img, cfg)
     if cfg.use_speckle:
         img = _speckle_one(keys[4], img, cfg)

@@ -180,6 +180,98 @@ def fused_flip_rotate(img: jnp.ndarray, mask: jnp.ndarray,
     return out[0], out[1]
 
 
+def _barrel_roll_x(t: jnp.ndarray, s: jnp.ndarray, w: int) -> jnp.ndarray:
+    """out[..., y, x] = t[..., y, x + s[y]] with zero fill outside [0, w).
+
+    Per-row constant shifts need NO gather: a circular shift by r is eight
+    (= log2 w) conditional static rolls selected on the bits of r, and
+    rolls/selects are pure data-movement the VPU streams at HBM bandwidth
+    (~0.3 ms/level at 128x2x256x256 vs the 8-cycle/index gather floor —
+    benchmarks/barrel_probe.py). Valid because s is constant along the roll
+    axis (the select bit never moves with the data)."""
+    r = jnp.mod(-s, w)
+    for k in range(max(1, (w - 1).bit_length())):
+        bit = ((r >> k) & 1).astype(bool)[..., :, None]
+        t = jnp.where(bit, jnp.roll(t, 1 << k, axis=-1), t)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+    valid = (xx + s[..., :, None] >= 0) & (xx + s[..., :, None] < w)
+    return jnp.where(valid, t, 0.0)
+
+
+def _barrel_roll_y(t: jnp.ndarray, s: jnp.ndarray, h: int) -> jnp.ndarray:
+    """out[..., y, x] = t[..., y + s[x], x] with zero fill (per-column
+    shifts, rolls along the sublane axis)."""
+    r = jnp.mod(-s, h)
+    for k in range(max(1, (h - 1).bit_length())):
+        bit = ((r >> k) & 1).astype(bool)[..., None, :]
+        t = jnp.where(bit, jnp.roll(t, 1 << k, axis=-2), t)
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0)
+    valid = (yy + s[..., None, :] >= 0) & (yy + s[..., None, :] < h)
+    return jnp.where(valid, t, 0.0)
+
+
+def paeth_flip_rotate(img: jnp.ndarray, mask: jnp.ndarray,
+                      flip_h: jnp.ndarray, flip_v: jnp.ndarray,
+                      angle_deg: jnp.ndarray) -> tuple:
+    """Flip(s) + rotation as a Paeth three-shear warp — NO gather.
+
+    Same chain semantics as ``fused_flip_rotate`` (conditional h/v flip,
+    then PIL-convention counter-clockwise nearest rotation about the
+    center, zero fill) but the rotation is decomposed into an exact
+    90-degree pre-rotation (transpose + reverses, selected on
+    k = round(angle/90)) and a residual |r| <= 45-degree rotation as three
+    integer shears, shear_x(tan r/2) . shear_y(-sin r) . shear_x(tan r/2)
+    [Paeth 1986]. Each shear shifts whole rows (or columns) by a constant,
+    which a barrel shifter does in log2(n) conditional static rolls —
+    pure data movement instead of XLA's per-element warp gather
+    (75 -> ~8 ms per 128x256^2 batch, benchmarks/barrel_probe.py).
+
+    The composite is EXACT for angle 0 (any flips) and for multiples of
+    90 degrees; at other angles the per-pass nearest rounding picks a
+    source pixel that differs from the direct PIL map on a small fraction
+    of pixels near rounding boundaries (~2-4% measured; each off by one
+    source pixel). Unlike direct nearest rotation the shear composite is
+    a per-row/column rigid motion, so it never drops or doubles pixels
+    inside the valid region. Opt-in divergence (``--aug_fast_warp``,
+    QUIRKS.md #23); per-image geometry is preserved (contrast
+    ``shared_geometry``, which changes the stochastic process).
+    Requires a square image; callers fall back to ``fused_flip_rotate``
+    otherwise. Replaces /root/reference/utils/transforms.py:114-141.
+    """
+    h, w = img.shape
+    if h != w:
+        raise ValueError("paeth_flip_rotate requires square images")
+    t = jnp.stack([img, mask])  # (2, H, W): one shift plan, both planes
+    # flips happen BEFORE the rotation in the sequential chain
+    t = jnp.where(flip_h, t[..., :, ::-1], t)
+    t = jnp.where(flip_v, t[..., ::-1, :], t)
+    # inverse-map rotation angle (PIL builds the inverse map; see rotate())
+    theta = -angle_deg * (jnp.pi / 180.0)
+    k = jnp.round(theta / (jnp.pi / 2)).astype(jnp.int32)
+    resid = theta - k.astype(jnp.float32) * (jnp.pi / 2)
+    k4 = jnp.mod(k, 4)
+    # exact 90k pre-rotation: one transpose, reverses for the rest. The
+    # variants match the floor() identities of the exact nearest map
+    # (rotate() above) at 90/180/270 bit-for-bit.
+    tt = jnp.swapaxes(t, -1, -2)
+    r1 = tt[..., :, ::-1]        # 90:  out[y,x] = in[h-1-x, y]
+    r2 = t[..., ::-1, ::-1]      # 180: out[y,x] = in[h-1-y, w-1-x]
+    r3 = tt[..., ::-1, :]        # 270: out[y,x] = in[x, w-1-y]
+    t = jnp.where(k4 == 1, r1,
+                  jnp.where(k4 == 2, r2, jnp.where(k4 == 3, r3, t)))
+    # residual rotation = shear_x . shear_y . shear_x, nearest = integer
+    # per-row/column shifts under the +0.5 pixel-center convention
+    tx = jnp.tan(resid / 2.0)
+    ty = -jnp.sin(resid)
+    centered = jnp.arange(h, dtype=jnp.float32) + 0.5 - (h / 2.0)
+    s_x = jnp.floor(tx * centered + 0.5).astype(jnp.int32)
+    s_y = jnp.floor(ty * centered + 0.5).astype(jnp.int32)
+    t = _barrel_roll_x(t, s_x, w)
+    t = _barrel_roll_y(t, s_y, h)
+    t = _barrel_roll_x(t, s_x, w)
+    return t[0], t[1]
+
+
 def resize_bilinear_hw(img: jnp.ndarray, h: int, w: int, *,
                        antialias: bool = True) -> jnp.ndarray:
     """Bilinear resize of (..., H, W) to (..., h, w), half-pixel centers.

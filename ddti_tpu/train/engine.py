@@ -47,6 +47,7 @@ def aug_config_from(config) -> AugmentConfig:
         use_tgc=config.use_tgc, use_clahe=config.use_clahe,
         p_crop=float(getattr(config, "p_crop", 0.0)),
         shared_geometry=bool(getattr(config, "aug_shared_geometry", False)),
+        fast_warp=bool(getattr(config, "aug_fast_warp", False)),
         out_size=(config.image_size, config.image_size))
 
 
