@@ -10,14 +10,14 @@ import jax
 import jax.numpy as jnp
 
 
-def run(name, batch=128, remat=False, steps=12, **cfg_extra):
+def run(name, batch=128, remat=False, steps=12, size=256, **cfg_extra):
     from ddti_tpu.core import Config
     from ddti_tpu.data import generate_ddti_like
     from ddti_tpu.models import ResUNet
     from ddti_tpu.train import create_train_state, make_train_step
     from ddti_tpu.train.engine import aug_config_from
 
-    S = 256
+    S = size
     cfg = Config(batch_size=batch, image_size=S, store_size=S, lr=1e-5,
                  model_type="ResUNet", use_mixup=False,
                  compute_unused_losses=False, **cfg_extra)
@@ -60,3 +60,7 @@ if __name__ == "__main__":
         run("bs256 + remat       ", 256, remat=True)
     if "fastwarp" in which:
         run("fast-warp bs128     ", 128, aug_fast_warp=True)
+    if "base512" in which:
+        run("base bs16 512^2     ", 16, size=512)
+    if "fastwarp512" in which:
+        run("fast-warp bs16 512^2", 16, size=512, aug_fast_warp=True)

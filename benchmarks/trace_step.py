@@ -13,13 +13,16 @@ from ddti_tpu.models import ResUNet
 from ddti_tpu.train import create_train_state, make_train_step
 from ddti_tpu.train.engine import aug_config_from
 
+import sys
+
 B, S = 128, 256
+FASTWARP = "fastwarp" in sys.argv[1:]
 
 
 def main():
     cfg = Config(batch_size=B, image_size=S, store_size=S, lr=1e-5,
                  model_type="ResUNet", use_mixup=False,
-                 compute_unused_losses=False)
+                 compute_unused_losses=False, aug_fast_warp=FASTWARP)
     model = ResUNet(in_channels=1, out_channels=1, base_filters=64, depth=5,
                     dtype=jnp.bfloat16)
     state = create_train_state(model, jax.random.PRNGKey(0), (1, S, S, 1),
