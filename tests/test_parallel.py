@@ -81,6 +81,25 @@ def test_dp_step_matches_single_device(mesh8):
                                    rtol=2e-4, atol=1e-6)
 
 
+def test_dp_fast_warp_step_matches_single_device(mesh8):
+    """--aug_fast_warp's barrel rolls/selects must shard cleanly over the
+    batch axis: the DP step equals the single-device step bit-for-bit in
+    loss/counts (same key => same per-image shifts either way)."""
+    cfg = Config(batch_size=16, image_size=32, store_size=32, lr=1e-3,
+                 aug_fast_warp=True)
+    state, im, ma = _setup(cfg)
+    state2 = jax.device_put(jax.device_get(state), replicated(mesh8))
+    step = make_train_step(cfg, aug_config_from(cfg))
+    key = jax.random.PRNGKey(5)
+    new1, m1 = step(state, im, ma, key)
+    with mesh8:
+        new2, m2 = step(state2, jax.device_put(im, batch_sharding(mesh8)),
+                        jax.device_put(ma, batch_sharding(mesh8)), key)
+    assert float(m1.loss) == pytest.approx(float(m2.loss), rel=2e-5)
+    assert float(m1.counts.tp) == float(m2.counts.tp)
+    assert float(m1.counts.fp) == float(m2.counts.fp)
+
+
 def test_dp_eval_step_counts_match(mesh8):
     cfg = Config(batch_size=16, image_size=32, store_size=32, lr=1e-3)
     state, im, ma = _setup(cfg)
