@@ -60,6 +60,8 @@ if __name__ == "__main__":
         run("bs256 + remat       ", 256, remat=True)
     if "fastwarp" in which:
         run("fast-warp bs128     ", 128, aug_fast_warp=True)
+    if "elastic" in which:
+        run("elastic bs128       ", 128, use_elastic=True)
     if "base512" in which:
         run("base bs16 512^2     ", 16, size=512)
     if "fastwarp512" in which:

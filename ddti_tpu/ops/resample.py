@@ -86,28 +86,46 @@ def _bilinear_constant(img, ys, xs):
 def remap(img: jnp.ndarray, map_y: jnp.ndarray, map_x: jnp.ndarray, *,
           method: str = "linear") -> jnp.ndarray:
     """cv2.remap: out[y, x] = img[map_y[y, x], map_x[y, x]] with
-    BORDER_REFLECT and bilinear ('linear') or nearest sampling."""
+    BORDER_REFLECT and bilinear ('linear') or nearest sampling.
+
+    Gather formulation (exact, measured on v5e at 128x256^2 per plane):
+    a FLAT i32 index costs ~77 ms/8.4M indices vs ~117 ms for the (y, x)
+    index-pair 2D form (XLA lays the [N,2] index tensor out
+    pathologically — same finding as the warp, benchmarks/PERF_NOTES.md),
+    and the two bilinear taps of one row are fetched by ONE index as a
+    (2,)-slice from a stacked [flat[:-1], flat[1:]] pair array (the
+    fused_flip_rotate trick), so bilinear needs 2 gathers instead of 4.
+    Reflection can locally reverse tap order (negative coordinates) or
+    collapse both taps onto one column (fold points), so each tap is
+    selected from the fetched pair by comparing its reflected index with
+    the pair base; a one-column/row edge pad keeps base+1 in bounds."""
     h, w = img.shape
     if method == "nearest":
         # cv2 nearest rounds half away from zero; coordinates here are >= -h
         xi = _reflect_index(jnp.floor(map_x + 0.5).astype(jnp.int32), w)
         yi = _reflect_index(jnp.floor(map_y + 0.5).astype(jnp.int32), h)
-        return _gather_2d(img, yi, xi)
+        return jnp.take(img.reshape(-1), yi * w + xi, mode="clip")
     x0 = jnp.floor(map_x).astype(jnp.int32)
     y0 = jnp.floor(map_y).astype(jnp.int32)
     fx = (map_x - x0).astype(img.dtype)
     fy = (map_y - y0).astype(img.dtype)
 
-    def tap(yi, xi):
-        return _gather_2d(img, _reflect_index(yi, h), _reflect_index(xi, w))
-
-    v00 = tap(y0, x0)
-    v01 = tap(y0, x0 + 1)
-    v10 = tap(y0 + 1, x0)
-    v11 = tap(y0 + 1, x0 + 1)
-    top = v00 * (1 - fx) + v01 * fx
-    bot = v10 * (1 - fx) + v11 * fx
-    return top * (1 - fy) + bot * fy
+    rx0 = _reflect_index(x0, w)
+    rx1 = _reflect_index(x0 + 1, w)
+    ry0 = _reflect_index(y0, h)
+    ry1 = _reflect_index(y0 + 1, h)
+    bx = jnp.minimum(rx0, rx1)
+    flat = jnp.pad(img, ((0, 1), (0, 1)), mode="edge").reshape(-1)
+    pair = jnp.stack([flat[:-1], flat[1:]])     # (2, (h+1)*(w+1)-1)
+    top = jnp.take(pair, ry0 * (w + 1) + bx, axis=1, mode="clip")
+    bot = jnp.take(pair, ry1 * (w + 1) + bx, axis=1, mode="clip")
+    v00 = jnp.where(rx0 == bx, top[0], top[1])
+    v01 = jnp.where(rx1 == bx, top[0], top[1])
+    v10 = jnp.where(rx0 == bx, bot[0], bot[1])
+    v11 = jnp.where(rx1 == bx, bot[0], bot[1])
+    t = v00 * (1 - fx) + v01 * fx
+    b = v10 * (1 - fx) + v11 * fx
+    return t * (1 - fy) + b * fy
 
 
 def gaussian_kernel_17(sigma: jnp.ndarray) -> jnp.ndarray:

@@ -48,6 +48,28 @@ def test_remap_linear_matches_cv2(img_u8):
     np.testing.assert_allclose(ours, ref, atol=1e-3)
 
 
+def test_remap_linear_extreme_displacements_match_cv2(img_u8):
+    """Stress the pair-gather boundary logic: displacements large enough to
+    reflect several times, hit both fold points (where the two bilinear
+    taps collapse onto one column) and the negative side (where reflection
+    REVERSES tap order in memory)."""
+    h, w = img_u8.shape
+    rng = np.random.default_rng(11)
+    x, y = np.meshgrid(np.arange(w), np.arange(h))
+    # uniform over [-2.5*w, 2.5*w): multiple reflection periods, plus exact
+    # integer and half-integer coordinates to sit on fold points
+    mx = rng.uniform(-2.5 * w, 2.5 * w, (h, w)).astype(np.float32)
+    my = rng.uniform(-2.5 * h, 2.5 * h, (h, w)).astype(np.float32)
+    mx[::7] = np.round(mx[::7])
+    my[:, ::5] = np.round(my[:, ::5]) - 0.5
+    src = img_u8.astype(np.float32)
+    ref = cv2.remap(src, mx, my, cv2.INTER_LINEAR,
+                    borderMode=cv2.BORDER_REFLECT)
+    ours = np.asarray(remap(jnp.asarray(src), jnp.asarray(my),
+                            jnp.asarray(mx)))
+    np.testing.assert_allclose(ours, ref, atol=1e-2)
+
+
 def test_remap_nearest_matches_cv2(img_u8):
     h, w = img_u8.shape
     rng = np.random.default_rng(5)
