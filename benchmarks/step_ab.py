@@ -62,6 +62,9 @@ if __name__ == "__main__":
         run("fast-warp bs128     ", 128, aug_fast_warp=True)
     if "elastic" in which:
         run("elastic bs128       ", 128, use_elastic=True)
+    if "elasticfw" in which:
+        run("elastic+fastwarp    ", 128, use_elastic=True,
+            aug_fast_warp=True)
     if "base512" in which:
         run("base bs16 512^2     ", 16, size=512)
     if "fastwarp512" in which:
