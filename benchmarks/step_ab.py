@@ -18,9 +18,11 @@ def run(name, batch=128, remat=False, steps=12, size=256, **cfg_extra):
     from ddti_tpu.train.engine import aug_config_from
 
     S = size
-    cfg = Config(batch_size=batch, image_size=S, store_size=S, lr=1e-5,
-                 model_type="ResUNet", use_mixup=False,
-                 compute_unused_losses=False, **cfg_extra)
+    base = dict(batch_size=batch, image_size=S, store_size=S, lr=1e-5,
+                model_type="ResUNet", use_mixup=False,
+                compute_unused_losses=False)
+    base.update(cfg_extra)
+    cfg = Config(**base)
     model = ResUNet(in_channels=1, out_channels=1, base_filters=64, depth=5,
                     dtype=jnp.bfloat16, remat=remat)
     state = create_train_state(model, jax.random.PRNGKey(0), (1, S, S, 1),
@@ -65,6 +67,14 @@ if __name__ == "__main__":
     if "elasticfw" in which:
         run("elastic+fastwarp    ", 128, use_elastic=True,
             aug_fast_warp=True)
+    if "speckle" in which:
+        run("speckle bs128       ", 128, use_speckle=True)
+    if "tgc" in which:
+        run("tgc bs128           ", 128, use_tgc=True)
+    if "clahe" in which:
+        run("clahe bs128         ", 128, use_clahe=True)
+    if "mixup" in which:
+        run("mixup bs128         ", 128, use_mixup=True)
     if "base512" in which:
         run("base bs16 512^2     ", 16, size=512)
     if "fastwarp512" in which:

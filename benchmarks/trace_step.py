@@ -18,13 +18,14 @@ import sys
 B, S = 128, 256
 FASTWARP = "fastwarp" in sys.argv[1:]
 ELASTIC = "elastic" in sys.argv[1:]
+CLAHE = "clahe" in sys.argv[1:]
 
 
 def main():
     cfg = Config(batch_size=B, image_size=S, store_size=S, lr=1e-5,
                  model_type="ResUNet", use_mixup=False,
                  compute_unused_losses=False, aug_fast_warp=FASTWARP,
-                 use_elastic=ELASTIC)
+                 use_elastic=ELASTIC, use_clahe=CLAHE)
     model = ResUNet(in_channels=1, out_channels=1, base_filters=64, depth=5,
                     dtype=jnp.bfloat16)
     state = create_train_state(model, jax.random.PRNGKey(0), (1, S, S, 1),

@@ -67,29 +67,62 @@ def clahe_u8(img_u8: jnp.ndarray, clip_limit: float = 2.0,
     luts = jnp.clip(jnp.round(cdf * scale), 0, 255)  # (n_tiles, 256) f32
 
     # --- bilinear interpolation between tile LUTs ---------------------------
-    luts = luts.reshape(gy, gx, hist_size)
-    yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
-    xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
     # cv2's CLAHE_Interpolation_Body: txf = x * inv_tw - 0.5 (corner
-    # coordinates, no half-pixel shift — verified bit-exact vs cv2)
-    tyf = yy / th - 0.5
-    txf = xx / tw - 0.5
-    ty0 = jnp.floor(tyf)
-    tx0 = jnp.floor(txf)
-    fy = (tyf - ty0)[..., ]
-    fx = (txf - tx0)
-    y0 = jnp.clip(ty0, 0, gy - 1).astype(jnp.int32)
-    y1 = jnp.clip(ty0 + 1, 0, gy - 1).astype(jnp.int32)
-    x0 = jnp.clip(tx0, 0, gx - 1).astype(jnp.int32)
-    x1 = jnp.clip(tx0 + 1, 0, gx - 1).astype(jnp.int32)
-    v = img_u8.astype(jnp.int32)
+    # coordinates, no half-pixel shift — verified bit-exact vs cv2), taps
+    # clamped to the border tiles.
+    #
+    # Sweep formulation — NO per-pixel gather. The naive form
+    # luts[ty, tx, v] is four 8.4M-index value-gathers per 128x256^2 batch
+    # (~484 ms on v5e, the whole CLAHE cost — benchmarks/PERF_NOTES.md).
+    # Instead: the four neighbor-tile LUT planes are position-only, so they
+    # expand to full resolution by repeat+slice (pure data movement, border
+    # clamp = one edge-pad row/col), and the value lookup becomes a scan
+    # over intensity chunks accumulating 1[img == v] * blended_lut_v —
+    # compare+FMA streams on the VPU. Identical arithmetic to the tap
+    # formulation: every pixel matches exactly one intensity term, and the
+    # blend weights are the same f32 products in either association.
+    # Work on a half-tile-padded grid (Y = y + th/2): there the neighbor
+    # planes are clean block broadcasts — plane0[Y] = lp[Y//th],
+    # plane1[Y] = lp[Y//th + 1] with lp edge-padded, and the fractional
+    # weight is simply frac(Y/th) — so the whole per-chunk field expansion
+    # is broadcast+reshape+FMA that XLA fuses into the select-sum (the
+    # offset-slice formulation materialized 50 MB repeats per chunk).
+    # The padded border pixels compute garbage and are sliced away at the
+    # end (1.56x pixels at a 4x4 grid on 256^2 — still gather-free).
+    luts = luts.reshape(gy, gx, hist_size)
+    lp = jnp.concatenate([luts[:1], luts, luts[-1:]], axis=0)
+    lp = jnp.concatenate([lp[:, :1], lp, lp[:, -1:]], axis=1)
+    hp, wp = h + th, w + tw
+    fy = ((jnp.arange(hp, dtype=jnp.float32) % th) / th)[:, None, None]
+    fx = ((jnp.arange(wp, dtype=jnp.float32) % tw) / tw)[None, :, None]
+    v_pad = jnp.pad(img_u8, ((th // 2, th // 2), (tw // 2, tw // 2))
+                    ).astype(jnp.int32)
 
-    def lut_at(ty, tx):
-        return luts[ty, tx, v]
+    chunk = 16
+    n_chunks = hist_size // chunk
+    lp_chunks = jnp.moveaxis(
+        lp.reshape(gy + 2, gx + 2, n_chunks, chunk), 2, 0)
 
-    top = lut_at(y0, x0) * (1 - fx) + lut_at(y0, x1) * fx
-    bot = lut_at(y1, x0) * (1 - fx) + lut_at(y1, x1) * fx
-    out = top * (1 - fy) + bot * fy
+    def expand(t):  # (gy+1, gx+1, chunk) tile grid -> (hp, wp, chunk)
+        t = jnp.broadcast_to(t[:, None, :, None, :],
+                             (gy + 1, th, gx + 1, tw, chunk))
+        return t.reshape((gy + 1) * th, (gx + 1) * tw, chunk)[:hp, :wp]
+
+    def body(acc, args):
+        lpc, v0 = args
+        a00 = expand(lpc[:-1, :-1])
+        a01 = expand(lpc[:-1, 1:])
+        a10 = expand(lpc[1:, :-1])
+        a11 = expand(lpc[1:, 1:])
+        lut_field = ((1 - fy) * ((1 - fx) * a00 + fx * a01)
+                     + fy * ((1 - fx) * a10 + fx * a11))
+        sel = v_pad[..., None] == (v0 + jnp.arange(chunk))
+        return acc + jnp.sum(jnp.where(sel, lut_field, 0.0), -1), None
+
+    out, _ = jax.lax.scan(
+        body, jnp.zeros((hp, wp), jnp.float32),
+        (lp_chunks, jnp.arange(n_chunks, dtype=jnp.int32) * chunk))
+    out = out[th // 2: th // 2 + h, tw // 2: tw // 2 + w]
     # cv2 uses fixed-point weights and saturate_cast; round-to-nearest here.
     return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
 
