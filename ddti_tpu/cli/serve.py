@@ -13,7 +13,8 @@ single-request latency stays bounded by ``--max_wait_ms``.
 Endpoints:
   GET  /healthz   liveness + artifact/model info (JSON)
   GET  /stats     request/image/batch counters, throughput, latency (JSON)
-  POST /predict   body = raw image bytes (JPEG/PNG/BMP, any size);
+  POST /predict   body = raw image bytes (JPEG/PNG/BMP, any size; JPEG
+                  decodes via the native libjpeg C path, rest via PIL);
                   response = PNG mask at the ORIGINAL resolution.
                   ``?overlay=1`` returns the red-contour overlay instead.
                   ``?format=raw`` returns raw uint8 bytes (X-Width /
@@ -275,18 +276,38 @@ class _Handler(BaseHTTPRequestHandler):
             self._json(404, {"error": f"unknown path {parsed.path}"})
             return
         t0 = time.perf_counter()
+        query = parse_qs(parsed.query)
+        want_overlay = query.get("overlay", ["0"])[0] not in ("0", "",
+                                                              "false")
         try:
             length = int(self.headers.get("Content-Length", 0))
-            img = Image.open(io.BytesIO(self.rfile.read(length)))
-            img = img.convert("L")
+            data = self.rfile.read(length)
+            arr = orig_size = img = None
+            # overlay responses draw on the ORIGINAL-resolution frame,
+            # which only the PIL path retains
+            if srv.native_decode and not want_overlay \
+                    and data[:2] == b"\xff\xd8":
+                # native libjpeg decode+resize (one C call) — skips PIL on
+                # the per-request hot path; decoded pixels are identical
+                # (both ride libjpeg), resize differs by <=1 gray level
+                # (float vs PIL fixed-point accumulation)
+                from ddti_tpu.runtime.native import decode_jpeg_bytes
+                try:
+                    arr, orig_size = decode_jpeg_bytes(data, srv.size,
+                                                       srv.size)
+                except ValueError:
+                    pass  # fall through to PIL for odd JPEGs
+            if arr is None:
+                img = Image.open(io.BytesIO(data)).convert("L")
+                orig_size = img.size
+                arr = np.asarray(
+                    img.resize((srv.size, srv.size), Image.BILINEAR),
+                    np.uint8)[..., None]
         except Exception as e:
             with srv.stats_lock:
                 srv.n_errors += 1
             self._json(400, {"error": f"could not decode image: {e}"})
             return
-        orig_size = img.size
-        arr = np.asarray(img.resize((srv.size, srv.size), Image.BILINEAR),
-                         np.uint8)[..., None]
         try:
             mask = srv.batcher.submit(arr)
         except QueueFull as e:
@@ -305,9 +326,7 @@ class _Handler(BaseHTTPRequestHandler):
             return
         m = Image.fromarray((mask[..., 0] * 255).astype(np.uint8))
         m = m.resize(orig_size, Image.NEAREST)
-        query = parse_qs(parsed.query)
-        want_overlay = query.get("overlay", ["0"])[0]
-        if want_overlay not in ("0", "", "false"):
+        if want_overlay:
             out_img = Image.fromarray(_overlay_png(img, np.asarray(m)))
         else:
             out_img = m
@@ -352,6 +371,11 @@ class PredictionServer(ThreadingHTTPServer):
         self.size = size
         self.info = info
         self.verbose = verbose
+        try:  # native libjpeg request decode; PIL fallback when unbuilt
+            from ddti_tpu.runtime.native import native_available
+            self.native_decode = native_available()
+        except Exception:
+            self.native_decode = False
         self.stats_lock = threading.Lock()
         self.n_requests = 0
         self.n_errors = 0

@@ -356,9 +356,59 @@ static bool decode_one_jpeg(const char* path, std::vector<float>& pixels,
   return true;
 }
 
+// Decode one in-memory JPEG to grayscale at native size; true on success.
+static bool decode_one_jpeg_mem(const uint8_t* buf, size_t len,
+                                std::vector<float>& pixels, int& h, int& w) {
+  jpeg_decompress_struct cinfo;
+  JpegErrorMgr jerr;
+  std::vector<uint8_t> row;  // constructed before setjmp (see file variant)
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_error_exit;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(buf),
+               static_cast<unsigned long>(len));
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_GRAYSCALE;
+  jpeg_start_decompress(&cinfo);
+  h = cinfo.output_height;
+  w = cinfo.output_width;
+  pixels.resize(static_cast<size_t>(h) * w);
+  row.resize(w);
+  uint8_t* rowp = row.data();
+  while (cinfo.output_scanline < cinfo.output_height) {
+    const int y = cinfo.output_scanline;
+    jpeg_read_scanlines(&cinfo, &rowp, 1);
+    float* out = pixels.data() + static_cast<size_t>(y) * w;
+    for (int x = 0; x < w; ++x) out[x] = row[x];
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return true;
+}
+
 }  // namespace
 
 extern "C" {
+
+// Decode ONE in-memory JPEG to grayscale and resize to (h, w) with
+// PIL-BILINEAR semantics (the serving daemon's per-request hot path —
+// skips PIL entirely). Writes h*w bytes to ``out`` and the source
+// dimensions to ``orig_h``/``orig_w``. Returns 1 on success, 0 on failure.
+long decode_jpeg_mem(const uint8_t* buf, long len, int h, int w,
+                     uint8_t* out, int* orig_h, int* orig_w) {
+  std::vector<float> pixels;
+  int sh = 0, sw = 0;
+  if (!decode_one_jpeg_mem(buf, static_cast<size_t>(len), pixels, sh, sw))
+    return 0;
+  resize_pil_bilinear(pixels, sh, sw, out, h, w);
+  *orig_h = sh;
+  *orig_w = sw;
+  return 1;
+}
 
 // Decode ``n`` NUL-separated JPEG paths to grayscale, resize each to
 // (h, w) with PIL-BILINEAR semantics, and write them contiguously into

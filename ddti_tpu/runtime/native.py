@@ -61,6 +61,11 @@ def _load():
         lib.decode_jpegs.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_void_p, ctypes.c_int]
+        lib.decode_jpeg_mem.restype = ctypes.c_long
+        lib.decode_jpeg_mem.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int)]
         _lib = lib
     return _lib
 
@@ -88,6 +93,27 @@ def decode_jpegs(paths, h: int, w: int,
     if ok != n:
         raise OSError(f"native JPEG decode failed for {n - ok} of {n} files")
     return out
+
+
+def decode_jpeg_bytes(data: bytes, h: int, w: int):
+    """Decode ONE in-memory JPEG to grayscale and resize to (h, w) with
+    PIL-BILINEAR semantics. Returns ``((h, w, 1) uint8 array,
+    (orig_w, orig_h))`` — the original size in PIL's ``Image.size`` order.
+    Raises ValueError on undecodable bytes.
+
+    The serving daemon's per-request hot path: equivalent of
+    ``Image.open(BytesIO(data)).convert("L").resize((w, h), BILINEAR)``
+    without PIL (both ride libjpeg, so decoded pixels are identical)."""
+    lib = _load()
+    out = np.empty((h, w, 1), np.uint8)
+    oh = ctypes.c_int(0)
+    ow = ctypes.c_int(0)
+    ok = lib.decode_jpeg_mem(data, len(data), h, w,
+                             out.ctypes.data_as(ctypes.c_void_p),
+                             ctypes.byref(oh), ctypes.byref(ow))
+    if ok != 1:
+        raise ValueError("native JPEG decode failed")
+    return out, (ow.value, oh.value)
 
 
 def native_available() -> bool:

@@ -173,6 +173,30 @@ def test_decode_jpegs_matches_pil(jpeg_dir, target):
         assert diff.max() <= 1, f"{p}: max diff {diff.max()}"
 
 
+def test_decode_jpeg_bytes_matches_pil(jpeg_dir):
+    """The in-memory single-frame decoder (the serving daemon's hot path)
+    matches PIL within one gray level and reports the original size in
+    PIL's Image.size (w, h) order."""
+    from PIL import Image
+    from ddti_tpu.runtime.native import decode_jpeg_bytes
+
+    for p in jpeg_dir:
+        data = open(p, "rb").read()
+        got, orig = decode_jpeg_bytes(data, 128, 128)
+        pil = Image.open(p).convert("L")
+        assert orig == pil.size
+        ref = np.asarray(pil.resize((128, 128), Image.BILINEAR)).astype(int)
+        assert got.shape == (128, 128, 1)
+        assert np.abs(got[..., 0].astype(int) - ref).max() <= 1
+
+
+def test_decode_jpeg_bytes_bad_data_raises():
+    from ddti_tpu.runtime.native import decode_jpeg_bytes
+
+    with pytest.raises(ValueError):
+        decode_jpeg_bytes(b"definitely not a jpeg", 64, 64)
+
+
 def test_decode_jpegs_missing_file_raises(jpeg_dir, tmp_path):
     from ddti_tpu.runtime import decode_jpegs
 
