@@ -38,8 +38,11 @@ def main(argv=None) -> int:
     ap.add_argument("--base_filters", type=int, default=64)
     ap.add_argument("--depth", type=int, default=5)
     ap.add_argument("--image_size", type=int, default=256)
-    ap.add_argument("--batch_size", type=int, default=128,
-                    help="the exported program's (fixed) serving batch")
+    ap.add_argument("--batch_size", default="128",
+                    help="the exported program's (fixed) serving batch; a "
+                         "comma list (e.g. 4,32) exports one bundle per "
+                         "batch — serve them together via cli/serve "
+                         "--checkpoint b4,b32 (multi-program serving)")
     ap.add_argument("--calib_dir", default=None,
                     help="directory of calibration images (up to "
                          "--calib_count used); synthetic frames if omitted")
@@ -130,6 +133,8 @@ def main(argv=None) -> int:
     in_dtype = jnp.uint8 if args.input_dtype == "uint8" else jnp.float32
     prog = args.output + "_serving_program.stablehlo"
     os.makedirs(os.path.dirname(os.path.abspath(prog)), exist_ok=True)
+    batches = sorted({int(b) for b in str(args.batch_size).split(",")})
+    args.batch_size = batches[-1]  # auto-selection times the largest
 
     if args.min_channels == "auto":
         # export both documented crossover candidates (PERF_NOTES.md:
@@ -169,20 +174,34 @@ def main(argv=None) -> int:
         for loser in (0, 128):
             for ext in (".stablehlo", ".npz"):
                 os.remove(args.output + f"_mc{loser}_serving_program{ext}")
+        exported = {batches[-1]: (blob, svars)}
     else:
-        blob, svars = export_serving_int8(
-            model, params, stats, batch=args.batch_size, size=size,
-            calib_images=jnp.asarray(calib), input_dtype=in_dtype,
-            threshold=args.threshold,
-            min_channels=int(args.min_channels), tta=args.tta)
+        mc = int(args.min_channels)
+        exported = {}
 
-    with open(prog, "wb") as f:
-        f.write(blob)
-    save_variables_npz(args.output + "_serving_program.npz", svars)
-    n_q = sum(1 for a in jax.tree_util.tree_leaves(svars.get("quant", {}))
-              if a.dtype == jnp.int8)
-    print(f"wrote {prog} (+ .npz, {n_q} int8 conv kernels, "
-          f"batch={args.batch_size} size={size} input={args.input_dtype})")
+    written = []
+    for bn in batches:
+        if bn in exported:
+            blob, svars = exported[bn]
+        else:
+            blob, svars = export_serving_int8(
+                model, params, stats, batch=bn, size=size,
+                calib_images=jnp.asarray(calib), input_dtype=in_dtype,
+                threshold=args.threshold, min_channels=mc, tta=args.tta)
+        out = (prog if len(batches) == 1
+               else args.output + f"_b{bn}_serving_program.stablehlo")
+        with open(out, "wb") as f:
+            f.write(blob)
+        save_variables_npz(out.replace(".stablehlo", ".npz"), svars)
+        n_q = sum(1 for a in
+                  jax.tree_util.tree_leaves(svars.get("quant", {}))
+                  if a.dtype == jnp.int8)
+        print(f"wrote {out} (+ .npz, {n_q} int8 conv kernels, "
+              f"batch={bn} size={size} input={args.input_dtype})")
+        written.append(out)
+    if len(written) > 1:
+        print("serve the set: python -m ddti_tpu.cli.serve --checkpoint "
+              + ",".join(written))
     return 0
 
 

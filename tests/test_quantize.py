@@ -375,3 +375,29 @@ def test_quantize_cli_min_channels_auto(tmp_path):
     assert (batch, size) == (2, 32)
     masks = np.asarray(fn(jnp.zeros((2, 32, 32, 1), jnp.float32)))
     assert masks.shape == (2, 32, 32, 1) and masks.dtype == np.uint8
+
+
+def test_quantize_cli_batch_set_exports_multi_bundles(tmp_path):
+    """--batch_size 1,4 exports one bundle per batch (the multi-program
+    serving set) and each loads at its own shape."""
+    from ddti_tpu.cli.quantize import main
+    from ddti_tpu.models import create_model
+    from ddti_tpu.train.checkpoint import save_params_npz
+
+    model = create_model("UNet", base_filters=8, depth=3)
+    v = model.init({"params": jax.random.PRNGKey(0)},
+                   jnp.zeros((1, 32, 32, 1)), train=False)
+    ck = os.path.join(tmp_path, "w.npz")
+    save_params_npz(ck, v["params"], v["batch_stats"])
+    out = os.path.join(tmp_path, "q")
+    rc = main(["--checkpoint", ck, "--output", out, "--model_type", "UNet",
+               "--base_filters", "8", "--depth", "3", "--image_size", "32",
+               "--batch_size", "4,1", "--calib_count", "4", "--cpu",
+               "--compilation_cache", "off"])
+    assert rc == 0
+    for bn in (1, 4):
+        fn, batch, size, _ = load_serving_bundle(
+            out + f"_b{bn}_serving_program.stablehlo")
+        assert (batch, size) == (bn, 32)
+        masks = np.asarray(fn(jnp.zeros((bn, 32, 32, 1), jnp.float32)))
+        assert masks.shape == (bn, 32, 32, 1)
