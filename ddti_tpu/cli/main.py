@@ -131,6 +131,10 @@ def get_parser() -> argparse.ArgumentParser:
                    help="int8 serving: quantize only convs with "
                         "max(cin,cout) >= this (mixed precision; 128 "
                         "recommended at 512^2 — PERF_NOTES.md)")
+    p.add_argument("--serving_batches", default=None, type=str,
+                   help="comma list of batch shapes for --export_serving "
+                        "(e.g. 1,8,128): one bundle per shape, servable "
+                        "together by cli/serve as a multi-program set")
     p.add_argument("--export_serving", action="store_true",
                    help="after training, write a StableHLO serving artifact "
                         "(weights baked in, loadable without model code)")

@@ -82,6 +82,9 @@ class Config:
     # --fused_epoch's one-program epochs.
     max_keep_checkpoints: int = 3  # rotation depth of periodic checkpoints
     export_serving: bool = False   # write a StableHLO serving artifact
+    # comma list of batch shapes for the export (e.g. "1,8,128"): one
+    # bundle per shape — the multi-program serving set; None = batch_size
+    serving_batches: str | None = None
     serving_dtype: str = "f32"     # exported bundle precision (f32|bf16|int8)
     quant_min_channels: int = 0    # int8: only quantize convs with
                                    # max(cin,cout) >= this (128 for 512^2)

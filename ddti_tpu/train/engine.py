@@ -424,6 +424,9 @@ class Trainer:
 
         ppath = os.path.join(
             cfg.model_dir, f"{cfg.model_type}_serving_program.stablehlo")
+        batches = [int(b) for b in str(
+            getattr(cfg, "serving_batches", "") or cfg.batch_size
+        ).split(",")]
         variables_q = None
         try:
             # weights-as-arguments program (flagship-scale deployment:
@@ -434,7 +437,7 @@ class Trainer:
                 # int8 MXU serving (train/quantize.py): BN-folded,
                 # per-channel int8 weights, activation scales from one
                 # calibration batch of validation images. Quantize +
-                # calibrate ONCE; both the plain and (below) the
+                # calibrate ONCE; every batch shape and (below) the
                 # sharded artifact export from the same variables.
                 from .quantize import (export_quantized_program,
                                        quantize_serving)
@@ -442,21 +445,32 @@ class Trainer:
                     self.model, eval_params, eval_stats,
                     self._calibration_batch(),
                     min_channels=getattr(cfg, "quant_min_channels", 0))
-                variables = variables_q
-                blob = export_quantized_program(
-                    self.model, variables_q, batch=cfg.batch_size,
-                    size=cfg.image_size, threshold=thr,
-                    input_dtype=jax.numpy.float32, tta=tta)
-            else:
-                blob, variables = export_serving_program(
-                    self.model, eval_params, eval_stats,
-                    batch=cfg.batch_size, size=cfg.image_size,
-                    threshold=thr, weights_dtype=wd, tta=tta)
-            with open(ppath, "wb") as f:
-                f.write(blob)
-            save_variables_npz(ppath[: -len(".stablehlo")] + ".npz",
-                               variables)
-            self.logger.info(f"--Serving artifacts exported to {ppath}")
+            written = []
+            for bn in batches:
+                # --serving_batches 1,8,128 writes one program per batch
+                # shape (suffix _b<N> when several) — the multi-program
+                # serving set cli/serve.py consumes as a comma list
+                out = (ppath if len(batches) == 1 else os.path.join(
+                    cfg.model_dir,
+                    f"{cfg.model_type}_b{bn}_serving_program.stablehlo"))
+                if sd == "int8":
+                    variables = variables_q
+                    blob = export_quantized_program(
+                        self.model, variables_q, batch=bn,
+                        size=cfg.image_size, threshold=thr,
+                        input_dtype=jax.numpy.float32, tta=tta)
+                else:
+                    blob, variables = export_serving_program(
+                        self.model, eval_params, eval_stats,
+                        batch=bn, size=cfg.image_size,
+                        threshold=thr, weights_dtype=wd, tta=tta)
+                with open(out, "wb") as f:
+                    f.write(blob)
+                save_variables_npz(out[: -len(".stablehlo")] + ".npz",
+                                   variables)
+                written.append(out)
+            self.logger.info(
+                "--Serving artifacts exported to " + ",".join(written))
         except Exception as e:
             self.logger.warning(f"serving program export failed: {e}")
 
