@@ -51,56 +51,61 @@ from ddti_tpu.train.checkpoint import save_variables_npz  # noqa: E402
 import os  # noqa: E402
 
 prog = f"/tmp/daemon_bench_{args.dtype}.stablehlo"
-t0 = time.time()
-if args.reuse and os.path.exists(prog) and \
-        os.path.exists(prog.replace(".stablehlo", ".npz")):
-    print(f"reusing exported bundle {prog}")
-else:
-    model = ResUNet(in_channels=1, out_channels=1, base_filters=64, depth=5,
-                    dtype=jnp.bfloat16)
-    v = model.init({"params": jax.random.PRNGKey(0)},
-                   jnp.zeros((1, args.size, args.size, 1)), train=False)
-    calib, _ = generate_ddti_like(8, (args.size, args.size), 0)
+_model_state = {}
+
+
+def _export_bundle(path: str, batch: int) -> None:
+    """Export one bundle at ``batch`` to ``path`` (+ sibling .npz),
+    initializing the model/calibration lazily ONCE (so any mix of reused
+    and fresh bundles works)."""
+    if not _model_state:
+        m = ResUNet(in_channels=1, out_channels=1, base_filters=64,
+                    depth=5, dtype=jnp.bfloat16)
+        _model_state["model"] = m
+        _model_state["v"] = m.init(
+            {"params": jax.random.PRNGKey(0)},
+            jnp.zeros((1, args.size, args.size, 1)), train=False)
+        _model_state["calib"], _ = generate_ddti_like(
+            8, (args.size, args.size), 0)
+    model, v = _model_state["model"], _model_state["v"]
+    t0 = time.time()
     if args.dtype == "int8":
         from ddti_tpu.train.quantize import export_serving_int8
         blob, variables = export_serving_int8(
-            model, v["params"], v["batch_stats"], batch=args.batch,
+            model, v["params"], v["batch_stats"], batch=batch,
             size=args.size,
-            calib_images=jnp.asarray(calib, jnp.float32) / 255.0,
+            calib_images=jnp.asarray(_model_state["calib"],
+                                     jnp.float32) / 255.0,
             input_dtype=jnp.uint8)
     else:
         from ddti_tpu.train.export import export_serving_program
         blob, variables = export_serving_program(
-            model, v["params"], v["batch_stats"], batch=args.batch,
+            model, v["params"], v["batch_stats"], batch=batch,
             size=args.size, fold_bn=True, input_dtype=jnp.uint8)
-    with open(prog, "wb") as f:
+    with open(path, "wb") as f:
         f.write(blob)
-    save_variables_npz(prog.replace(".stablehlo", ".npz"), variables)
-    print(f"exported {args.dtype} bundle batch={args.batch} "
+    save_variables_npz(path.replace(".stablehlo", ".npz"), variables)
+    print(f"exported {args.dtype} bundle batch={batch} "
           f"in {time.time() - t0:.1f}s")
+
+
+def _have(path: str) -> bool:
+    return (os.path.exists(path)
+            and os.path.exists(path.replace(".stablehlo", ".npz")))
+
+
+if args.reuse and _have(prog):
+    print(f"reusing exported bundle {prog}")
+else:
+    _export_bundle(prog, args.batch)
 
 checkpoint = prog
 if args.small:
     small_prog = prog.replace(".stablehlo", f"_b{args.small}.stablehlo")
-    if not (args.reuse and os.path.exists(small_prog)):
-        t0 = time.time()
-        if args.dtype == "int8":
-            from ddti_tpu.train.quantize import export_serving_int8
-            blob_s, var_s = export_serving_int8(
-                model, v["params"], v["batch_stats"], batch=args.small,
-                size=args.size,
-                calib_images=jnp.asarray(calib, jnp.float32) / 255.0,
-                input_dtype=jnp.uint8)
-        else:
-            from ddti_tpu.train.export import export_serving_program
-            blob_s, var_s = export_serving_program(
-                model, v["params"], v["batch_stats"], batch=args.small,
-                size=args.size, fold_bn=True, input_dtype=jnp.uint8)
-        with open(small_prog, "wb") as f:
-            f.write(blob_s)
-        save_variables_npz(small_prog.replace(".stablehlo", ".npz"), var_s)
-        print(f"exported companion batch={args.small} "
-              f"in {time.time() - t0:.1f}s")
+    if args.reuse and _have(small_prog):
+        print(f"reusing companion bundle {small_prog}")
+    else:
+        _export_bundle(small_prog, args.small)
     checkpoint = f"{small_prog},{prog}"
 
 srv_args = get_parser().parse_args(

@@ -180,14 +180,25 @@ def main(argv=None) -> int:
         exported = {}
 
     written = []
+    svars_shared = None
     for bn in batches:
         if bn in exported:
             blob, svars = exported[bn]
         else:
-            blob, svars = export_serving_int8(
-                model, params, stats, batch=bn, size=size,
-                calib_images=jnp.asarray(calib), input_dtype=in_dtype,
-                threshold=args.threshold, min_channels=mc, tta=args.tta)
+            if svars_shared is None:
+                # quantize + calibrate ONCE; every batch shape exports
+                # from the same variables (each program compile already
+                # costs 30-60 s — no reason to redo the device work)
+                from ddti_tpu.train.quantize import quantize_serving
+                svars_shared = quantize_serving(
+                    model, params, stats, jnp.asarray(calib),
+                    min_channels=mc)
+            from ddti_tpu.train.quantize import export_quantized_program
+            svars = svars_shared
+            blob = export_quantized_program(
+                model, svars_shared, batch=bn, size=size,
+                threshold=args.threshold, input_dtype=in_dtype,
+                tta=args.tta)
         out = (prog if len(batches) == 1
                else args.output + f"_b{bn}_serving_program.stablehlo")
         with open(out, "wb") as f:

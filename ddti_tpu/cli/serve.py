@@ -170,6 +170,10 @@ def load_predictor(args):
     if all(p.endswith(".stablehlo") for p in paths):
         from ddti_tpu.train.export import load_serving_bundle
 
+        if len(paths) > 1 and args.weights:
+            raise ValueError(
+                "--weights applies to a single bundle; with a bundle LIST "
+                "each program loads its sibling .npz")
         loaded = []
         for p in paths:
             fn, batch_n, size, in_dtype = load_serving_bundle(

@@ -89,7 +89,32 @@ def clahe_u8(img_u8: jnp.ndarray, clip_limit: float = 2.0,
     # offset-slice formulation materialized 50 MB repeats per chunk).
     # The padded border pixels compute garbage and are sliced away at the
     # end (1.56x pixels at a 4x4 grid on 256^2 — still gather-free).
+    # The half-tile shift is integral only for EVEN tile sides; odd tiles
+    # take the direct tap-gather formulation below (correct at any size,
+    # just gather-bound — fine off the hot path).
     luts = luts.reshape(gy, gx, hist_size)
+    if th % 2 or tw % 2:
+        yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+        xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+        tyf = yy / th - 0.5
+        txf = xx / tw - 0.5
+        ty0 = jnp.floor(tyf)
+        tx0 = jnp.floor(txf)
+        fy = tyf - ty0
+        fx = txf - tx0
+        y0 = jnp.clip(ty0, 0, gy - 1).astype(jnp.int32)
+        y1 = jnp.clip(ty0 + 1, 0, gy - 1).astype(jnp.int32)
+        x0 = jnp.clip(tx0, 0, gx - 1).astype(jnp.int32)
+        x1 = jnp.clip(tx0 + 1, 0, gx - 1).astype(jnp.int32)
+        v = img_u8.astype(jnp.int32)
+
+        def lut_at(ty, tx):
+            return luts[ty, tx, v]
+
+        top = lut_at(y0, x0) * (1 - fx) + lut_at(y0, x1) * fx
+        bot = lut_at(y1, x0) * (1 - fx) + lut_at(y1, x1) * fx
+        out = top * (1 - fy) + bot * fy
+        return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
     lp = jnp.concatenate([luts[:1], luts, luts[-1:]], axis=0)
     lp = jnp.concatenate([lp[:, :1], lp, lp[:, -1:]], axis=1)
     hp, wp = h + th, w + tw

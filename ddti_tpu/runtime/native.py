@@ -22,19 +22,30 @@ _build_lock = threading.Lock()
 _lib = None
 
 
+def _stale() -> bool:
+    """The .so must be rebuilt when missing OR older than its source —
+    a prebuilt library from before a C-ABI addition (e.g. decode_jpeg_mem)
+    would otherwise make ctypes binding fail at _load()."""
+    if not os.path.isfile(_LIB_PATH):
+        return True
+    src = os.path.join(_HERE, "host_loader.cpp")
+    return os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+
+
 def build_library(force: bool = False) -> str:
-    """Compile libhostloader.so with make/g++ if not present. Guarded by a
-    thread lock AND a cross-process file lock: concurrent processes
-    (multi-host launches, parallel test workers) must not run `make` on
-    the same .so at once — one would dlopen a half-written library."""
+    """Compile libhostloader.so with make/g++ if missing or older than its
+    source. Guarded by a thread lock AND a cross-process file lock:
+    concurrent processes (multi-host launches, parallel test workers) must
+    not run `make` on the same .so at once — one would dlopen a
+    half-written library."""
     with _build_lock:
-        if not force and os.path.isfile(_LIB_PATH):
+        if not force and not _stale():
             return _LIB_PATH
         import fcntl
         with open(os.path.join(_HERE, ".build.lock"), "w") as lockf:
             fcntl.flock(lockf, fcntl.LOCK_EX)
             try:
-                if force or not os.path.isfile(_LIB_PATH):
+                if force or _stale():
                     subprocess.run(["make", "-C", _HERE, "-s"]
                                    + (["-B"] if force else []),
                                    check=True, capture_output=True)

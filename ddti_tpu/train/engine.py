@@ -445,14 +445,22 @@ class Trainer:
                     self.model, eval_params, eval_stats,
                     self._calibration_batch(),
                     min_channels=getattr(cfg, "quant_min_channels", 0))
-            written = []
-            for bn in batches:
-                # --serving_batches 1,8,128 writes one program per batch
-                # shape (suffix _b<N> when several) — the multi-program
-                # serving set cli/serve.py consumes as a comma list
-                out = (ppath if len(batches) == 1 else os.path.join(
-                    cfg.model_dir,
-                    f"{cfg.model_type}_b{bn}_serving_program.stablehlo"))
+        except Exception as e:
+            self.logger.warning(f"serving quantization failed: {e}")
+
+        written = []
+        for bn in (batches if sd != "int8" or variables_q is not None
+                   else []):
+            # --serving_batches 1,8,128 writes one program per batch
+            # shape (suffix _b<N> when several) — the multi-program
+            # serving set cli/serve.py consumes as a comma list. Each
+            # shape is guarded independently: one unexportable batch
+            # (e.g. over the remote-compile limit) must not drop the
+            # valid ones.
+            out = (ppath if len(batches) == 1 else os.path.join(
+                cfg.model_dir,
+                f"{cfg.model_type}_b{bn}_serving_program.stablehlo"))
+            try:
                 if sd == "int8":
                     variables = variables_q
                     blob = export_quantized_program(
@@ -469,10 +477,12 @@ class Trainer:
                 save_variables_npz(out[: -len(".stablehlo")] + ".npz",
                                    variables)
                 written.append(out)
+            except Exception as e:
+                self.logger.warning(
+                    f"serving export failed at batch {bn}: {e}")
+        if written:
             self.logger.info(
                 "--Serving artifacts exported to " + ",".join(written))
-        except Exception as e:
-            self.logger.warning(f"serving program export failed: {e}")
 
         if self.mesh is not None and self.mesh.shape.get("data", 1) > 1:
             # the run trained on a mesh: also export a scale-out serving

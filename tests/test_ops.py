@@ -100,12 +100,19 @@ def test_gaussian_blur_matches_cv2(sigma):
     # residual-redistribution divergences inside +-1 rounding
     ((64, 64), (8, 8), 2.0), ((64, 64), (8, 8), 40.0),
     ((128, 128), (4, 4), 4.0),
+    # ODD tile sides (25x25, 15x21): the half-tile-padded sweep is only
+    # valid for even tiles, so these exercise the tap-gather fallback;
+    # 1/odd blend weights are not dyadic, so f32 blending can land one
+    # gray level off cv2's fixed-point arithmetic at rounding ties
+    ((100, 100), (4, 4), 2.0), ((45, 63), (3, 3), 2.0),
 ])
 def test_clahe_matches_cv2_exactly(shape, grid, clip):
     img = np.random.default_rng(7).integers(0, 256, shape, np.uint8)
     ref = cv2.createCLAHE(clipLimit=clip, tileGridSize=grid[::-1]).apply(img)
     ours = np.asarray(clahe_u8(jnp.asarray(img), clip, grid))
-    assert np.abs(ours.astype(int) - ref.astype(int)).max() == 0
+    th, tw = shape[0] // grid[0], shape[1] // grid[1]
+    tol = 0 if th % 2 == 0 and tw % 2 == 0 else 1
+    assert np.abs(ours.astype(int) - ref.astype(int)).max() <= tol
 
 
 def test_resize_bilinear_identity():

@@ -274,18 +274,22 @@ def test_batcher_small_program_routing():
     out = b.submit(a)
     np.testing.assert_array_equal(out, a)
     assert calls == [(1, 1)]
-    # three concurrent -> the 4-wide program (padded to 4)
+    # three concurrent -> coalesced flushes; every flush runs a declared
+    # program and pads its input to exactly that program's shape
     calls.clear()
-    threads = [threading.Thread(target=lambda: b.submit(a), daemon=True)
-               for _ in range(3)]
-    deadline = time.time() + 10
+    done = []
+    threads = [threading.Thread(target=lambda: done.append(b.submit(a)),
+                                daemon=True) for _ in range(3)]
     for th in threads:
         th.start()
     for th in threads:
         th.join(timeout=30)
-    assert sum(n for _, n in calls) <= 8  # 1x4 ideally; races allowed
-    assert all(prog in (1, 4, 8) and prog >= used or True
-               for prog, used in calls)
+    assert not any(th.is_alive() for th in threads)
+    assert len(done) == 3          # every submit got its mask back
+    assert 1 <= len(calls) <= 3    # coalescing may merge them
+    for prog, padded in calls:
+        assert prog in (1, 4, 8)
+        assert padded == prog      # input padded to the program shape
     b.close()
 
 
