@@ -100,6 +100,27 @@ def test_dp_fast_warp_step_matches_single_device(mesh8):
     assert float(m1.counts.fp) == float(m2.counts.fp)
 
 
+def test_spatial_fast_warp_step_matches_single_device(eight_devices):
+    """--aug_fast_warp under a spatial (H-sharded) mesh: the barrel rolls
+    cross shard boundaries, so GSPMD must insert the halo exchanges; the
+    result must still equal the single-device step."""
+    mesh = make_mesh({"data": 4, "model": 2}, eight_devices)
+    cfg = Config(batch_size=8, image_size=32, store_size=32, lr=1e-3,
+                 aug_fast_warp=True)
+    state, im, ma = _setup(cfg)
+    im, ma = im[:8], ma[:8]
+    state2 = jax.device_put(jax.device_get(state), replicated(mesh))
+    step = make_train_step(cfg, aug_config_from(cfg))
+    key = jax.random.PRNGKey(9)
+    new1, m1 = step(state, im, ma, key)
+    sh = batch_sharding(mesh, spatial=True)
+    with mesh:
+        new2, m2 = step(state2, jax.device_put(im, sh),
+                        jax.device_put(ma, sh), key)
+    assert float(m1.loss) == pytest.approx(float(m2.loss), rel=2e-5)
+    assert float(m1.counts.tp) == float(m2.counts.tp)
+
+
 def test_dp_eval_step_counts_match(mesh8):
     cfg = Config(batch_size=16, image_size=32, store_size=32, lr=1e-3)
     state, im, ma = _setup(cfg)
