@@ -13,6 +13,9 @@ single-request latency stays bounded by ``--max_wait_ms``.
 Endpoints:
   GET  /healthz   liveness + artifact/model info (JSON)
   GET  /stats     request/image/batch counters, throughput, latency (JSON)
+  POST /reload    hot-swap the serving programs from the same (updated)
+                  or a new ``{"checkpoint": path}`` — the train->serve
+                  loop without a restart (same image size only)
   POST /predict   body = raw image bytes (JPEG/PNG/BMP, any size; JPEG
                   decodes via the native libjpeg C path, rest via PIL);
                   response = PNG mask at the ORIGINAL resolution.
@@ -96,6 +99,20 @@ class Batcher:
         if "error" in slot:
             raise slot["error"]
         return slot["mask"]
+
+    def swap_programs(self, predict, batch_n: int,
+                      small_programs=None) -> None:
+        """Atomically replace the serving programs (hot reload). A flush
+        already in flight keeps the (bn, fn) references it selected; new
+        flushes see the new set."""
+        programs = sorted(
+            [(int(bn), fn) for bn, fn in (small_programs or [])
+             if int(bn) < int(batch_n)]) + [(int(batch_n), predict)]
+        with self.lock:
+            self.batch_n = int(batch_n)
+            self.programs = programs
+            for bn, _ in programs:
+                self.batches_by_program.setdefault(bn, 0)
 
     def close(self):
         self._stop = True
@@ -293,9 +310,56 @@ class _Handler(BaseHTTPRequestHandler):
                     "batches_by_program": {
                         str(k): v for k, v in
                         srv.batcher.batches_by_program.items()},
+                    "reloads": srv.n_reloads,
                 })
         else:
             self._json(404, {"error": f"unknown path {path}"})
+
+    def _reload(self):
+        """POST /reload [{"checkpoint": path}]: load a (possibly new)
+        artifact, warm it, and atomically swap the batcher's programs —
+        the train->serve loop without a daemon restart. The serving image
+        size is fixed for the daemon's lifetime (queued frames are already
+        resized), so a size change is rejected with 409."""
+        import numpy as np
+
+        srv = self.server
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length) if length else b""
+            req = json.loads(body) if body else {}
+            if not isinstance(req, dict):
+                raise ValueError("body must be a JSON object")
+        except Exception as e:
+            self._json(400, {"error": f"bad reload request: {e}"})
+            return
+        import copy
+        new_args = copy.copy(srv.args)
+        new_args.checkpoint = req.get("checkpoint") or srv.args.checkpoint
+        with srv.reload_lock:  # one reload (compile) at a time
+            try:
+                predict, batch_n, size, info, small = \
+                    load_predictor(new_args)
+                if size != srv.size:
+                    self._json(409, {
+                        "error": f"artifact image size {size} != serving "
+                                 f"size {srv.size}; restart the daemon "
+                                 f"to change sizes"})
+                    return
+                if not new_args.no_warmup:
+                    predict(np.zeros((batch_n, size, size, 1), np.uint8))
+                    for bn, fn in small:
+                        fn(np.zeros((bn, size, size, 1), np.uint8))
+                srv.batcher.swap_programs(predict, batch_n, small)
+                srv.args = new_args
+                srv.info = info
+                with srv.stats_lock:
+                    srv.n_reloads += 1
+                self._json(200, {"status": "reloaded",
+                                 "checkpoint": new_args.checkpoint,
+                                 "batch": batch_n, **info})
+            except Exception as e:
+                self._json(500, {"error": f"reload failed: {e}"})
 
     def do_POST(self):
         import numpy as np
@@ -303,6 +367,9 @@ class _Handler(BaseHTTPRequestHandler):
 
         srv = self.server
         parsed = urlparse(self.path)
+        if parsed.path == "/reload":
+            self._reload()
+            return
         if parsed.path != "/predict":
             self._json(404, {"error": f"unknown path {parsed.path}"})
             return
@@ -397,11 +464,14 @@ class PredictionServer(ThreadingHTTPServer):
     daemon_threads = True
 
     def __init__(self, addr, batcher: Batcher, size: int, info: dict,
-                 verbose: bool = False):
+                 verbose: bool = False, args=None):
         self.batcher = batcher
         self.size = size
         self.info = info
         self.verbose = verbose
+        self.args = args  # retained for POST /reload
+        self.reload_lock = threading.Lock()
+        self.n_reloads = 0
         try:  # native libjpeg request decode; PIL fallback when unbuilt
             from ddti_tpu.runtime.native import native_available
             self.native_decode = native_available()
@@ -434,7 +504,7 @@ def create_server(args) -> PredictionServer:
     batcher = Batcher(predict, batch_n, max_wait_ms=args.max_wait_ms,
                       max_queue=args.max_queue, small_programs=small)
     return PredictionServer((args.host, args.port), batcher, size, info,
-                            verbose=args.verbose)
+                            verbose=args.verbose, args=args)
 
 
 def get_parser() -> argparse.ArgumentParser:

@@ -335,3 +335,71 @@ def test_batcher_backpressure():
     assert np.array_equal(out, a)
     assert b.n_rejected == 1
     b.close()
+
+
+def test_reload_hot_swaps_checkpoint(tmp_path):
+    """POST /reload swaps to a new artifact without restart: predictions
+    switch to the new weights, /healthz reflects the new artifact, and a
+    size-mismatched artifact is rejected with 409."""
+    import os as _os
+
+    p1 = str(tmp_path / "v1.stablehlo")
+    _os.rename(_make_bundle(tmp_path, batch=2, size=32), p1)
+    args = get_parser().parse_args(
+        ["--checkpoint", p1, "--port", "0", "--compilation_cache", "off"])
+    server = create_server(args)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        resp, m1 = _request(server, "POST", "/predict?format=raw",
+                            _jpeg_bytes())
+        assert resp.status == 200
+
+        # a second bundle with DIFFERENT weights (seed via differently
+        # initialized model): build manually
+        import jax
+        import jax.numpy as jnp
+        from ddti_tpu.models import create_model
+        from ddti_tpu.train.export import export_serving
+        model = create_model("UNet", base_filters=8, depth=3)
+        v = model.init({"params": jax.random.PRNGKey(123)},
+                       jnp.zeros((1, 32, 32, 1)), train=False)
+        p2 = str(tmp_path / "v2.stablehlo")
+        with open(p2, "wb") as f:
+            f.write(export_serving(model, v["params"], v["batch_stats"],
+                                   batch=2, size=32,
+                                   input_dtype=jnp.uint8))
+        resp, data = _request(server, "POST", "/reload",
+                              json.dumps({"checkpoint": p2}).encode())
+        assert resp.status == 200, data
+        out = json.loads(data)
+        assert out["status"] == "reloaded"
+        assert out["artifact"] == "v2.stablehlo"
+
+        resp, data = _request(server, "GET", "/healthz")
+        assert json.loads(data)["artifact"] == "v2.stablehlo"
+        resp, data = _request(server, "GET", "/stats")
+        assert json.loads(data)["reloads"] == 1
+
+        # the daemon still predicts (new weights may give a different mask)
+        resp, m2 = _request(server, "POST", "/predict?format=raw",
+                            _jpeg_bytes())
+        assert resp.status == 200 and len(m2) == len(m1)
+
+        # size change rejected
+        p3 = str(tmp_path / "v3.stablehlo")
+        with open(p3, "wb") as f:
+            f.write(export_serving(model, v["params"], v["batch_stats"],
+                                   batch=2, size=16,
+                                   input_dtype=jnp.uint8))
+        resp, data = _request(server, "POST", "/reload",
+                              json.dumps({"checkpoint": p3}).encode())
+        assert resp.status == 409
+
+        # malformed body rejected
+        resp, data = _request(server, "POST", "/reload", b"[1,2]")
+        assert resp.status == 400
+    finally:
+        server.shutdown()
+        server.close()
+        t.join(timeout=10)
