@@ -37,7 +37,7 @@ from ddti_tpu.ops.resample import (
     fused_flip_rotate,
     gaussian_blur_17,
     paeth_flip_rotate,
-    remap,
+    remap_pair,
     resize_bilinear_hw,
 )
 
@@ -121,8 +121,7 @@ def _elastic_one(key, img, mask, cfg: AugmentConfig):
     dy = gaussian_blur_17(_u(k_dy, -1.0, 1.0, (h, w)), sigma) * alpha
     yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
     xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
-    img_d = remap(img, yy + dy, xx + dx, method="linear")
-    mask_d = remap(mask, yy + dy, xx + dx, method="nearest")
+    img_d, mask_d = remap_pair(img, mask, yy + dy, xx + dx)
     on = _gate(k_gate, cfg.p_elastic)
     return (jnp.where(on, img_d, img), jnp.where(on, mask_d, mask))
 

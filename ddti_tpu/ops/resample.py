@@ -128,6 +128,57 @@ def remap(img: jnp.ndarray, map_y: jnp.ndarray, map_x: jnp.ndarray, *,
     return t * (1 - fy) + b * fy
 
 
+def remap_pair(img: jnp.ndarray, mask: jnp.ndarray, map_y: jnp.ndarray,
+               map_x: jnp.ndarray) -> tuple:
+    """cv2.remap of a paired (image bilinear, mask nearest) through ONE
+    gather — the elastic-deform hot path.
+
+    All five samples live in the same reflected 2x2 cell: the bilinear
+    taps are (ry0|ry1, rx0|rx1) and the mask's nearest index
+    floor(map+0.5) is always one of the same corners. So stack the four
+    corner-shifted flattenings of BOTH planes (8 rows) and fetch one
+    (8,)-slice per output pixel at the cell base, then select each tap by
+    comparing its reflected index with the base (reflection can reverse
+    or collapse the pair, exactly as in ``remap``). One 8.4M-index gather
+    instead of three (2 pair + 1 nearest) — gather cost on TPU is
+    per-index, not per-byte (benchmarks/PERF_NOTES.md)."""
+    h, w = img.shape
+    x0 = jnp.floor(map_x).astype(jnp.int32)
+    y0 = jnp.floor(map_y).astype(jnp.int32)
+    fx = (map_x - x0).astype(img.dtype)
+    fy = (map_y - y0).astype(img.dtype)
+    rx0 = _reflect_index(x0, w)
+    rx1 = _reflect_index(x0 + 1, w)
+    ry0 = _reflect_index(y0, h)
+    ry1 = _reflect_index(y0 + 1, h)
+    bx = jnp.minimum(rx0, rx1)
+    by = jnp.minimum(ry0, ry1)
+    rmx = _reflect_index(jnp.floor(map_x + 0.5).astype(jnp.int32), w)
+    rmy = _reflect_index(jnp.floor(map_y + 0.5).astype(jnp.int32), h)
+    w1 = w + 1
+    fi = jnp.pad(img, ((0, 1), (0, 1)), mode="edge").reshape(-1)
+    fm = jnp.pad(mask, ((0, 1), (0, 1)), mode="edge").reshape(-1)
+    n = fi.shape[0] - w1 - 1
+    oct_ = jnp.stack([fi[:n], fi[1:n + 1], fi[w1:n + w1], fi[w1 + 1:],
+                      fm[:n], fm[1:n + 1], fm[w1:n + w1], fm[w1 + 1:]])
+    g = jnp.take(oct_, (by * w1 + bx).reshape(-1), axis=1,
+                 mode="clip").reshape(8, h, w)
+
+    def cell(top, left, base):
+        return jnp.where(top, jnp.where(left, g[base], g[base + 1]),
+                         jnp.where(left, g[base + 2], g[base + 3]))
+
+    v00 = cell(ry0 == by, rx0 == bx, 0)
+    v01 = cell(ry0 == by, rx1 == bx, 0)
+    v10 = cell(ry1 == by, rx0 == bx, 0)
+    v11 = cell(ry1 == by, rx1 == bx, 0)
+    t = v00 * (1 - fx) + v01 * fx
+    b = v10 * (1 - fx) + v11 * fx
+    out_img = t * (1 - fy) + b * fy
+    out_mask = cell(rmy == by, rmx == bx, 4)
+    return out_img, out_mask
+
+
 def gaussian_kernel_17(sigma: jnp.ndarray) -> jnp.ndarray:
     """Normalized 17-tap Gaussian (traced sigma), cv2.getGaussianKernel
     formula for ksize 17."""

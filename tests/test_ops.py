@@ -70,6 +70,30 @@ def test_remap_linear_extreme_displacements_match_cv2(img_u8):
     np.testing.assert_allclose(ours, ref, atol=1e-2)
 
 
+def test_remap_pair_matches_separate_remaps(img_u8):
+    """The fused one-gather image+mask remap equals the two standalone
+    remaps exactly, including extreme multi-period reflections."""
+    from ddti_tpu.ops.resample import remap_pair
+
+    h, w = img_u8.shape
+    rng = np.random.default_rng(13)
+    mask = (rng.random((h, w)) > 0.5).astype(np.float32)
+    src = img_u8.astype(np.float32)
+    for scale in (5.0, 2.5 * max(h, w)):
+        x, y = np.meshgrid(np.arange(w), np.arange(h))
+        mx = (x + rng.uniform(-scale, scale, (h, w))).astype(np.float32)
+        my = (y + rng.uniform(-scale, scale, (h, w))).astype(np.float32)
+        want_i = remap(jnp.asarray(src), jnp.asarray(my), jnp.asarray(mx))
+        want_m = remap(jnp.asarray(mask), jnp.asarray(my), jnp.asarray(mx),
+                       method="nearest")
+        got_i, got_m = remap_pair(jnp.asarray(src), jnp.asarray(mask),
+                                  jnp.asarray(my), jnp.asarray(mx))
+        np.testing.assert_array_equal(np.asarray(got_i),
+                                      np.asarray(want_i))
+        np.testing.assert_array_equal(np.asarray(got_m),
+                                      np.asarray(want_m))
+
+
 def test_remap_nearest_matches_cv2(img_u8):
     h, w = img_u8.shape
     rng = np.random.default_rng(5)
