@@ -75,6 +75,12 @@ if __name__ == "__main__":
         run("clahe bs128         ", 128, use_clahe=True)
     if "mixup" in which:
         run("mixup bs128         ", 128, use_mixup=True)
+    if "allon" in which:
+        run("all-aug bs128       ", 128, use_speckle=True, use_tgc=True,
+            use_clahe=True, use_mixup=True)
+    if "allonfw" in which:
+        run("all-aug+fastwarp    ", 128, use_speckle=True, use_tgc=True,
+            use_clahe=True, use_mixup=True, aug_fast_warp=True)
     if "base512" in which:
         run("base bs16 512^2     ", 16, size=512)
     if "fastwarp512" in which:
