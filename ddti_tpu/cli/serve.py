@@ -13,6 +13,7 @@ single-request latency stays bounded by ``--max_wait_ms``.
 Endpoints:
   GET  /healthz   liveness + artifact/model info (JSON)
   GET  /stats     request/image/batch counters, throughput, latency (JSON)
+  GET  /metrics   the same counters in Prometheus exposition format
   POST /reload    hot-swap the serving programs from the same (updated)
                   or a new ``{"checkpoint": path}`` — the train->serve
                   loop without a restart (same image size only)
@@ -312,8 +313,53 @@ class _Handler(BaseHTTPRequestHandler):
                         srv.batcher.batches_by_program.items()},
                     "reloads": srv.n_reloads,
                 })
+        elif path == "/metrics":
+            self._metrics()
         else:
             self._json(404, {"error": f"unknown path {path}"})
+
+    def _metrics(self):
+        """GET /metrics: the /stats counters in Prometheus exposition
+        format, scrapeable by any standard monitoring stack."""
+        srv = self.server
+        with srv.stats_lock, srv.batcher.lock:
+            up = time.perf_counter() - srv.t_start
+            n = srv.n_requests
+            lines = [
+                "# TYPE ddti_requests_total counter",
+                f"ddti_requests_total {n}",
+                "# TYPE ddti_request_errors_total counter",
+                f"ddti_request_errors_total {srv.n_errors}",
+                "# TYPE ddti_images_total counter",
+                f"ddti_images_total {srv.batcher.n_images}",
+                "# TYPE ddti_batches_total counter",
+                f"ddti_batches_total {srv.batcher.n_batches}",
+                "# TYPE ddti_rejected_total counter",
+                f"ddti_rejected_total {srv.batcher.n_rejected}",
+                "# TYPE ddti_reloads_total counter",
+                f"ddti_reloads_total {srv.n_reloads}",
+                "# TYPE ddti_queue_depth gauge",
+                f"ddti_queue_depth {srv.batcher._q.qsize()}",
+                "# TYPE ddti_uptime_seconds gauge",
+                f"ddti_uptime_seconds {up:.3f}",
+                "# TYPE ddti_request_latency_seconds_sum counter",
+                f"ddti_request_latency_seconds_sum "
+                f"{srv.total_latency:.6f}",
+                "# TYPE ddti_request_latency_seconds_count counter",
+                f"ddti_request_latency_seconds_count {n}",
+                "# TYPE ddti_program_batches_total counter",
+            ]
+            for bn, count in sorted(
+                    srv.batcher.batches_by_program.items()):
+                lines.append(
+                    f'ddti_program_batches_total{{batch="{bn}"}} {count}')
+        body = ("\n".join(lines) + "\n").encode()
+        self.send_response(200)
+        self.send_header("Content-Type",
+                         "text/plain; version=0.0.4; charset=utf-8")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
 
     def _reload(self):
         """POST /reload [{"checkpoint": path}]: load a (possibly new)

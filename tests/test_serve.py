@@ -403,3 +403,27 @@ def test_reload_hot_swaps_checkpoint(tmp_path):
         server.shutdown()
         server.close()
         t.join(timeout=10)
+
+
+def test_metrics_prometheus_format(bundle_server):
+    resp, _ = _request(bundle_server, "POST", "/predict", _jpeg_bytes())
+    assert resp.status == 200
+    resp, data = _request(bundle_server, "GET", "/metrics")
+    assert resp.status == 200
+    assert resp.getheader("Content-Type").startswith("text/plain")
+    text = data.decode()
+    metrics = {}
+    for line in text.splitlines():
+        if line and not line.startswith("#"):
+            k, v = line.rsplit(" ", 1)
+            metrics[k] = float(v)
+    assert metrics["ddti_requests_total"] >= 1
+    assert metrics["ddti_images_total"] >= 1
+    assert metrics["ddti_request_errors_total"] == 0
+    assert metrics['ddti_program_batches_total{batch="2"}'] >= 1
+    assert metrics["ddti_request_latency_seconds_sum"] > 0
+    # every series is typed
+    for line in text.splitlines():
+        if line.startswith("ddti_"):
+            name = line.split("{")[0].split(" ")[0]
+            assert f"# TYPE {name}" in text
