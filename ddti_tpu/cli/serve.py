@@ -34,6 +34,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import collections
 import io
 import json
 import os
@@ -250,6 +251,16 @@ def load_predictor(args):
     return predict, args.batch_size, args.image_size, info, []
 
 
+def _quantiles(latencies) -> list:
+    """(50, p50), (90, p90), (99, p99) over the recent-latency ring
+    (empty list when no requests yet)."""
+    if not latencies:
+        return []
+    s = sorted(latencies)
+    return [(q, s[min(len(s) - 1, int(len(s) * q / 100))])
+            for q in (50, 90, 99)]
+
+
 def _overlay_png(orig_gray, mask_2d):
     """Red predicted contours (eval/contours.py marching squares) drawn on
     the original grayscale frame — the online twin of infer --overlay."""
@@ -306,6 +317,8 @@ class _Handler(BaseHTTPRequestHandler):
                         srv.batcher.n_images / max(up, 1e-9), 3),
                     "mean_latency_ms": round(
                         1e3 * srv.total_latency / max(n, 1), 3),
+                    **{f"latency_p{q}_ms": round(1e3 * v, 3)
+                       for q, v in _quantiles(srv.recent_latency)},
                     "rejected": srv.batcher.n_rejected,
                     "queue_depth": srv.batcher._q.qsize(),
                     "batches_by_program": {
@@ -347,6 +360,10 @@ class _Handler(BaseHTTPRequestHandler):
                 f"{srv.total_latency:.6f}",
                 "# TYPE ddti_request_latency_seconds_count counter",
                 f"ddti_request_latency_seconds_count {n}",
+                "# TYPE ddti_request_latency_seconds gauge",
+                *(f'ddti_request_latency_seconds{{quantile="0.{q}"}} '
+                  f"{v:.6f}"
+                  for q, v in _quantiles(srv.recent_latency)),
                 "# TYPE ddti_program_batches_total counter",
             ]
             for bn, count in sorted(
@@ -494,7 +511,9 @@ class _Handler(BaseHTTPRequestHandler):
             dims = {}
         with srv.stats_lock:
             srv.n_requests += 1
-            srv.total_latency += time.perf_counter() - t0
+            dt = time.perf_counter() - t0
+            srv.total_latency += dt
+            srv.recent_latency.append(dt)
         self.send_response(200)
         self.send_header("Content-Type", ctype)
         self.send_header("Content-Length", str(len(body)))
@@ -527,6 +546,8 @@ class PredictionServer(ThreadingHTTPServer):
         self.n_requests = 0
         self.n_errors = 0
         self.total_latency = 0.0
+        # ring of the last 1024 request latencies for quantiles
+        self.recent_latency = collections.deque(maxlen=1024)
         self.t_start = time.perf_counter()
         super().__init__(addr, _Handler)
 

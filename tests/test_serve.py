@@ -108,6 +108,7 @@ def test_serve_healthz_and_predict(bundle_server):
     assert stats["requests"] == 3 and stats["images"] == 3
     assert stats["errors"] == 0
     assert stats["mean_latency_ms"] > 0
+    assert 0 < stats["latency_p50_ms"] <= stats["latency_p99_ms"]
 
 
 def test_serve_error_paths(bundle_server):
