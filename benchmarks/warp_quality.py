@@ -27,6 +27,10 @@ ap.add_argument("--n_train", type=int, default=512)
 ap.add_argument("--epochs", type=int, default=10)
 ap.add_argument("--variant", choices=["exact", "fastwarp", "sharedgeo"],
                 default=None)
+ap.add_argument("--seed", type=int, default=0,
+                help="training-stream seed (data stays fixed)")
+ap.add_argument("--seeds", type=int, default=3,
+                help="orchestrator: runs per variant to estimate noise")
 ARGS = ap.parse_args()
 SIZE, BATCH = ARGS.size, ARGS.batch
 N_TEST = 128
@@ -41,6 +45,9 @@ def run_variant(name: str) -> dict:
     import jax
     import jax.numpy as jnp
 
+    from ddti_tpu.core import enable_compilation_cache
+    enable_compilation_cache("auto")  # seeds 2+ reuse the variant's program
+
     from ddti_tpu.core import Config
     from ddti_tpu.data import generate_ddti_like
     from ddti_tpu.train import create_train_state, make_train_step
@@ -53,14 +60,14 @@ def run_variant(name: str) -> dict:
     from ddti_tpu.models import ResUNet
     model = ResUNet(in_channels=1, out_channels=1, base_filters=64,
                     depth=5, dtype=jnp.bfloat16)
-    state = create_train_state(model, jax.random.PRNGKey(0),
+    state = create_train_state(model, jax.random.PRNGKey(ARGS.seed),
                                (1, SIZE, SIZE, 1), cfg.lr,
                                steps_per_epoch=ARGS.n_train // BATCH)
     tr_img, tr_mask = generate_ddti_like(ARGS.n_train, (SIZE, SIZE), 0)
     tr_img, tr_mask = jnp.asarray(tr_img), jnp.asarray(tr_mask)
     step = make_train_step(cfg, aug_config_from(cfg))
-    key = jax.random.PRNGKey(1)
-    rng = np.random.default_rng(2)
+    key = jax.random.PRNGKey(1000 + ARGS.seed)
+    rng = np.random.default_rng(2000 + ARGS.seed)
     t0 = time.perf_counter()
     for e in range(ARGS.epochs):
         order = rng.permutation(ARGS.n_train)
@@ -96,20 +103,26 @@ if __name__ == "__main__":
     if ARGS.variant:
         print(json.dumps(run_variant(ARGS.variant)))
         sys.exit(0)
-    results = []
+    results = {}
     for name in ("exact", "fastwarp", "sharedgeo"):
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__),
-             "--variant", name, "--size", str(SIZE), "--batch", str(BATCH),
-             "--n_train", str(ARGS.n_train), "--epochs", str(ARGS.epochs)],
-            capture_output=True, text=True, cwd="/root/repo", timeout=3000)
-        sys.stderr.write(out.stderr)
-        if out.returncode != 0:
-            print(f"{name} FAILED:\n{out.stdout}\n{out.stderr}")
-            sys.exit(1)
-        results.append(json.loads(out.stdout.strip().splitlines()[-1]))
-    print(f"{'variant':10s} {'test IoU':>9s} {'img mean':>9s} "
-          f"{'img min':>8s}")
-    for r in results:
-        print(f"{r['variant']:10s} {r['test_iou']:9.4f} "
-              f"{r['per_image_mean']:9.4f} {r['per_image_min']:8.4f}")
+        for seed in range(ARGS.seeds):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--variant", name, "--seed", str(seed),
+                 "--size", str(SIZE), "--batch", str(BATCH),
+                 "--n_train", str(ARGS.n_train),
+                 "--epochs", str(ARGS.epochs)],
+                capture_output=True, text=True, cwd="/root/repo",
+                timeout=3000)
+            sys.stderr.write(out.stderr)
+            if out.returncode != 0:
+                print(f"{name} s{seed} FAILED:\n{out.stdout}\n{out.stderr}")
+                sys.exit(1)
+            r = json.loads(out.stdout.strip().splitlines()[-1])
+            results.setdefault(name, []).append(r["test_iou"])
+            print(f"  {name} seed {seed}: IoU {r['test_iou']:.4f}",
+                  flush=True)
+    print(f"{'variant':10s} {'IoU mean':>9s} {'+-':>7s}  per-seed")
+    for name, vals in results.items():
+        print(f"{name:10s} {np.mean(vals):9.4f} {np.std(vals):7.4f}  "
+              + " ".join(f"{v:.4f}" for v in vals))

@@ -637,12 +637,19 @@ def main(argv=None) -> int:
     print(f"serving on http://{host}:{port}  "
           f"(batch={server.batcher.batch_n} size={server.size} "
           f"{server.info})", flush=True)
+
+    import signal
+
+    def _term(signum, frame):  # SIGTERM (k8s/systemd stop) drains too
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _term)
     try:
         server.serve_forever()
     except KeyboardInterrupt:
         print("shutting down")
     finally:
-        server.close()
+        server.close()  # batcher drains pending frames before exiting
     return 0
 
 
