@@ -428,3 +428,48 @@ def test_metrics_prometheus_format(bundle_server):
         if line.startswith("ddti_"):
             name = line.split("{")[0].split(" ")[0]
             assert f"# TYPE {name}" in text
+
+
+def test_reload_under_concurrent_traffic(tmp_path):
+    """Requests racing a /reload all succeed: in-flight flushes keep the
+    program references they selected while the swap happens."""
+    import os as _os
+
+    p1 = str(tmp_path / "a.stablehlo")
+    _os.rename(_make_bundle(tmp_path, batch=2, size=32), p1)
+    p2 = str(tmp_path / "b.stablehlo")
+    _os.rename(_make_bundle(tmp_path, batch=4, size=32), p2)
+    args = get_parser().parse_args(
+        ["--checkpoint", p1, "--port", "0", "--compilation_cache", "off"])
+    server = create_server(args)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    statuses = []
+    lock = threading.Lock()
+
+    def client(n):
+        for _ in range(n):
+            r, _ = _request(server, "POST", "/predict", _jpeg_bytes())
+            with lock:
+                statuses.append(r.status)
+
+    try:
+        threads = [threading.Thread(target=client, args=(4,), daemon=True)
+                   for _ in range(3)]
+        for th in threads:
+            th.start()
+        r, d = _request(server, "POST", "/reload",
+                        json.dumps({"checkpoint": p2}).encode())
+        assert r.status == 200, d
+        for th in threads:
+            th.join(timeout=60)
+        assert not any(th.is_alive() for th in threads)
+        assert statuses == [200] * 12
+        resp, data = _request(server, "GET", "/healthz")
+        health = json.loads(data)
+        assert health["artifact"] == "b.stablehlo"
+        assert health["batch"] == 4
+    finally:
+        server.shutdown()
+        server.close()
+        t.join(timeout=10)
