@@ -384,8 +384,6 @@ class _Handler(BaseHTTPRequestHandler):
         the train->serve loop without a daemon restart. The serving image
         size is fixed for the daemon's lifetime (queued frames are already
         resized), so a size change is rejected with 409."""
-        import numpy as np
-
         srv = self.server
         try:
             length = int(self.headers.get("Content-Length", 0))
@@ -396,33 +394,17 @@ class _Handler(BaseHTTPRequestHandler):
         except Exception as e:
             self._json(400, {"error": f"bad reload request: {e}"})
             return
-        import copy
-        new_args = copy.copy(srv.args)
-        new_args.checkpoint = req.get("checkpoint") or srv.args.checkpoint
-        with srv.reload_lock:  # one reload (compile) at a time
-            try:
-                predict, batch_n, size, info, small = \
-                    load_predictor(new_args)
-                if size != srv.size:
-                    self._json(409, {
-                        "error": f"artifact image size {size} != serving "
-                                 f"size {srv.size}; restart the daemon "
-                                 f"to change sizes"})
-                    return
-                if not new_args.no_warmup:
-                    predict(np.zeros((batch_n, size, size, 1), np.uint8))
-                    for bn, fn in small:
-                        fn(np.zeros((bn, size, size, 1), np.uint8))
-                srv.batcher.swap_programs(predict, batch_n, small)
-                srv.args = new_args
-                srv.info = info
-                with srv.stats_lock:
-                    srv.n_reloads += 1
-                self._json(200, {"status": "reloaded",
-                                 "checkpoint": new_args.checkpoint,
-                                 "batch": batch_n, **info})
-            except Exception as e:
-                self._json(500, {"error": f"reload failed: {e}"})
+        try:
+            batch_n, info = srv.reload(req.get("checkpoint"))
+        except _SizeMismatch as e:
+            self._json(409, {"error": str(e)})
+            return
+        except Exception as e:
+            self._json(500, {"error": f"reload failed: {e}"})
+            return
+        self._json(200, {"status": "reloaded",
+                         "checkpoint": srv.args.checkpoint,
+                         "batch": batch_n, **info})
 
     def do_POST(self):
         import numpy as np
@@ -523,6 +505,10 @@ class _Handler(BaseHTTPRequestHandler):
         self.wfile.write(body)
 
 
+class _SizeMismatch(ValueError):
+    """Reload target compiled for a different image size (HTTP 409)."""
+
+
 class PredictionServer(ThreadingHTTPServer):
     """ThreadingHTTPServer + the model batcher and serving counters."""
 
@@ -551,7 +537,67 @@ class PredictionServer(ThreadingHTTPServer):
         self.t_start = time.perf_counter()
         super().__init__(addr, _Handler)
 
+    def reload(self, checkpoint: str | None = None) -> tuple:
+        """Load ``checkpoint`` (default: the current path, re-read from
+        disk), warm it, and atomically swap the batcher's programs.
+        Returns (batch_n, info). Serialized by ``reload_lock``."""
+        import copy
+
+        import numpy as np
+
+        new_args = copy.copy(self.args)
+        new_args.checkpoint = checkpoint or self.args.checkpoint
+        with self.reload_lock:  # one reload (compile) at a time
+            predict, batch_n, size, info, small = load_predictor(new_args)
+            if size != self.size:
+                raise _SizeMismatch(
+                    f"artifact image size {size} != serving size "
+                    f"{self.size}; restart the daemon to change sizes")
+            if not new_args.no_warmup:
+                predict(np.zeros((batch_n, size, size, 1), np.uint8))
+                for bn, fn in small:
+                    fn(np.zeros((bn, size, size, 1), np.uint8))
+            self.batcher.swap_programs(predict, batch_n, small)
+            self.args = new_args
+            self.info = info
+            with self.stats_lock:
+                self.n_reloads += 1
+        return batch_n, info
+
+    def start_watcher(self, interval_s: float) -> None:
+        """--watch: poll the checkpoint file mtimes and hot-reload when
+        training overwrites them (the automatic train->serve loop)."""
+        paths = [p for p in self.args.checkpoint.split(",")
+                 if os.path.exists(p)]
+        state = {p: os.path.getmtime(p) for p in paths}
+
+        def _poll():
+            while not self._watch_stop.wait(interval_s):
+                try:
+                    changed = [p for p in paths
+                               if os.path.getmtime(p) != state[p]]
+                except OSError:
+                    continue  # mid-write; retry next tick
+                if not changed:
+                    continue
+                try:
+                    self.reload()
+                    for p in paths:
+                        state[p] = os.path.getmtime(p)
+                    sys.stderr.write(
+                        f"watch: reloaded after {changed} changed\n")
+                except Exception as e:  # keep serving the old programs
+                    sys.stderr.write(f"watch: reload failed: {e}\n")
+
+        self._watch_stop = threading.Event()
+        self._watch_thread = threading.Thread(target=_poll, daemon=True,
+                                              name="ddti-watch")
+        self._watch_thread.start()
+
     def close(self):
+        if getattr(self, "_watch_thread", None) is not None:
+            self._watch_stop.set()
+            self._watch_thread.join(timeout=5)
         self.batcher.close()
         self.server_close()
 
@@ -570,8 +616,11 @@ def create_server(args) -> PredictionServer:
             fn(np.zeros((bn, size, size, 1), np.uint8))
     batcher = Batcher(predict, batch_n, max_wait_ms=args.max_wait_ms,
                       max_queue=args.max_queue, small_programs=small)
-    return PredictionServer((args.host, args.port), batcher, size, info,
-                            verbose=args.verbose, args=args)
+    server = PredictionServer((args.host, args.port), batcher, size, info,
+                              verbose=args.verbose, args=args)
+    if getattr(args, "watch", 0):
+        server.start_watcher(float(args.watch))
+    return server
 
 
 def get_parser() -> argparse.ArgumentParser:
@@ -583,6 +632,9 @@ def get_parser() -> argparse.ArgumentParser:
                          ".stablehlo bundles (same model exported at "
                          "different batch sizes) serves each micro-batch "
                          "through the smallest program that fits")
+    ap.add_argument("--watch", type=float, default=0,
+                    help="poll the checkpoint file(s) every N seconds and "
+                         "hot-reload when they change (0 = off)")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--max_wait_ms", type=float, default=5.0,

@@ -473,3 +473,36 @@ def test_reload_under_concurrent_traffic(tmp_path):
         server.shutdown()
         server.close()
         t.join(timeout=10)
+
+
+def test_watch_auto_reloads_on_mtime_change(tmp_path):
+    """--watch N polls the artifact mtime and hot-reloads when training
+    overwrites it."""
+    import os as _os
+    import time as _time
+
+    path = str(tmp_path / "live.stablehlo")
+    _os.rename(_make_bundle(tmp_path, batch=2, size=32), path)
+    args = get_parser().parse_args(
+        ["--checkpoint", path, "--port", "0", "--watch", "0.2",
+         "--compilation_cache", "off"])
+    server = create_server(args)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        # overwrite with a batch-4 bundle of the same size
+        tmp2 = _make_bundle(tmp_path, batch=4, size=32)
+        _os.replace(tmp2, path)
+        _os.utime(path, None)
+        deadline = _time.time() + 30
+        while server.n_reloads == 0 and _time.time() < deadline:
+            _time.sleep(0.1)
+        assert server.n_reloads >= 1
+        resp, data = _request(server, "GET", "/healthz")
+        assert json.loads(data)["batch"] == 4
+        resp, _ = _request(server, "POST", "/predict", _jpeg_bytes())
+        assert resp.status == 200
+    finally:
+        server.shutdown()
+        server.close()
+        t.join(timeout=10)
