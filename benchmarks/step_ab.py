@@ -81,6 +81,9 @@ if __name__ == "__main__":
     if "allonfw" in which:
         run("all-aug+fastwarp    ", 128, use_speckle=True, use_tgc=True,
             use_clahe=True, use_mixup=True, aug_fast_warp=True)
+    if "ga512fw" in which:
+        run("bs32 ga2+fw 512^2   ", 32, size=512, grad_accum=2,
+            aug_fast_warp=True)
     if "base512" in which:
         run("base bs16 512^2     ", 16, size=512)
     if "fastwarp512" in which:
