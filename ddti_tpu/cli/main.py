@@ -165,6 +165,21 @@ def get_parser() -> argparse.ArgumentParser:
                         "effective batches that OOM in one shot fit "
                         "(BatchNorm normalizes per microbatch, like torch "
                         "accumulation loops)")
+    p.add_argument("--clip_grad_norm", default=0.0, type=float,
+                   help="clip gradients to this global L2 norm before the "
+                        "AdamW update (optax.clip_by_global_norm); 0 "
+                        "disables (reference parity — its optimizer is "
+                        "bare AdamW)")
+    p.add_argument("--nan_guard", action="store_true",
+                   help="reject train steps whose loss or gradients are "
+                        "non-finite: the update is skipped on device (the "
+                        "whole train state, including the step counter, is "
+                        "kept), the step contributes nothing to epoch "
+                        "metrics, and training stops gracefully after "
+                        "--nan_guard_patience consecutive rejections")
+    p.add_argument("--nan_guard_patience", default=5, type=int,
+                   help="consecutive non-finite steps tolerated under "
+                        "--nan_guard before training stops")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize conv-block activations in the "
                         "backward pass (fits f32 512x512 batch-16 training "

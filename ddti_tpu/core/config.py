@@ -74,6 +74,12 @@ class Config:
     # are averaged over grad_accum sequential microbatches of
     # batch_size/grad_accum before ONE update (BN normalizes per
     # microbatch, EMA chained). Fits large effective batches in HBM.
+    clip_grad_norm: float = 0.0   # >0: global-norm gradient clipping ahead
+    # of AdamW (optax.clip_by_global_norm); 0 = reference parity (bare AdamW)
+    nan_guard: bool = False        # reject non-finite train steps on device
+    # (state kept, metrics zeroed); training stops gracefully after
+    # nan_guard_patience consecutive rejections
+    nan_guard_patience: int = 5
     save_interval: int = 20
     log_every: int = 20  # in-epoch INFO progress interval (steps); 0 = off
     profile_steps: int = 0  # capture an XLA device trace of the first N

@@ -77,7 +77,9 @@ class Trainer:
             state = create_train_state(
                 model, jax.random.PRNGKey(config.seed), shape,
                 config.lr, steps_per_epoch, config.weight_decay,
-                ema=float(getattr(config, "ema_decay", 0.0) or 0.0) > 0)
+                ema=float(getattr(config, "ema_decay", 0.0) or 0.0) > 0,
+                clip_norm=float(getattr(config, "clip_grad_norm", 0.0)
+                                or 0.0))
         self.state = state
         self._batch_sh = None
         self._multihost = mesh is not None and jax.process_count() > 1
@@ -123,6 +125,13 @@ class Trainer:
         self.best_val_iou = -np.inf
         self._ckpt_manager = None  # lazy ManagedCheckpointer (rotation)
         self._tuned_threshold = None  # cached --tune_threshold sweep result
+        # --nan_guard bookkeeping: consecutive rejected steps; training
+        # stops (gracefully, checkpoints intact) once patience is exhausted
+        self._nan_guard = bool(getattr(config, "nan_guard", False))
+        self._nan_patience = int(getattr(config, "nan_guard_patience", 5)
+                                 or 5)
+        self._consecutive_skips = 0
+        self._diverged = False
 
     # ------------------------------------------------------------------
 
@@ -267,6 +276,9 @@ class Trainer:
             self.state, m = step(self.state, images, masks, step_key)
             total = accumulate(total, m)
             n_imgs += int(images.shape[0])
+            if self._nan_guard and not self._note_skip(
+                    float(m.skipped), epoch, i):
+                break  # patience exhausted — stop the epoch (and the run)
             if prof_n and i + 1 == prof_n:
                 try:
                     float(m.loss)  # drain the device into the trace window
@@ -293,6 +305,37 @@ class Trainer:
         total = jax.device_get(total)
         em = epoch_metrics_from_counts(total.counts)
         self._log_epoch("Train", epoch, self._avgs(total), em)
+        self._log_skips(epoch, float(total.skipped))
+
+    def _note_skip(self, skipped: float, epoch: int, step: int) -> bool:
+        """Per-step --nan_guard accounting. Returns False when the
+        consecutive-skip patience is exhausted (training should stop).
+        Reading the scalar syncs on the step's completion — only paid
+        with the guard on, and only the pipeline-dispatch overlap is
+        lost, not device throughput."""
+        if skipped > 0:
+            self._consecutive_skips += 1
+            self.logger.warning(
+                f"--nan_guard: non-finite loss/gradients at epoch "
+                f"{epoch + 1} step {step + 1} — update skipped "
+                f"({self._consecutive_skips} consecutive)")
+            if self._consecutive_skips >= self._nan_patience:
+                self.logger.error(
+                    f"--nan_guard: {self._consecutive_skips} consecutive "
+                    f"non-finite steps — training has diverged; stopping "
+                    f"(best/last checkpoints are intact)")
+                self._diverged = True
+                return False
+        else:
+            self._consecutive_skips = 0
+        return True
+
+    def _log_skips(self, epoch: int, skipped: float) -> None:
+        if self._nan_guard:
+            self.writer.add_scalar("SkippedSteps/Train", skipped, epoch)
+            if skipped:
+                self.logger.warning(f"--nan_guard: {int(skipped)} step(s) "
+                                    f"skipped in epoch {epoch + 1}")
 
     def _train_one_epoch_fused(self, epoch: int):
         """One dispatch for the whole epoch: scan over precomputed batch
@@ -315,10 +358,18 @@ class Trainer:
         n = stacked.n.sum()
         from ddti_tpu.eval.metrics import ConfusionCounts
         counts = ConfusionCounts(*(c.sum() for c in stacked.counts))
-        avgs = {k: float((getattr(stacked, k) * stacked.n).sum() / n)
+        avgs = {k: float((getattr(stacked, k) * stacked.n).sum() / max(n, 1))
                 for k in ("loss", "bce", "dice", "focal", "boundary")}
         em = epoch_metrics_from_counts(counts)
         self._log_epoch("Train", epoch, avgs, em)
+        # the guard runs inside the scanned step body too; per-step
+        # patience isn't observable from ONE dispatch, so the fused path
+        # stops only when an entire epoch was rejected
+        self._log_skips(epoch, float(stacked.skipped.sum()))
+        if self._nan_guard and float(stacked.skipped.sum()) >= len(stacked.n):
+            self.logger.error("--nan_guard: every step of the fused epoch "
+                              "was non-finite — stopping")
+            self._diverged = True
 
     def _first_occurrence_mask(self, idx, seen: set):
         """(B,) f32 {0,1} mask weighting out wraparound-padded duplicates
@@ -362,6 +413,8 @@ class Trainer:
         cfg = self.config
         for epoch in range(cfg.epochs):
             self.train_one_epoch(epoch)
+            if self._diverged:  # --nan_guard patience exhausted; the
+                break           # last/best saves below still run
             val_loss, val_iou = self.validate(epoch)
 
             # periodic artifacts (makes the reference's parsed-but-unused

@@ -79,10 +79,17 @@ def flat_fused(inner: optax.GradientTransformation
 def make_optimizer(lr: float, steps_per_epoch: int,
                    weight_decay: float = 1e-2,
                    t_0: int = 20, t_mult: int = 2,
-                   fused: bool = False) -> tuple:
+                   fused: bool = False,
+                   clip_norm: float = 0.0) -> tuple:
+    """``clip_norm > 0`` chains global-norm gradient clipping ahead of
+    AdamW (--clip_grad_norm) — the standard divergence brake the reference
+    lacks (its optimizer is bare AdamW, /root/reference/utils/trainer.py:36).
+    0 disables (exact reference parity)."""
     sched = cosine_warm_restarts(lr, steps_per_epoch, t_0, t_mult)
     tx = optax.adamw(learning_rate=sched, b1=0.9, b2=0.999, eps=1e-8,
                      weight_decay=weight_decay)
+    if clip_norm and clip_norm > 0:
+        tx = optax.chain(optax.clip_by_global_norm(float(clip_norm)), tx)
     if fused:
         tx = flat_fused(tx)
     return tx, sched
@@ -91,12 +98,14 @@ def make_optimizer(lr: float, steps_per_epoch: int,
 def create_train_state(model, key, input_shape, lr: float,
                        steps_per_epoch: int,
                        weight_decay: float = 1e-2,
-                       ema: bool = False) -> TrainState:
+                       ema: bool = False,
+                       clip_norm: float = 0.0) -> TrainState:
     variables = model.init({"params": key},
                            jnp.zeros(input_shape, jnp.float32), train=False)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
-    tx, _ = make_optimizer(lr, steps_per_epoch, weight_decay)
+    tx, _ = make_optimizer(lr, steps_per_epoch, weight_decay,
+                           clip_norm=clip_norm)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,

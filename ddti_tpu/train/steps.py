@@ -36,6 +36,12 @@ class StepMetrics(NamedTuple):
     boundary: jnp.ndarray
     counts: ConfusionCounts
     n: jnp.ndarray
+    # 1.0 when --nan_guard rejected this step's update (non-finite loss or
+    # gradients); the step's loss/counts/n contributions are zeroed so the
+    # epoch averages stay clean. Always 0.0 with the guard off. (Python
+    # float default — no jax array may be built at import time, the test
+    # conftest must pin the platform before first device use.)
+    skipped: jnp.ndarray = 0.0
 
 
 def _main_logits(out):
@@ -272,6 +278,36 @@ def _build_train_step_impl(config, aug_cfg: AugmentConfig | None,
     ds_weight = float(getattr(config, "alpha", 0.0) or 0.0)
     grad_accum = int(getattr(config, "grad_accum", 1) or 1)
     ema_decay = float(getattr(config, "ema_decay", 0.0) or 0.0)
+    nan_guard = bool(getattr(config, "nan_guard", False))
+
+    def finite_all(grads, loss):
+        """Scalar bool: the loss and EVERY gradient element are finite —
+        one fused isfinite-reduce pass over the gradient tree (small next
+        to the backward pass that produced it)."""
+        ok = jnp.isfinite(loss)
+        for g in jax.tree.leaves(grads):
+            ok = jnp.logical_and(ok, jnp.isfinite(g).all())
+        return ok
+
+    def guarded_update(state, grads, bstats, terms, counts, n):
+        """--nan_guard: apply the update only when loss+grads are finite;
+        a rejected step keeps the ENTIRE old state (params, opt state, BN
+        stats, EMA, step counter — the step retries at the same schedule
+        position) and contributes zeros to the epoch metrics. The
+        where-select costs one elementwise pass over the state — same
+        order as the optimizer update itself, and only paid opt-in."""
+        ok = finite_all(grads, terms.total)
+        new_state = state.apply_gradients(grads, bstats)
+        if ema_decay:
+            new_state = new_state.update_ema(ema_decay)
+        state = jax.tree.map(lambda nw, od: jnp.where(ok, nw, od),
+                             new_state, state)
+        okf = ok.astype(jnp.float32)
+        terms = jax.tree.map(lambda t: t * okf, terms)
+        counts = jax.tree.map(lambda c: c * okf, counts)
+        return state, StepMetrics(terms.total, terms.bce, terms.dice,
+                                  terms.focal, terms.boundary, counts,
+                                  n * okf, skipped=1.0 - okf)
 
     def make_loss_fn(state, images, masks, k_drop):
         def loss_fn(params, batch_stats):
@@ -303,10 +339,13 @@ def _build_train_step_impl(config, aug_cfg: AugmentConfig | None,
             grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
             (_, (terms, updates, logits)), grads = grad_fn(
                 state.params, state.batch_stats)
+            counts = confusion_counts(logits, masks)
+            if nan_guard:
+                return guarded_update(state, grads, updates["batch_stats"],
+                                      terms, counts, n)
             state = state.apply_gradients(grads, updates["batch_stats"])
             if ema_decay:
                 state = state.update_ema(ema_decay)
-            counts = confusion_counts(logits, masks)
             return state, StepMetrics(terms.total, terms.bce, terms.dice,
                                       terms.focal, terms.boundary, counts, n)
 
@@ -350,6 +389,10 @@ def _build_train_step_impl(config, aug_cfg: AugmentConfig | None,
         inv = jnp.float32(1.0 / grad_accum)
         grads = jax.tree.map(lambda g: g * inv, gsum)
         terms = jax.tree.map(lambda t: t * inv, tsum)
+        if nan_guard:
+            # one non-finite microbatch poisons the summed gradient, so
+            # the whole accumulated step is rejected as a unit
+            return guarded_update(state, grads, bstats, terms, counts, n)
         state = state.apply_gradients(grads, bstats)
         if ema_decay:
             state = state.update_ema(ema_decay)
@@ -360,13 +403,16 @@ def _build_train_step_impl(config, aug_cfg: AugmentConfig | None,
 
 
 def accumulate(total: StepMetrics | None, m: StepMetrics) -> StepMetrics:
-    """Host-side accumulation of per-batch metrics (weighted by n)."""
+    """Host-side accumulation of per-batch metrics (weighted by n;
+    ``skipped`` is an unweighted step count)."""
     if total is None:
         weighted = StepMetrics(m.loss * m.n, m.bce * m.n, m.dice * m.n,
-                               m.focal * m.n, m.boundary * m.n, m.counts, m.n)
+                               m.focal * m.n, m.boundary * m.n, m.counts,
+                               m.n, m.skipped)
         return weighted
     return StepMetrics(
         total.loss + m.loss * m.n, total.bce + m.bce * m.n,
         total.dice + m.dice * m.n, total.focal + m.focal * m.n,
         total.boundary + m.boundary * m.n,
-        total.counts + m.counts, total.n + m.n)
+        total.counts + m.counts, total.n + m.n,
+        total.skipped + m.skipped)
