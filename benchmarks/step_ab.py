@@ -81,6 +81,10 @@ if __name__ == "__main__":
     if "allonfw" in which:
         run("all-aug+fastwarp    ", 128, use_speckle=True, use_tgc=True,
             use_clahe=True, use_mixup=True, aug_fast_warp=True)
+    if "nanguard" in which:
+        run("nan-guard bs128     ", 128, nan_guard=True)
+    if "nanguardclip" in which:
+        run("nan-guard+clip bs128", 128, nan_guard=True, clip_grad_norm=1.0)
     if "ga512fw" in which:
         run("bs32 ga2+fw 512^2   ", 32, size=512, grad_accum=2,
             aug_fast_warp=True)
