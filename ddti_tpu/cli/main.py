@@ -29,6 +29,20 @@ def _str2bool(v: str) -> bool:
     raise argparse.ArgumentTypeError(f"expected a boolean, got {v!r}")
 
 
+def _batch_size_arg(v: str):
+    """int, or the literal 'auto' (resolved in main() once the model and
+    mesh are known, via train/autobatch.pick_batch_size)."""
+    if isinstance(v, int):
+        return v
+    if v.strip().lower() == "auto":
+        return "auto"
+    try:
+        return int(v)
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            f"expected an integer or 'auto', got {v!r}")
+
+
 def get_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         formatter_class=argparse.ArgumentDefaultsHelpFormatter)
@@ -72,7 +86,11 @@ def get_parser() -> argparse.ArgumentParser:
     # train config
     p.add_argument("--num_workers", default=4, type=int)
     p.add_argument("--epochs", type=int, default=10000)
-    p.add_argument("--batch_size", default=16, type=int)
+    p.add_argument("--batch_size", default=16, type=_batch_size_arg,
+                   help="per-step global batch, or 'auto': probe XLA's "
+                        "compile-time memory plan (no allocation, no "
+                        "steps) and pick the largest power-of-two-ish "
+                        "batch that fits HBM (train/autobatch.py)")
     p.add_argument("--lr", type=float, default=1e-5)
     p.add_argument("--weight_decay", type=float, default=1e-2)
     p.add_argument("--save_interval", default=20, type=int)
@@ -331,17 +349,6 @@ def main(argv=None) -> int:
     cfg.make_dirs()
     logger = create_logger(os.path.join(cfg.log_dir, "train_log.log"))
 
-    if args.host_augment:
-        sources = load_host_sources(cfg, synthetic=args.synthetic)
-    elif args.synthetic:
-        from ddti_tpu.data import DeviceDataSource, generate_ddti_like
-        size = (cfg.store_size, cfg.store_size)
-        sources = tuple(
-            DeviceDataSource(*generate_ddti_like(n, size, cfg.seed + s))
-            for n, s in ((64, 0), (16, 10_000), (16, 20_000)))
-    else:
-        sources = load_sources(cfg, native=args.native_loader)
-
     model_kwargs = dict(cfg.model_kwargs)
     if cfg.use_amp_autocast:
         import jax.numpy as jnp
@@ -364,6 +371,28 @@ def main(argv=None) -> int:
         mesh = make_mesh()
         logger.info(f"Using {len(jax.devices())} devices for training...")
 
+    if cfg.batch_size == "auto":
+        # probe the compile-time memory plan for the largest fitting
+        # batch BEFORE sources exist (batching happens at iteration time)
+        from ddti_tpu.train.autobatch import pick_batch_size
+        dp = mesh.shape.get("data", 1) if mesh is not None else 1
+        cfg.batch_size = pick_batch_size(
+            cfg, model, data_parallel=dp,
+            host_augment=bool(args.host_augment), logger=logger)
+        logger.info(f"[autobatch] selected --batch_size {cfg.batch_size}"
+                    + (f" (global over data={dp})" if dp > 1 else ""))
+
+    if args.host_augment:
+        sources = load_host_sources(cfg, synthetic=args.synthetic)
+    elif args.synthetic:
+        from ddti_tpu.data import DeviceDataSource, generate_ddti_like
+        size = (cfg.store_size, cfg.store_size)
+        sources = tuple(
+            DeviceDataSource(*generate_ddti_like(n, size, cfg.seed + s))
+            for n, s in ((64, 0), (16, 10_000), (16, 20_000)))
+    else:
+        sources = load_sources(cfg, native=args.native_loader)
+
     trainer = Trainer(cfg, sources, logger, model, mesh=mesh)
 
     if ((args.resume or cfg.checkpoint_path)
@@ -384,6 +413,20 @@ def main(argv=None) -> int:
             trainer.state = trainer.state.replace(params=params,
                                                   batch_stats=stats)
             logger.info(f"Imported torch weights from {cfg.checkpoint_path}")
+        elif cfg.checkpoint_path.endswith(".npz"):
+            # .npz weight bundle (cli/average output, weight exports):
+            # weights/stats-only warm start, like .pth
+            if args.resume:
+                raise ValueError(
+                    ".npz bundles hold weights only (no optimizer/step); "
+                    "use --checkpoint_path without --resume to warm start")
+            from ddti_tpu.train.checkpoint import load_params_npz
+            params, stats = load_params_npz(
+                cfg.checkpoint_path, trainer.state.params,
+                trainer.state.batch_stats)
+            trainer.state = trainer.state.replace(params=params,
+                                                  batch_stats=stats)
+            logger.info(f"Warm-started weights from {cfg.checkpoint_path}")
         elif args.resume:
             # full resume: params + BN stats + optimizer + step. A managed
             # (rotated) checkpoint root — directory of numeric step dirs —
@@ -403,6 +446,12 @@ def main(argv=None) -> int:
             else:
                 trainer.state = restore_checkpoint(cp, trainer.state)
                 logger.info(f"Resumed full state from {cp}")
+            # continue the ORIGINAL epoch budget: a run resumed at step S
+            # trains epochs S//steps_per_epoch..--epochs, not --epochs
+            # more (optimizer/SGDR state already continues from S)
+            trainer.start_epoch = min(
+                int(trainer.state.step) // trainer.steps_per_epoch,
+                cfg.epochs)
         else:
             # reference-style warm start: weights/stats only
             restored = restore_checkpoint(cfg.checkpoint_path, trainer.state)

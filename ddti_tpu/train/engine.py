@@ -71,6 +71,11 @@ class Trainer:
         else:  # host-streaming source
             n = len(getattr(self.train_src, "dataset", []) or [])
             steps_per_epoch = max(-(-n // config.batch_size), 1)
+        self.steps_per_epoch = steps_per_epoch
+        # first epoch index train() runs; a full --resume sets this to
+        # restored_step // steps_per_epoch so the run completes the
+        # ORIGINAL --epochs budget instead of training that many more
+        self.start_epoch = 0
         if state is None:
             shape = (1, config.image_size, config.image_size,
                      getattr(model, "in_channels", 1))
@@ -411,7 +416,11 @@ class Trainer:
 
     def train(self):
         cfg = self.config
-        for epoch in range(cfg.epochs):
+        if self.start_epoch:
+            self.logger.info(
+                f"Resuming at epoch {self.start_epoch + 1}/{cfg.epochs} "
+                f"(restored step {int(self.state.step)})")
+        for epoch in range(self.start_epoch, cfg.epochs):
             self.train_one_epoch(epoch)
             if self._diverged:  # --nan_guard patience exhausted; the
                 break           # last/best saves below still run

@@ -447,3 +447,31 @@ def test_enable_compilation_cache(tmp_path, monkeypatch):
         jax.config.update("jax_compilation_cache_dir", before)
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
                           before_min)
+
+
+def test_resume_continues_epoch_budget(tmp_path):
+    """--resume completes the ORIGINAL --epochs budget: a run stopped
+    after 2/3 epochs trains exactly one more epoch, not three more (the
+    restored optimizer step also continues the SGDR schedule —
+    tests/test_train.py covers that half)."""
+    from ddti_tpu.cli.main import main
+
+    base = ["--synthetic", "--mode", "train", "--image_size", "32",
+            "--store_size", "32", "--model_type", "UNet",
+            "--base_filters", "8", "--depth", "2", "--batch_size", "8",
+            "--lr", "1e-3", "--save_interval", "1",
+            "--early_stop_patience", "50"]
+    assert main(base + ["--epochs", "2",
+                        "--base_dir", str(tmp_path / "r1")]) == 0
+    run1 = tmp_path / "r1" / os.listdir(tmp_path / "r1")[0]
+    periodic = run1 / "models" / "periodic"
+    assert periodic.is_dir()
+
+    assert main(base + ["--epochs", "3", "--resume",
+                        "--checkpoint_path", str(periodic),
+                        "--base_dir", str(tmp_path / "r2")]) == 0
+    run2 = tmp_path / "r2" / os.listdir(tmp_path / "r2")[0]
+    log = (run2 / "log" / "train_log.log").read_text()
+    assert "Resuming at epoch 3/3" in log
+    assert "Train Epoch: 3," in log
+    assert "Train Epoch: 1," not in log  # epochs 1-2 were NOT re-run
