@@ -169,6 +169,10 @@ def get_parser() -> argparse.ArgumentParser:
                         "and exported serving artifacts average sigmoid "
                         "probabilities over {identity, h, v, hv} flips "
                         "(4 fused forward passes, eval/tta.py)")
+    p.add_argument("--surface_metrics", default=True, type=_str2bool,
+                   help="per-image HD95/ASSD surface distances in "
+                        "Trainer.test() (on-device EDT, eval/surface.py); "
+                        "False skips the extra device program")
     p.add_argument("--mode", default="test", choices=["train", "test", "both"],
                    help="the reference's checked-in behavior is test-only")
     p.add_argument("--host_augment", action="store_true",

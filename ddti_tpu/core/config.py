@@ -105,6 +105,9 @@ class Config:
     tta: bool = False  # 4-way flip test-time augmentation at test/serving:
     # mean sigmoid over {identity, h, v, hv} flips (eval/tta.py); applies
     # to Trainer.test() and any serving artifact exported by the run
+    surface_metrics: bool = True  # per-image HD95/ASSD surface distances
+    # in Trainer.test() (eval/surface.py, on-device EDT) — contour-quality
+    # metrics the reference's pixel-overlap-only report lacks
 
     # parallel / precision (TPU-native additions; reference analogues:
     # use_data_parallel -> DataParallel, use_amp_autocast -> AMP)

@@ -690,6 +690,12 @@ class Trainer:
         counts_total = None
         audit = self._multihost and jax.process_count() > 1
         rows, seen = [], set()  # per-image audit rows (skipped multi-host)
+        surf_fn = None
+        if getattr(self.config, "surface_metrics", True) and not audit:
+            # contour-quality metrics (HD95/ASSD) the reference's
+            # pixel-overlap report lacks; on-device EDT per image
+            from ddti_tpu.eval.surface import surface_metrics_batch
+            surf_fn = surface_metrics_batch
         for idx, images, masks in self._iter_batches(self.test_src,
                                                      shuffle=True,
                                                      with_idx=True):
@@ -708,7 +714,9 @@ class Trainer:
             counts_total = (counts if counts_total is None
                             else counts_total + counts)
             if not audit:
-                self._collect_per_image(rows, seen, idx, per_img)
+                surf = (jax.device_get(surf_fn(preds, masks_f))
+                        if surf_fn is not None else None)
+                self._collect_per_image(rows, seen, idx, per_img, surf)
             if visualize:
                 all_imgs.append(np.asarray(imgs_f)[..., 0])
                 all_masks.append(np.asarray(masks_f)[..., 0].astype(np.uint8))
@@ -731,12 +739,27 @@ class Trainer:
                                     counts_total.fn, counts_total.tn)
             total = int(m["tp"] + m["fp"] + m["fn"] + m["tn"]) // (
                 self.config.image_size ** 2)
+        if rows and "hd95" in rows[0]:
+            import math
+            sd = [(r["hd95"], r["assd"]) for r in rows
+                  if not math.isnan(r["hd95"])]
+            if sd:
+                m["hd95_mean"] = float(np.mean([x[0] for x in sd]))
+                m["hd95_median"] = float(np.median([x[0] for x in sd]))
+                m["assd_mean"] = float(np.mean([x[1] for x in sd]))
+                m["surface_valid_images"] = float(len(sd))
         msg = (f"Test Metrics  —  Total Images: {total}\n"
                f"  TP={int(m['tp'])}, FP={int(m['fp'])}, "
                f"FN={int(m['fn'])}, TN={int(m['tn'])}\n"
                f"  ACC={m['acc']:.4f}, Precision={m['precision']:.4f}, "
                f"Recall={m['recall']:.4f}, F1={m['f1']:.4f}, "
                f"IoU={m['iou']:.4f}")
+        if "hd95_mean" in m:
+            msg += (f"\n  Surface (px, over "
+                    f"{int(m['surface_valid_images'])} defined images): "
+                    f"HD95 mean={m['hd95_mean']:.2f} "
+                    f"median={m['hd95_median']:.2f}, "
+                    f"ASSD mean={m['assd_mean']:.2f}")
         print(msg)
         self.logger.info(msg)
 
@@ -765,11 +788,14 @@ class Trainer:
                                 self.config.result_dir)
         return m
 
-    def _collect_per_image(self, rows: list, seen: set, idx, per_img):
+    def _collect_per_image(self, rows: list, seen: set, idx, per_img,
+                           surf=None):
         """Accumulate per-image audit rows from one test batch. ``idx`` is
         the dataset index array (None for host-streaming sources — rows
         then carry a running position only). Wraparound-padded duplicates
-        in the final short batch are dropped via ``seen``."""
+        in the final short batch are dropped via ``seen``. ``surf`` is the
+        optional per-image surface-distance dict from
+        ``eval.surface.surface_metrics_batch``."""
         c = jax.device_get(per_img)
         n = len(c.tp)
         ids = (np.asarray(idx) if idx is not None
@@ -783,7 +809,7 @@ class Trainer:
                 seen.add(i)
             tp, fp, fn = float(c.tp[j]), float(c.fp[j]), float(c.fn[j])
             inter, union = float(c.inter[j]), float(c.union[j])
-            rows.append({
+            row = {
                 "index": i,
                 "name": (names[i] if names is not None and idx is not None
                          else ""),
@@ -795,7 +821,12 @@ class Trainer:
                          if (2 * tp + fp + fn) > 0 else float("nan")),
                 "tp": int(tp), "fp": int(fp), "fn": int(fn),
                 "tn": int(c.tn[j]),
-            })
+            }
+            if surf is not None:
+                # NaN when either surface is empty (metric undefined)
+                row["hd95"] = float(surf["hd95"][j])
+                row["assd"] = float(surf["assd"][j])
+            rows.append(row)
 
     def _write_per_image_csv(self, rows: list) -> None:
         """``result/per_image_metrics.csv`` — one audit row per test image
