@@ -26,8 +26,10 @@ import re
 _CONFIG_COLS = ("model_type", "base_filters", "depth", "image_size",
                 "batch_size", "lr", "use_elastic", "use_speckle", "use_tgc",
                 "use_clahe", "use_mixup", "tta")
-_METRIC_COLS = ("iou", "f1", "precision", "recall", "acc", "threshold",
-                "total_images")
+_METRIC_COLS = ("iou", "f1", "precision", "recall", "acc", "hd95_mean",
+                "assd_mean", "threshold", "total_images")
+# metrics where LOWER is better (surface distances) — sorted ascending
+_ASCENDING = {"hd95_mean", "assd_mean"}
 
 _LOG_RE = re.compile(
     r"ACC=([\d.]+), Precision=([\d.]+), Recall=([\d.]+), "
@@ -125,8 +127,9 @@ def main(argv=None) -> int:
     if not rows:
         print(f"no runs with test metrics under {args.experiments_dir}")
         return 1
+    sign = 1.0 if args.sort in _ASCENDING else -1.0
     rows.sort(key=lambda r: (r.get(args.sort) == "",
-                             -(r.get(args.sort) or 0.0)))
+                             sign * (r.get(args.sort) or 0.0)))
 
     columns = ["run", *_CONFIG_COLS, *_METRIC_COLS]
     print(format_table(rows, columns))

@@ -169,6 +169,13 @@ def get_parser() -> argparse.ArgumentParser:
                         "and exported serving artifacts average sigmoid "
                         "probabilities over {identity, h, v, hv} flips "
                         "(4 fused forward passes, eval/tta.py)")
+    p.add_argument("--lr_find", type=int, default=0, metavar="N",
+                   help="run an N-step learning-rate range test instead "
+                        "of training (geometric ramp --lr_find_min.."
+                        "--lr_find_max on the real train step; curve + "
+                        "suggestions into result/, then exit)")
+    p.add_argument("--lr_find_min", type=float, default=1e-7)
+    p.add_argument("--lr_find_max", type=float, default=1.0)
     p.add_argument("--surface_metrics", default=True, type=_str2bool,
                    help="per-image HD95/ASSD surface distances in "
                         "Trainer.test() (on-device EDT, eval/surface.py); "
@@ -467,6 +474,17 @@ def main(argv=None) -> int:
     logger.info(f"Model: {cfg.model_type} | Trainable params: "
                 f"{n_params / 1e6:.2f}M ({n_params:,})")
     print(f"[PARAMS] {cfg.model_type},{n_params}")  # shell-capture hook
+
+    if args.lr_find:
+        # LR range test instead of training: the real train step on real
+        # batches, lr ramped geometrically; suggestions + curve artifacts
+        # land in result/ (train/lr_finder.py). Rerun with --lr <pick>.
+        from ddti_tpu.train.lr_finder import run_lr_finder
+        r = run_lr_finder(trainer, num_steps=args.lr_find,
+                          min_lr=args.lr_find_min, max_lr=args.lr_find_max)
+        print(f"[LR_FIND] steepest={r['lr_steepest']:.4g} "
+              f"min_over_10={r['lr_min_over_10']:.4g}")
+        return 0
 
     if args.mode in ("train", "both"):
         trainer.train()
