@@ -95,6 +95,13 @@ def main(argv=None) -> int:
                          "program path with .stablehlo -> .npz")
     ap.add_argument("--compilation_cache", default="auto",
                     help="persistent XLA compile cache dir; 'off' disables")
+    ap.add_argument("--mask_dir", default=None,
+                    help="ground-truth <stem>_mask.* directory: after "
+                         "predicting, score the predictions (IoU/F1 + "
+                         "HD95/ASSD) and write eval_metrics.json + "
+                         "per_image_metrics.csv into --output_dir — "
+                         "evaluates ANY artifact (incl. reference .pth "
+                         "and int8 bundles) on any labeled folder")
     args = ap.parse_args(argv)
 
     import jax
@@ -113,7 +120,10 @@ def main(argv=None) -> int:
                   "(binarization is baked into the exported program); "
                   "writing binary masks")
             args.prob = False  # downstream (overlay) sees binary masks
-        return _infer_serving_bundle(args)
+        rc = _infer_serving_bundle(args)
+        if rc == 0:
+            _maybe_eval(args)
+        return rc
 
     from ddti_tpu.models import create_model
 
@@ -216,7 +226,30 @@ def main(argv=None) -> int:
     dt = time.perf_counter() - t0
     print(f"predicted {n_done} images in {dt:.1f}s "
           f"({n_done / max(dt, 1e-9):.1f} img/s)")
+    _maybe_eval(args)
     return 0
+
+
+def _maybe_eval(args) -> None:
+    """--mask_dir: score the just-written predictions against ground
+    truth (eval/folder_eval.py) — the standalone-evaluation path for any
+    servable artifact. Soft --prob maps binarize at the SAME --threshold
+    they were written with; binary masks (0/255) at the 127 midpoint."""
+    if not getattr(args, "mask_dir", None):
+        return
+    from ddti_tpu.eval.folder_eval import (
+        evaluate_predictions,
+        write_eval_artifacts,
+    )
+    thr255 = (float(args.threshold) * 255.0
+              if getattr(args, "prob", False) else 127.0)
+    summary, rows = evaluate_predictions(args.output_dir, args.mask_dir,
+                                         pred_thresh255=thr255)
+    if not rows:
+        print(f"--mask_dir: no <stem>_pred.png / <stem>_mask.* pairs "
+              f"matched between {args.output_dir} and {args.mask_dir}")
+        return
+    print(write_eval_artifacts(args.output_dir, summary, rows))
 
 
 def _infer_serving_bundle(args) -> int:
