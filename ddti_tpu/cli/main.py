@@ -149,6 +149,15 @@ def get_parser() -> argparse.ArgumentParser:
                    help="int8 serving: quantize only convs with "
                         "max(cin,cout) >= this (mixed precision; 128 "
                         "recommended at 512^2 — PERF_NOTES.md)")
+    p.add_argument("--qat", action="store_true",
+                   help="quantization-aware training: fake-quantized conv "
+                        "forwards (per-channel int8 weights, per-tensor "
+                        "activations, STE gradients) + activation-range "
+                        "EMA; --serving_dtype int8 exports then use the "
+                        "learned ranges instead of one-batch calibration "
+                        "(train/qat.py; respects --quant_min_channels)")
+    p.add_argument("--qat_ema_decay", type=float, default=0.99,
+                   help="per-step decay of the QAT activation-range EMA")
     p.add_argument("--serving_batches", default=None, type=str,
                    help="comma list of batch shapes for --export_serving "
                         "(e.g. 1,8,128): one bundle per shape, servable "

@@ -71,6 +71,10 @@ def main(argv=None) -> int:
                     help="binarization threshold baked into the program "
                          "(e.g. the train CLI's --tune_threshold result, "
                          "logged as 'Threshold sweep ... -> using T')")
+    ap.add_argument("--no_qstats", action="store_true",
+                    help="ignore QAT-learned activation ranges carried by "
+                         "the checkpoint (train --qat) and calibrate on "
+                         "images instead")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--compilation_cache", default="auto",
                     help="persistent XLA compile cache dir; 'off' disables")
@@ -110,6 +114,19 @@ def main(argv=None) -> int:
         args.checkpoint, args.model_type, variables["params"],
         variables.get("batch_stats", {}))
 
+    # a --qat training run saved its activation-range EMA alongside the
+    # weights; those ranges (learned over the whole run) beat one-batch
+    # calibration — use them unless told otherwise
+    qat_amax = None
+    if not args.no_qstats:
+        from ddti_tpu.train.checkpoint import load_qstats
+        qs = load_qstats(args.checkpoint)
+        if qs:
+            qat_amax = {tuple(p.split("/")): v for p, v in qs.items()
+                        if v > 0}
+            print(f"using {len(qat_amax)} QAT-learned activation ranges "
+                  "from the checkpoint (disable with --no_qstats)")
+
     if args.calib_dir:
         from PIL import Image
         names = sorted(n for n in os.listdir(args.calib_dir)
@@ -127,8 +144,9 @@ def main(argv=None) -> int:
         from ddti_tpu.data import generate_ddti_like
         imgs, _ = generate_ddti_like(args.calib_count, (size, size), 0)
         calib = np.asarray(imgs, np.float32) / 255.0
-    print(f"calibrating on {len(calib)} images "
-          f"({'real' if args.calib_dir else 'synthetic'})")
+    if not qat_amax:
+        print(f"calibrating on {len(calib)} images "
+              f"({'real' if args.calib_dir else 'synthetic'})")
 
     in_dtype = jnp.uint8 if args.input_dtype == "uint8" else jnp.float32
     prog = args.output + "_serving_program.stablehlo"
@@ -148,7 +166,8 @@ def main(argv=None) -> int:
         for mc in (0, 128):
             blob, svars = export_serving_int8(
                 model, params, stats, batch=args.batch_size, size=size,
-                calib_images=jnp.asarray(calib), input_dtype=in_dtype,
+                calib_images=None if qat_amax else jnp.asarray(calib),
+                amax=qat_amax, input_dtype=in_dtype,
                 threshold=args.threshold, min_channels=mc, tta=args.tta)
             cand = args.output + f"_mc{mc}_serving_program.stablehlo"
             with open(cand, "wb") as f:
@@ -191,8 +210,9 @@ def main(argv=None) -> int:
                 # costs 30-60 s — no reason to redo the device work)
                 from ddti_tpu.train.quantize import quantize_serving
                 svars_shared = quantize_serving(
-                    model, params, stats, jnp.asarray(calib),
-                    min_channels=mc)
+                    model, params, stats,
+                    None if qat_amax else jnp.asarray(calib),
+                    amax=qat_amax, min_channels=mc)
             from ddti_tpu.train.quantize import export_quantized_program
             svars = svars_shared
             blob = export_quantized_program(

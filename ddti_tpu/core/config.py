@@ -94,6 +94,10 @@ class Config:
     serving_dtype: str = "f32"     # exported bundle precision (f32|bf16|int8)
     quant_min_channels: int = 0    # int8: only quantize convs with
                                    # max(cin,cout) >= this (128 for 512^2)
+    qat: bool = False  # quantization-aware training (train/qat.py):
+    # fake-quantized conv forwards (STE) + activation-range EMA; int8
+    # exports then use the learned ranges instead of one-batch calibration
+    qat_ema_decay: float = 0.99  # amax EMA decay per step under --qat
     early_stop_patience: int = 50
     alpha: float = 2.0
     ema_decay: float = 0.0  # >0 keeps an exponential-moving-average

@@ -14,6 +14,7 @@ import os
 from typing import Any
 
 import jax
+import numpy as np
 
 
 def _tree_dict(state) -> dict:
@@ -27,6 +28,9 @@ def _tree_dict(state) -> dict:
     # stay interchangeable with pre-EMA runs
     if getattr(state, "ema_params", None) is not None:
         d["ema_params"] = state.ema_params
+    # only present under --qat (the activation-range EMA, train/qat.py)
+    if getattr(state, "qstats", None):
+        d["qstats"] = state.qstats
     return d
 
 
@@ -40,31 +44,49 @@ def save_checkpoint(path: str, state) -> None:
     ckptr.wait_until_finished()
 
 
-def _ckpt_top_keys(path: str):
-    """Top-level keys of a saved checkpoint tree (None if the installed
-    Orbax can't report metadata) — used to reconcile the ema_params key,
-    which is present only for --ema_decay runs, against the caller's
-    template (Orbax's structure check has no partial restore)."""
+def _ckpt_tree_meta(path: str):
+    """The saved checkpoint's tree metadata (None if the installed Orbax
+    can't report it) — used to reconcile the optional top-level keys
+    (ema_params, qstats), which are present only for --ema_decay / --qat
+    runs, against the caller's template (Orbax's structure check has no
+    partial restore)."""
     try:
         import orbax.checkpoint as ocp
 
         md = ocp.StandardCheckpointer().metadata(path)
-        tree = md.item_metadata.tree if hasattr(md, "item_metadata") else md
-        return set(tree.keys())
+        return md.item_metadata.tree if hasattr(md, "item_metadata") else md
     except Exception:
         return None
 
 
-def _align_ema_target(target: dict, keys) -> dict:
-    """Make the restore template's ema_params presence match the
-    checkpoint's (the shadow has the params' shapes, so params serve as
-    its template)."""
-    if keys is None:
+def _ckpt_top_keys(path: str):
+    tree = _ckpt_tree_meta(path)
+    return None if tree is None else set(tree.keys())
+
+
+def _align_optional_target(target: dict, tree) -> dict:
+    """Make the restore template's optional-key presence (ema_params,
+    qstats) match the checkpoint's — Orbax's structure check has no
+    partial restore, so presence must agree in both directions. The EMA
+    shadow has the params' shapes (params serve as its template); a
+    qstats template is rebuilt from the checkpoint's own metadata keys
+    (f32 scalars by construction, train/qat.py)."""
+    if tree is None:
         return target
+    keys = set(tree.keys())
     if "ema_params" in keys and "ema_params" not in target:
-        return dict(target, ema_params=target["params"])
+        target = dict(target, ema_params=target["params"])
     if "ema_params" not in keys and "ema_params" in target:
-        return {k: v for k, v in target.items() if k != "ema_params"}
+        target = {k: v for k, v in target.items() if k != "ema_params"}
+    if "qstats" not in keys and "qstats" in target:
+        target = {k: v for k, v in target.items() if k != "qstats"}
+    if "qstats" in keys and "qstats" not in target:
+        try:
+            qkeys = list(tree["qstats"].keys())
+            target = dict(target, qstats={
+                k: np.zeros((), np.float32) for k in qkeys})
+        except Exception:
+            pass  # unreadable metadata: let the restore raise naturally
     return target
 
 
@@ -80,6 +102,17 @@ def _merge_restored_ema(state, restored: dict):
     return ema
 
 
+def _merge_restored_qstats(state, restored: dict):
+    """The QAT activation ranges to carry forward: restored values for the
+    paths this run tracks (per-key — a changed --quant_min_channels keeps
+    the overlap), zeros init for new paths; with --qat off any saved
+    ranges are dropped."""
+    if getattr(state, "qstats", None) is None:
+        return None
+    saved = restored.get("qstats") or {}
+    return {p: saved.get(p, v) for p, v in state.qstats.items()}
+
+
 def restore_checkpoint(path: str, state):
     """Restore into the structure of ``state`` (returns a new TrainState).
     Checkpoints with/without an EMA shadow restore into states
@@ -88,13 +121,14 @@ def restore_checkpoint(path: str, state):
 
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
-    target = _align_ema_target(jax.device_get(_tree_dict(state)),
-                               _ckpt_top_keys(path))
+    target = _align_optional_target(jax.device_get(_tree_dict(state)),
+                                    _ckpt_tree_meta(path))
     restored = ckptr.restore(path, target)
     return state.replace(step=restored["step"], params=restored["params"],
                          batch_stats=restored["batch_stats"],
                          opt_state=restored["opt_state"],
-                         ema_params=_merge_restored_ema(state, restored))
+                         ema_params=_merge_restored_ema(state, restored),
+                         qstats=_merge_restored_qstats(state, restored))
 
 
 class ManagedCheckpointer:
@@ -146,19 +180,30 @@ class ManagedCheckpointer:
             restored = self.manager.restore(
                 step, args=self._ocp.args.StandardRestore(target))
         except ValueError:
-            # ema_params presence differs between this run's flags and
-            # the saved checkpoint; retry with the key toggled
-            target = (dict(target, ema_params=target["params"])
-                      if "ema_params" not in target else
-                      {k: v for k, v in target.items()
-                       if k != "ema_params"})
+            # optional-key presence (ema_params/qstats) differs between
+            # this run's flags and the saved checkpoint; rebuild the
+            # template from the checkpoint's own metadata
+            tree = None
+            try:
+                md = self.manager.item_metadata(step)
+                tree = md.tree if hasattr(md, "tree") else md
+            except Exception:
+                pass
+            if tree is not None:
+                target = _align_optional_target(target, tree)
+            else:  # metadata unavailable: fall back to the EMA toggle
+                target = (dict(target, ema_params=target["params"])
+                          if "ema_params" not in target else
+                          {k: v for k, v in target.items()
+                           if k != "ema_params"})
             restored = self.manager.restore(
                 step, args=self._ocp.args.StandardRestore(target))
         return state.replace(
             step=restored["step"], params=restored["params"],
             batch_stats=restored["batch_stats"],
             opt_state=restored["opt_state"],
-            ema_params=_merge_restored_ema(state, restored)), step
+            ema_params=_merge_restored_ema(state, restored),
+            qstats=_merge_restored_qstats(state, restored)), step
 
     def wait(self) -> None:
         self.manager.wait_until_finished()
@@ -254,9 +299,15 @@ def load_variables_npz(path: str, template: dict) -> dict:
             for prefix, tree in template.items()}
 
 
-def save_params_npz(path: str, params: Any, batch_stats: Any) -> None:
-    """Two-collection convenience wrapper over ``save_variables_npz``."""
-    save_variables_npz(path, {"params": params, "batch_stats": batch_stats})
+def save_params_npz(path: str, params: Any, batch_stats: Any,
+                    qstats: Any = None) -> None:
+    """Two-collection convenience wrapper over ``save_variables_npz``
+    (plus the QAT activation ranges when the run tracked them — readers
+    that only want weights ignore the extra entries)."""
+    v = {"params": params, "batch_stats": batch_stats}
+    if qstats:
+        v["qstats"] = qstats
+    save_variables_npz(path, v)
 
 
 def load_params_npz(path: str, params: Any, batch_stats: Any):
@@ -264,3 +315,27 @@ def load_params_npz(path: str, params: Any, batch_stats: Any):
     out = load_variables_npz(path, {"params": params,
                                     "batch_stats": batch_stats})
     return out["params"], out["batch_stats"]
+
+
+def load_qstats(path: str) -> dict | None:
+    """QAT activation ranges carried by a checkpoint, if any: Orbax
+    full-state dirs (``qstats`` key) and ``.npz`` weight exports
+    (``qstats/<path>`` entries). Returns ``{"module/path": float}`` or
+    None (reference ``.pth`` files never carry ranges). Offline int8
+    export (cli/quantize) prefers these over one-batch calibration."""
+    if path.endswith(".npz"):
+        data = np.load(path)
+        out = {k.split("/", 1)[1]: float(data[k]) for k in data.files
+               if k.startswith("qstats/")}
+        return out or None
+    if not os.path.isdir(path):
+        return None
+    tree = _ckpt_tree_meta(os.path.abspath(path))
+    if tree is None or "qstats" not in set(tree.keys()):
+        return None
+    import orbax.checkpoint as ocp
+
+    restored = ocp.StandardCheckpointer().restore(os.path.abspath(path))
+    q = restored.get("qstats") or {}
+    out = {p: float(v) for p, v in q.items()}
+    return out or None

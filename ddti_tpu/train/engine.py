@@ -79,12 +79,22 @@ class Trainer:
         if state is None:
             shape = (1, config.image_size, config.image_size,
                      getattr(model, "in_channels", 1))
+            qat = bool(getattr(config, "qat", False))
+            if qat and getattr(model, "remat", False):
+                # nn.remat's inner trace would leak the QAT range
+                # side-channel (same constraint as calibrate_conv_amax)
+                raise ValueError("--qat is incompatible with --remat; "
+                                 "use --grad_accum for memory instead")
             state = create_train_state(
                 model, jax.random.PRNGKey(config.seed), shape,
                 config.lr, steps_per_epoch, config.weight_decay,
                 ema=float(getattr(config, "ema_decay", 0.0) or 0.0) > 0,
                 clip_norm=float(getattr(config, "clip_grad_norm", 0.0)
-                                or 0.0))
+                                or 0.0),
+                qat=qat,
+                quant_min_channels=int(getattr(config,
+                                               "quant_min_channels", 0)
+                                       or 0))
         self.state = state
         self._batch_sh = None
         self._multihost = mesh is not None and jax.process_count() > 1
@@ -449,7 +459,8 @@ class Trainer:
                 best = os.path.join(cfg.model_dir,
                                     f"{cfg.model_type}_best")
                 save_checkpoint(best, self.state)
-                save_params_npz(best + ".npz", *self._eval_weights())
+                save_params_npz(best + ".npz", *self._eval_weights(),
+                                qstats=getattr(self.state, "qstats", None))
                 self._maybe_export_pth(best + ".pth")
                 self.logger.info(f"--Best model saved at epoch {epoch + 1} "
                                  f"with IoU: {self.best_val_iou:.4f}")
@@ -461,7 +472,8 @@ class Trainer:
 
         last = os.path.join(cfg.model_dir, f"{cfg.model_type}_last")
         save_checkpoint(last, self.state)
-        save_params_npz(last + ".npz", *self._eval_weights())
+        save_params_npz(last + ".npz", *self._eval_weights(),
+                        qstats=getattr(self.state, "qstats", None))
         self._maybe_export_pth(last + ".pth")
         if getattr(cfg, "export_serving", False):
             self._export_serving_artifacts()
@@ -503,10 +515,20 @@ class Trainer:
                 # sharded artifact export from the same variables.
                 from .quantize import (export_quantized_program,
                                        quantize_serving)
-                variables_q = quantize_serving(
-                    self.model, eval_params, eval_stats,
-                    self._calibration_batch(),
-                    min_channels=getattr(cfg, "quant_min_channels", 0))
+                mc = getattr(cfg, "quant_min_channels", 0)
+                qs = getattr(self.state, "qstats", None)
+                if qs:
+                    # --qat run: activation ranges learned as an EMA over
+                    # the whole training (train/qat.py) replace the
+                    # one-batch calibration
+                    from .qat import qstats_amax
+                    variables_q = quantize_serving(
+                        self.model, eval_params, eval_stats,
+                        amax=qstats_amax(qs), min_channels=mc)
+                else:
+                    variables_q = quantize_serving(
+                        self.model, eval_params, eval_stats,
+                        self._calibration_batch(), min_channels=mc)
         except Exception as e:
             self.logger.warning(f"serving quantization failed: {e}")
 

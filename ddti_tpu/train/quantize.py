@@ -227,9 +227,11 @@ def quantized_apply(model, variables: dict, images, **kwargs):
 # ---------------------------------------------------------------------------
 
 
-def quantize_serving(model, params: Any, batch_stats: Any, calib_images,
+def quantize_serving(model, params: Any, batch_stats: Any,
+                     calib_images=None,
                      *, fold_bn: bool = True, strip: bool = True,
-                     min_channels: int = 0) -> dict:
+                     min_channels: int = 0, amax: dict | None = None
+                     ) -> dict:
     """Fold BN, calibrate on ``calib_images``, quantize weights; returns the
     serving ``variables`` dict (params/batch_stats/quant) for
     ``quantized_apply`` / ``export_serving_int8``.
@@ -241,7 +243,17 @@ def quantize_serving(model, params: Any, batch_stats: Any, calib_images,
     saves (measured: at 512 squared bs16, full int8 is SLOWER than bf16;
     see benchmarks/PERF_NOTES.md) — while the deep channel-heavy levels
     are compute-bound and win 2-3x.
+
+    ``amax`` supplies activation ranges directly ({module_path_tuple:
+    float}) instead of calibrating on ``calib_images`` — the QAT path
+    (train/qat.py, ``qstats_amax(state.qstats)``): ranges learned as an
+    EMA over the whole training run rather than one batch. Exactly one of
+    ``calib_images`` / ``amax`` must be given.
     """
+    if (calib_images is None) == (amax is None):
+        raise ValueError(
+            "quantize_serving needs exactly one of calib_images (PTQ "
+            "calibration) or amax (QAT-learned ranges)")
     if fold_bn:
         from ddti_tpu.train.fold_bn import fold_batchnorm
         try:
@@ -252,7 +264,19 @@ def quantize_serving(model, params: Any, batch_stats: Any, calib_images,
             # applied after the dequantized conv output, still exact
             pass
     variables = {"params": params, "batch_stats": batch_stats}
-    amax = calibrate_conv_amax(model, variables, calib_images)
+    if amax is None:
+        amax = calibrate_conv_amax(model, variables, calib_images)
+    else:
+        # learned ranges address UNQUANTIZED module paths; drop any entry
+        # whose conv doesn't exist in this params tree (defensive: e.g. a
+        # stale checkpoint from a different depth)
+        def _has(path):
+            try:
+                return "kernel" in _tree_get(params, path)
+            except (KeyError, TypeError):
+                return False
+
+        amax = {p: a for p, a in amax.items() if _has(p)}
     if min_channels:
         amax = {p: a for p, a in amax.items()
                 if max(_tree_get(params, p)["kernel"].shape[2:])
@@ -288,10 +312,11 @@ def export_quantized_program(model, variables: dict, batch: int,
 
 
 def export_serving_int8(model, params: Any, batch_stats: Any, batch: int,
-                        size: int, calib_images, in_channels: int = 1,
+                        size: int, calib_images=None, in_channels: int = 1,
                         threshold: float = 0.5, input_dtype=jnp.uint8,
                         min_channels: int = 0,
-                        mesh=None, tta: bool = False) -> tuple[bytes, dict]:
+                        mesh=None, tta: bool = False,
+                        amax: dict | None = None) -> tuple[bytes, dict]:
     """Quantize + export in one call: ``serve(variables, images) ->
     uint8 masks`` with all tabled convs in s8 x s8 -> s32. Returns
     ``(blob, variables)``; pair with
@@ -300,7 +325,8 @@ def export_serving_int8(model, params: Any, batch_stats: Any, batch: int,
     collection — and, for ``mesh`` exports, the device placement —
     transparently)."""
     variables = quantize_serving(model, params, batch_stats,
-                                 calib_images, min_channels=min_channels)
+                                 calib_images, min_channels=min_channels,
+                                 amax=amax)
     blob = export_quantized_program(model, variables, batch, size,
                                     in_channels, threshold, input_dtype,
                                     mesh, tta=tta)

@@ -28,6 +28,10 @@ class TrainState(struct.PyTreeNode):
     # evaluation/test/serving use these when present — the standard
     # production trick for smoother segmentation masks
     ema_params: Any = None
+    # --qat: per-conv activation-range EMA ({"path/to/conv": f32 amax},
+    # train/qat.py); None unless quantization-aware training is on.
+    # Consumed at int8 export time in place of one-batch calibration.
+    qstats: Any = None
     tx: optax.GradientTransformation = struct.field(pytree_node=False,
                                                     default=None)
     apply_fn: Callable = struct.field(pytree_node=False, default=None)
@@ -49,6 +53,20 @@ class TrainState(struct.PyTreeNode):
             lambda e, p: (e * d + p.astype(e.dtype) * (1 - d)),
             self.ema_params, self.params)
         return self.replace(ema_params=ema)
+
+    def update_qstats(self, observed: dict, decay: float) -> "TrainState":
+        """amax EMA: ``ema <- decay*ema + (1-decay)*batch_amax``; an
+        unobserved entry (0.0) seeds directly from the first batch. No-op
+        when QAT is off."""
+        if self.qstats is None:
+            return self
+        d = jnp.float32(decay)
+        new = {}
+        for p, old in self.qstats.items():
+            a = observed.get(p)
+            new[p] = old if a is None else jnp.where(
+                old > 0, old * d + a * (1 - d), a)
+        return self.replace(qstats=new)
 
 
 def flat_fused(inner: optax.GradientTransformation
@@ -99,19 +117,28 @@ def create_train_state(model, key, input_shape, lr: float,
                        steps_per_epoch: int,
                        weight_decay: float = 1e-2,
                        ema: bool = False,
-                       clip_norm: float = 0.0) -> TrainState:
+                       clip_norm: float = 0.0,
+                       qat: bool = False,
+                       quant_min_channels: int = 0) -> TrainState:
     variables = model.init({"params": key},
                            jnp.zeros(input_shape, jnp.float32), train=False)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx, _ = make_optimizer(lr, steps_per_epoch, weight_decay,
                            clip_norm=clip_norm)
+    if qat:
+        from .qat import init_qstats
+        qstats = init_qstats(model, variables, input_shape,
+                             quant_min_channels)
+    else:
+        qstats = None
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         batch_stats=batch_stats,
         opt_state=tx.init(params),
         ema_params=jax.tree.map(jnp.copy, params) if ema else None,
+        qstats=qstats,
         tx=tx,
         apply_fn=model.apply,
     )

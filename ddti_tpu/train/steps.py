@@ -279,6 +279,11 @@ def _build_train_step_impl(config, aug_cfg: AugmentConfig | None,
     grad_accum = int(getattr(config, "grad_accum", 1) or 1)
     ema_decay = float(getattr(config, "ema_decay", 0.0) or 0.0)
     nan_guard = bool(getattr(config, "nan_guard", False))
+    # --qat: fake-quantized conv forwards + activation-range EMA
+    # (train/qat.py); state.qstats must be initialized (create_train_state
+    # qat=True)
+    qat = bool(getattr(config, "qat", False))
+    qat_decay = float(getattr(config, "qat_ema_decay", 0.99) or 0.99)
 
     def finite_all(grads, loss):
         """Scalar bool: the loss and EVERY gradient element are finite —
@@ -289,17 +294,21 @@ def _build_train_step_impl(config, aug_cfg: AugmentConfig | None,
             ok = jnp.logical_and(ok, jnp.isfinite(g).all())
         return ok
 
-    def guarded_update(state, grads, bstats, terms, counts, n):
+    def guarded_update(state, grads, bstats, terms, counts, n,
+                       observed=None):
         """--nan_guard: apply the update only when loss+grads are finite;
         a rejected step keeps the ENTIRE old state (params, opt state, BN
-        stats, EMA, step counter — the step retries at the same schedule
-        position) and contributes zeros to the epoch metrics. The
-        where-select costs one elementwise pass over the state — same
-        order as the optimizer update itself, and only paid opt-in."""
+        stats, EMA, QAT ranges, step counter — the step retries at the
+        same schedule position) and contributes zeros to the epoch
+        metrics. The where-select costs one elementwise pass over the
+        state — same order as the optimizer update itself, and only paid
+        opt-in."""
         ok = finite_all(grads, terms.total)
         new_state = state.apply_gradients(grads, bstats)
         if ema_decay:
             new_state = new_state.update_ema(ema_decay)
+        if qat and observed is not None:
+            new_state = new_state.update_qstats(observed, qat_decay)
         state = jax.tree.map(lambda nw, od: jnp.where(ok, nw, od),
                              new_state, state)
         okf = ok.astype(jnp.float32)
@@ -311,16 +320,23 @@ def _build_train_step_impl(config, aug_cfg: AugmentConfig | None,
 
     def make_loss_fn(state, images, masks, k_drop):
         def loss_fn(params, batch_stats):
-            out, updates = state.apply_fn(
-                {"params": params, "batch_stats": batch_stats},
-                images, train=True, mutable=["batch_stats"],
-                rngs={"dropout": k_drop})
+            variables = {"params": params, "batch_stats": batch_stats}
+            kw = dict(train=True, mutable=["batch_stats"],
+                      rngs={"dropout": k_drop})
+            if qat:
+                from ddti_tpu.train.qat import qat_apply
+                (out, updates), observed = qat_apply(
+                    state.apply_fn, variables, images,
+                    state.qstats or {}, **kw)
+            else:
+                out, updates = state.apply_fn(variables, images, **kw)
+                observed = {}
             logits = _main_logits(out)
             terms = weighted_loss(logits, masks, **loss_kw)
             if isinstance(out, tuple) and ds_weight > 0:
                 aux = _ds_aux_loss(out, masks, loss_kw, ds_weight)
                 terms = terms._replace(total=terms.total + aux)
-            return terms.total, (terms, updates, logits)
+            return terms.total, (terms, updates, logits, observed)
 
         return loss_fn
 
@@ -337,15 +353,17 @@ def _build_train_step_impl(config, aug_cfg: AugmentConfig | None,
         if grad_accum == 1:
             loss_fn = make_loss_fn(state, images, masks, k_drop)
             grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-            (_, (terms, updates, logits)), grads = grad_fn(
+            (_, (terms, updates, logits, observed)), grads = grad_fn(
                 state.params, state.batch_stats)
             counts = confusion_counts(logits, masks)
             if nan_guard:
                 return guarded_update(state, grads, updates["batch_stats"],
-                                      terms, counts, n)
+                                      terms, counts, n, observed)
             state = state.apply_gradients(grads, updates["batch_stats"])
             if ema_decay:
                 state = state.update_ema(ema_decay)
+            if qat:
+                state = state.update_qstats(observed, qat_decay)
             return state, StepMetrics(terms.total, terms.bce, terms.dice,
                                       terms.focal, terms.boundary, counts, n)
 
@@ -372,30 +390,40 @@ def _build_train_step_impl(config, aug_cfg: AugmentConfig | None,
         g0 = jax.tree.map(jnp.zeros_like, state.params)
         t0 = LossTerms(zero, zero, zero, zero, zero)
         c0 = ConfusionCounts(zero, zero, zero, zero, zero, zero)
+        # QAT range observations: microbatches observe independently; the
+        # step's range is their elementwise max
+        o0 = ({p: zero for p in state.qstats} if qat and state.qstats
+              else {})
 
         def body(carry, xs):
-            bstats, gacc, tacc, cacc = carry
+            bstats, gacc, tacc, cacc, oacc = carry
             xi, mi, ki = xs
             loss_fn = make_loss_fn(state, xi, mi, ki)
-            (_, (terms, updates, logits)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state.params, bstats)
+            (_, (terms, updates, logits, observed)), grads = (
+                jax.value_and_grad(loss_fn, has_aux=True)(
+                    state.params, bstats))
             gacc = jax.tree.map(jnp.add, gacc, grads)
             tacc = jax.tree.map(jnp.add, tacc, terms)
             cacc = cacc + confusion_counts(logits, mi)
-            return (updates["batch_stats"], gacc, tacc, cacc), None
+            oacc = {p: jnp.maximum(oacc[p], observed.get(p, zero))
+                    for p in oacc}
+            return (updates["batch_stats"], gacc, tacc, cacc, oacc), None
 
-        (bstats, gsum, tsum, counts), _ = jax.lax.scan(
-            body, (state.batch_stats, g0, t0, c0), (im, mk, kd))
+        (bstats, gsum, tsum, counts, observed), _ = jax.lax.scan(
+            body, (state.batch_stats, g0, t0, c0, o0), (im, mk, kd))
         inv = jnp.float32(1.0 / grad_accum)
         grads = jax.tree.map(lambda g: g * inv, gsum)
         terms = jax.tree.map(lambda t: t * inv, tsum)
         if nan_guard:
             # one non-finite microbatch poisons the summed gradient, so
             # the whole accumulated step is rejected as a unit
-            return guarded_update(state, grads, bstats, terms, counts, n)
+            return guarded_update(state, grads, bstats, terms, counts, n,
+                                  observed if qat else None)
         state = state.apply_gradients(grads, bstats)
         if ema_decay:
             state = state.update_ema(ema_decay)
+        if qat:
+            state = state.update_qstats(observed, qat_decay)
         return state, StepMetrics(terms.total, terms.bce, terms.dice,
                                   terms.focal, terms.boundary, counts, n)
 
