@@ -158,6 +158,23 @@ def get_parser() -> argparse.ArgumentParser:
                         "(train/qat.py; respects --quant_min_channels)")
     p.add_argument("--qat_ema_decay", type=float, default=0.99,
                    help="per-step decay of the QAT activation-range EMA")
+    p.add_argument("--distill_checkpoint", default="", type=str,
+                   help="knowledge distillation (train/distill.py): a "
+                        "trained teacher checkpoint (Orbax dir / .npz / "
+                        "reference .pth) whose frozen forward supervises "
+                        "the student through a tempered per-pixel BCE, "
+                        "fused into the train step")
+    p.add_argument("--distill_model_type", default="", type=str,
+                   help="teacher architecture (default: --model_type)")
+    p.add_argument("--distill_base_filters", default=0, type=int,
+                   help="teacher base_filters (default: --base_filters)")
+    p.add_argument("--distill_depth", default=0, type=int,
+                   help="teacher depth (default: --depth)")
+    p.add_argument("--distill_weight", default=0.5, type=float,
+                   help="KD share of the total loss: total = (1-w)*ground"
+                        "-truth composite + w*KD (1.0 = teacher only)")
+    p.add_argument("--distill_temperature", default=2.0, type=float,
+                   help="sigmoid softening temperature for the KD term")
     p.add_argument("--serving_batches", default=None, type=str,
                    help="comma list of batch shapes for --export_serving "
                         "(e.g. 1,8,128): one bundle per shape, servable "

@@ -98,6 +98,14 @@ class Config:
     # fake-quantized conv forwards (STE) + activation-range EMA; int8
     # exports then use the learned ranges instead of one-batch calibration
     qat_ema_decay: float = 0.99  # amax EMA decay per step under --qat
+    # knowledge distillation (train/distill.py): a frozen teacher
+    # checkpoint supervises the student through a tempered per-pixel BCE
+    distill_checkpoint: str = ""   # Orbax dir / .npz / reference .pth
+    distill_model_type: str = ""   # teacher arch ("" = same as student)
+    distill_base_filters: int = 0  # teacher width (0 = student's)
+    distill_depth: int = 0         # teacher depth (0 = student's)
+    distill_weight: float = 0.5    # KD share of the total loss [0, 1]
+    distill_temperature: float = 2.0  # sigmoid softening temperature
     early_stop_patience: int = 50
     alpha: float = 2.0
     ema_decay: float = 0.0  # >0 keeps an exponential-moving-average

@@ -125,11 +125,31 @@ class Trainer:
                     src.images = jax.device_put(src.images, rep)
                     src.masks = jax.device_put(src.masks, rep)
 
-        self.train_step = make_train_step(config, aug_config_from(config))
-        self.host_train_step = make_host_train_step(config)
+        # --distill_checkpoint: a frozen teacher fused into the train step
+        # (train/distill.py); its variables ride along as a step argument
+        from ddti_tpu.train.distill import teacher_from_config
+        t_apply, t_vars = teacher_from_config(config)
+        self._teacher_vars = None
+        if t_apply is not None:
+            if mesh is not None:
+                from ddti_tpu.parallel import replicated
+                t_vars = jax.device_put(t_vars, replicated(mesh))
+            self._teacher_vars = t_vars
+            n_t = sum(x.size for x in jax.tree.leaves(t_vars["params"]))
+            logger.info(
+                f"Distilling from {config.distill_checkpoint} "
+                f"({n_t / 1e6:.2f}M-param teacher, weight="
+                f"{getattr(config, 'distill_weight', 0.5)}, "
+                f"T={getattr(config, 'distill_temperature', 2.0)})")
+
+        self.train_step = make_train_step(config, aug_config_from(config),
+                                          teacher_apply=t_apply)
+        self.host_train_step = make_host_train_step(config,
+                                                    teacher_apply=t_apply)
         self.eval_step = make_eval_step(config)
         self.infer_step = make_infer_step(config)
-        self.scan_epoch = (make_scan_epoch(config, aug_config_from(config))
+        self.scan_epoch = (make_scan_epoch(config, aug_config_from(config),
+                                           teacher_apply=t_apply)
                            if getattr(config, "fused_epoch", False) else None)
 
         self.early_stopping = EarlyStopping(
@@ -288,7 +308,8 @@ class Trainer:
             step = (self.train_step if images.dtype == jax.numpy.uint8
                     else self.host_train_step)
             step_key = jax.random.fold_in(ekey, i)
-            self.state, m = step(self.state, images, masks, step_key)
+            self.state, m = step(self.state, images, masks, step_key,
+                                 self._teacher_vars)
             total = accumulate(total, m)
             n_imgs += int(images.shape[0])
             if self._nan_guard and not self._note_skip(
@@ -367,7 +388,8 @@ class Trainer:
                                                     P(None, "data")))
         self.key, ekey = jax.random.split(self.key)
         self.state, stacked = self.scan_epoch(
-            self.state, src.images, src.masks, idx, ekey)
+            self.state, src.images, src.masks, idx, ekey,
+            self._teacher_vars)
         stacked = jax.device_get(stacked)
         # reduce the per-step stacked metrics exactly like accumulate()
         n = stacked.n.sum()

@@ -60,22 +60,30 @@ def _to_float(images, masks):
     return f(images), f(masks)
 
 
-def make_train_step(config, aug_cfg: AugmentConfig) -> Callable:
+def make_train_step(config, aug_cfg: AugmentConfig,
+                    teacher_apply=None) -> Callable:
     """Build the jitted train step:
-    (state, images_u8, masks_u8, key) -> (state, StepMetrics)."""
-    return jax.jit(_build_train_step_impl(config, aug_cfg),
+    (state, images_u8, masks_u8, key[, teacher_vars]) ->
+    (state, StepMetrics). ``teacher_apply`` (train/distill.py) fuses a
+    frozen teacher forward into the step; its variables arrive as the
+    fifth argument (never baked as constants — flagship-sized teachers
+    would exceed the remote-compile program cap)."""
+    return jax.jit(_build_train_step_impl(config, aug_cfg,
+                                          teacher_apply=teacher_apply),
                    donate_argnums=(0,))
 
 
-def make_host_train_step(config) -> Callable:
+def make_host_train_step(config, teacher_apply=None) -> Callable:
     """Train step for the strict host-oracle augmentation path
     (``--host_augment``): batches arrive already augmented/resized as
     float32 (the PIL/cv2 chain ran on the host, exactly like the
     reference's DataLoader), so the device step is mixup + forward/backward
     + update only — the shared step body with the device augmentation
-    chain disabled (grad_accum and deep supervision work here too).
-    (state, images_f, masks_f, key) -> (state, StepMetrics)."""
-    return jax.jit(_build_train_step_impl(config, None, augment=False),
+    chain disabled (grad_accum, deep supervision and distillation work
+    here too). (state, images_f, masks_f, key[, teacher_vars]) ->
+    (state, StepMetrics)."""
+    return jax.jit(_build_train_step_impl(config, None, augment=False,
+                                          teacher_apply=teacher_apply),
                    donate_argnums=(0,))
 
 
@@ -209,19 +217,22 @@ def gather_batch(images: jnp.ndarray, masks: jnp.ndarray, idx: jnp.ndarray):
     return images[idx], masks[idx]
 
 
-def make_scan_epoch(config, aug_cfg: AugmentConfig) -> Callable:
+def make_scan_epoch(config, aug_cfg: AugmentConfig,
+                    teacher_apply=None) -> Callable:
     """The whole training epoch as ONE XLA program.
 
     With the dataset resident in HBM, scan over the per-step index arrays:
     gather -> augment -> forward/backward -> update, all inside a single
     dispatch. The host's only per-epoch work is a permutation and a key.
 
-    Returns ``epoch_fn(state, images_store, masks_store, idx, key) ->
-    (state, StepMetrics-stacked)`` where ``idx`` is (steps, batch) int32.
+    Returns ``epoch_fn(state, images_store, masks_store, idx, key
+    [, teacher_vars]) -> (state, StepMetrics-stacked)`` where ``idx`` is
+    (steps, batch) int32.
     """
-    step_impl = _build_train_step_impl(config, aug_cfg)
+    step_impl = _build_train_step_impl(config, aug_cfg,
+                                       teacher_apply=teacher_apply)
 
-    def epoch(state, images_store, masks_store, idx, key):
+    def epoch(state, images_store, masks_store, idx, key, tvars=None):
         # fold_in per step — identical derivation to the stepwise engine
         # path, so the two modes are bit-identical
         keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
@@ -231,7 +242,7 @@ def make_scan_epoch(config, aug_cfg: AugmentConfig) -> Callable:
             batch_idx, k = xs
             images = images_store[batch_idx]
             masks = masks_store[batch_idx]
-            s, m = step_impl(s, images, masks, k)
+            s, m = step_impl(s, images, masks, k, tvars)
             return s, m
 
         state, metrics = jax.lax.scan(body, state, (idx, keys))
@@ -264,10 +275,12 @@ def _ds_aux_loss(out, masks, loss_kw, ds_weight: float):
 
 
 def _build_train_step_impl(config, aug_cfg: AugmentConfig | None,
-                           augment: bool = True) -> Callable:
+                           augment: bool = True,
+                           teacher_apply=None) -> Callable:
     """Unjitted train-step body shared by make_train_step / make_scan_epoch
     / make_host_train_step (``augment=False`` skips the device augmentation
-    chain for host-augmented float batches)."""
+    chain for host-augmented float batches; ``teacher_apply`` enables the
+    distillation path — see train/distill.py)."""
     loss_kw = dict(bce_ratio=config.bce_ratio, dice_ratio=config.dice_ratio,
                    focal_ratio=config.focal_ratio,
                    boundary_ratio=config.boundary_ratio,
@@ -284,6 +297,12 @@ def _build_train_step_impl(config, aug_cfg: AugmentConfig | None,
     # qat=True)
     qat = bool(getattr(config, "qat", False))
     qat_decay = float(getattr(config, "qat_ema_decay", 0.99) or 0.99)
+    # --distill_checkpoint: blend the ground-truth composite loss with a
+    # tempered BCE against the frozen teacher's probabilities
+    # (train/distill.py); teacher variables arrive as the step's tvars arg
+    kd_w = (float(getattr(config, "distill_weight", 0.5))
+            if teacher_apply is not None else 0.0)  # 0.0 is a valid weight
+    kd_t = float(getattr(config, "distill_temperature", 2.0) or 2.0)
 
     def finite_all(grads, loss):
         """Scalar bool: the loss and EVERY gradient element are finite —
@@ -318,7 +337,7 @@ def _build_train_step_impl(config, aug_cfg: AugmentConfig | None,
                                   terms.focal, terms.boundary, counts,
                                   n * okf, skipped=1.0 - okf)
 
-    def make_loss_fn(state, images, masks, k_drop):
+    def make_loss_fn(state, images, masks, k_drop, soft=None):
         def loss_fn(params, batch_stats):
             variables = {"params": params, "batch_stats": batch_stats}
             kw = dict(train=True, mutable=["batch_stats"],
@@ -333,14 +352,19 @@ def _build_train_step_impl(config, aug_cfg: AugmentConfig | None,
                 observed = {}
             logits = _main_logits(out)
             terms = weighted_loss(logits, masks, **loss_kw)
+            total = terms.total
             if isinstance(out, tuple) and ds_weight > 0:
-                aux = _ds_aux_loss(out, masks, loss_kw, ds_weight)
-                terms = terms._replace(total=terms.total + aux)
+                total = total + _ds_aux_loss(out, masks, loss_kw, ds_weight)
+            if soft is not None:
+                from ddti_tpu.train.distill import kd_bce
+                total = (1.0 - kd_w) * total + kd_w * kd_bce(logits, soft,
+                                                             kd_t)
+            terms = terms._replace(total=total)
             return terms.total, (terms, updates, logits, observed)
 
         return loss_fn
 
-    def step(state, images_u8, masks_u8, key):
+    def step(state, images_u8, masks_u8, key, tvars=None):
         images, masks = _to_float(images_u8, masks_u8)
         k_aug, k_mix, k_drop = jax.random.split(key, 3)
         if augment:
@@ -350,8 +374,19 @@ def _build_train_step_impl(config, aug_cfg: AugmentConfig | None,
                                   mixup_prob)
         n = jnp.asarray(images.shape[0], jnp.float32)
 
+        def teacher_soft(x):
+            """Tempered frozen-teacher probabilities for ``x`` (None when
+            distillation is off). Called on the full batch in the one-shot
+            path and per microbatch under grad_accum (keeps peak
+            activation memory at microbatch scale)."""
+            if teacher_apply is None:
+                return None
+            from ddti_tpu.train.distill import soft_targets
+            return soft_targets(teacher_apply, tvars, x, kd_t)
+
         if grad_accum == 1:
-            loss_fn = make_loss_fn(state, images, masks, k_drop)
+            loss_fn = make_loss_fn(state, images, masks, k_drop,
+                                   teacher_soft(images))
             grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
             (_, (terms, updates, logits, observed)), grads = grad_fn(
                 state.params, state.batch_stats)
@@ -398,7 +433,7 @@ def _build_train_step_impl(config, aug_cfg: AugmentConfig | None,
         def body(carry, xs):
             bstats, gacc, tacc, cacc, oacc = carry
             xi, mi, ki = xs
-            loss_fn = make_loss_fn(state, xi, mi, ki)
+            loss_fn = make_loss_fn(state, xi, mi, ki, teacher_soft(xi))
             (_, (terms, updates, logits, observed)), grads = (
                 jax.value_and_grad(loss_fn, has_aux=True)(
                     state.params, bstats))
