@@ -56,7 +56,12 @@ def _maybe_overlay(args, name: str, mask) -> None:
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--checkpoint", required=True,
+                    help="checkpoint (Orbax dir / .npz / reference .pth / "
+                         ".stablehlo bundle). A COMMA LIST of live "
+                         "checkpoints of the same architecture predicts "
+                         "as a probability-mean ensemble — e.g. the k "
+                         "fold models from a ddti-split k-fold training")
     ap.add_argument("--input_dir", required=True)
     ap.add_argument("--output_dir", required=True)
     ap.add_argument("--model_type", default="ResUNet")
@@ -114,7 +119,15 @@ def main(argv=None) -> int:
     import numpy as np
     from PIL import Image
 
-    if args.checkpoint.endswith(".stablehlo"):
+    ck_paths = [p for p in args.checkpoint.split(",") if p]
+    if any(p.endswith(".stablehlo") for p in ck_paths):
+        if len(ck_paths) > 1:
+            print("error: checkpoint ensembles need live checkpoints "
+                  "(.stablehlo bundles bake binarization in — their masks "
+                  "can't be probability-averaged). Export one bundle per "
+                  "member and vote downstream, or pass Orbax/.npz/.pth "
+                  "checkpoints here.")
+            return 1
         if args.prob:
             print("warning: --prob is unavailable for .stablehlo bundles "
                   "(binarization is baked into the exported program); "
@@ -142,12 +155,24 @@ def main(argv=None) -> int:
     params, stats = variables["params"], variables.get("batch_stats", {})
 
     from ddti_tpu.train.checkpoint import load_checkpoint_into
-    params, stats = load_checkpoint_into(args.checkpoint, args.model_type,
-                                         params, stats)
-    if args.fold_bn:
-        from ddti_tpu.train.fold_bn import fold_batchnorm
-        params, stats = fold_batchnorm(model, params, stats)
-    variables = {"params": params, "batch_stats": stats}
+    members = []
+    for ck in ck_paths:
+        p, s = load_checkpoint_into(ck, args.model_type, params, stats)
+        if args.fold_bn:
+            from ddti_tpu.train.fold_bn import fold_batchnorm
+            p, s = fold_batchnorm(model, p, s)
+        members.append({"params": p, "batch_stats": s})
+    if len(members) == 1:
+        variables = members[0]
+    else:
+        # probability-mean ensemble (the standard segmentation vote, e.g.
+        # across k-fold models): stack the member trees on a leading axis
+        # and vmap ONE forward over it — a single jitted program runs all
+        # members. Expressed back as logit(mean prob) so every downstream
+        # consumer (threshold, --prob, TTA wrapper, sliding-window Hann
+        # blend) works unchanged.
+        variables = jax.tree.map(lambda *xs: jnp.stack(xs), *members)
+        print(f"ensembling {len(members)} checkpoints (probability mean)")
 
     os.makedirs(args.output_dir, exist_ok=True)
     names = sorted(n for n in os.listdir(args.input_dir)
@@ -156,9 +181,18 @@ def main(argv=None) -> int:
         print(f"no images in {args.input_dir}")
         return 1
 
-    def _logits(v, x):
+    def _one_logits(v, x):
         out = model.apply(v, x, train=False)
         return out[0] if isinstance(out, tuple) else out
+
+    if len(members) == 1:
+        _logits = _one_logits
+    else:
+        def _logits(v, x):
+            lg = jax.vmap(lambda m: _one_logits(m, x))(v)  # (K, B, H, W, 1)
+            p = jax.nn.sigmoid(lg.astype(jnp.float32)).mean(axis=0)
+            p = jnp.clip(p, 1e-7, 1.0 - 1e-7)
+            return jnp.log(p) - jnp.log1p(-p)  # logit of the mean prob
 
     if args.tta:
         # the flip ensemble expressed as a logit map: downstream sigmoid/

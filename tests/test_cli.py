@@ -163,6 +163,67 @@ def test_infer_cli_end_to_end(tmp_path):
     assert masks["0.001"].min() == 255 and masks["0.999"].max() == 0
 
 
+def test_infer_cli_ensemble(tmp_path):
+    """--checkpoint a,b: probability-mean ensemble over live checkpoints
+    (cli/infer.py). Self-ensemble must reproduce the single-model masks
+    bit-exactly; a two-member ensemble with --prob writes the mean map;
+    .stablehlo members are rejected with a clear error."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from ddti_tpu.cli.infer import main as infer_main
+    from ddti_tpu.data.synthetic import write_synthetic_dataset
+    from ddti_tpu.models import create_model
+    from ddti_tpu.train.checkpoint import save_params_npz
+
+    root = str(tmp_path / "ds")
+    write_synthetic_dataset(root, n_train=3, n_val=1, n_test=1,
+                            size=(32, 32))
+    model = create_model("UNet", base_filters=8, depth=3)
+    cks = []
+    for seed in (0, 1):
+        v = model.init({"params": jax.random.PRNGKey(seed)},
+                       jnp.zeros((1, 32, 32, 1)), train=False)
+        ck = str(tmp_path / f"w{seed}.npz")
+        save_params_npz(ck, v["params"], v["batch_stats"])
+        cks.append(ck)
+
+    base = ["--input_dir", os.path.join(root, "train"), "--model_type",
+            "UNet", "--base_filters", "8", "--depth", "3", "--image_size",
+            "32", "--batch_size", "2", "--prob"]
+
+    def probs(outdir, checkpoint):
+        rc = infer_main(["--checkpoint", checkpoint, "--output_dir",
+                         outdir] + base)
+        assert rc == 0
+        return {n: np.asarray(Image.open(os.path.join(outdir, n)),
+                              np.float32)
+                for n in sorted(os.listdir(outdir))
+                if n.endswith("_pred.png")}
+
+    single = probs(str(tmp_path / "o1"), cks[0])
+    both = probs(str(tmp_path / "o2"), ",".join(cks))
+    selfens = probs(str(tmp_path / "o3"), ",".join([cks[0], cks[0]]))
+    other = probs(str(tmp_path / "o4"), cks[1])
+    assert single.keys() == both.keys() == selfens.keys()
+    for n in single:
+        # self-ensemble == the member (mean of identical probs; the
+        # logit(mean) round trip costs < 1 gray level)
+        assert np.abs(selfens[n] - single[n]).max() <= 1.0
+        # two-member mean sits between the members (within png rounding)
+        lo = np.minimum(single[n], other[n]) - 1.0
+        hi = np.maximum(single[n], other[n]) + 1.0
+        assert (both[n] >= lo).all() and (both[n] <= hi).all()
+        assert not np.array_equal(both[n], single[n])
+
+    # .stablehlo members are rejected
+    rc = infer_main(["--checkpoint", cks[0] + ",x.stablehlo",
+                     "--output_dir", str(tmp_path / "o5")] + base)
+    assert rc == 1
+
+
 def test_infer_cli_serving_bundle(tmp_path):
     """Serving-bundle path: --checkpoint <program>.stablehlo + paired .npz
     drives inference with no model code (ROADMAP #7). Covers the padded
