@@ -150,6 +150,54 @@ def export_serving_program(model, params: Any, batch_stats: Any, batch: int,
                           input_dtype), variables
 
 
+def ensemble_serve_body(model, stacked_variables, images,
+                        threshold: float = 0.5, tta: bool = False):
+    """Serving computation for a K-member same-architecture ensemble:
+    member variable trees stacked on a leading axis, ONE vmapped forward,
+    probability mean, threshold. The deployable form of the infer CLI's
+    ``--checkpoint a,b,c`` vote (e.g. k-fold models)."""
+    if images.dtype == jnp.uint8:
+        compute = getattr(model, "dtype", None) or jnp.float32
+        images = images.astype(compute) / 255.0
+
+    def member_probs(variables):
+        def fwd(im):
+            out = model.apply(variables, im, train=False)
+            return out[0] if isinstance(out, tuple) else out
+
+        if tta:
+            from ddti_tpu.eval.tta import tta_probs
+            return tta_probs(fwd, images)
+        return jax.nn.sigmoid(fwd(images).astype(jnp.float32))
+
+    probs = jax.vmap(member_probs)(stacked_variables).mean(axis=0)
+    return (probs > threshold).astype(jnp.uint8)
+
+
+def export_serving_ensemble(model, members: list, batch: int, size: int,
+                            in_channels: int = 1, threshold: float = 0.5,
+                            fold_bn: bool = False,
+                            input_dtype=jnp.float32, weights_dtype=None,
+                            tta: bool = False) -> tuple[bytes, dict]:
+    """Weights-as-arguments export of a K-member ensemble bundle.
+    ``members`` is a list of ``(params, batch_stats)`` pairs of the SAME
+    architecture (e.g. the K fold models from a k-fold training); the
+    program takes the stacked variable tree + images and emits the
+    probability-mean-voted masks. Returns ``(blob, stacked_variables)`` —
+    same artifact form as ``export_serving_program``, loadable by the
+    infer CLI / serve daemon / ``load_serving_bundle`` unchanged."""
+    trees = [_serving_variables(model, p, s, fold_bn, weights_dtype)
+             for p, s in members]
+    variables = jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+
+    def serve(variables, images):
+        return ensemble_serve_body(model, variables, images, threshold,
+                                   tta=tta)
+
+    return export_program(serve, variables, batch, size, in_channels,
+                          input_dtype), variables
+
+
 def export_serving_sharded(model, params: Any, batch_stats: Any, mesh,
                            batch: int, size: int, in_channels: int = 1,
                            threshold: float = 0.5, fold_bn: bool = False,

@@ -224,6 +224,68 @@ def test_infer_cli_ensemble(tmp_path):
     assert rc == 1
 
 
+def test_export_cli_ensemble_bundle(tmp_path):
+    """ddti-export: a comma-list of checkpoints becomes ONE deployable
+    ensemble bundle (vmapped members + probability-mean vote baked in);
+    the artifact serves through the standard bundle loader and the infer
+    CLI, and its masks match the live ensemble computation."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ddti_tpu.cli.export import main as export_main
+    from ddti_tpu.cli.infer import main as infer_main
+    from ddti_tpu.data.synthetic import write_synthetic_dataset
+    from ddti_tpu.models import create_model
+    from ddti_tpu.train.checkpoint import save_params_npz
+    from ddti_tpu.train.export import load_serving_bundle
+
+    root = str(tmp_path / "ds")
+    write_synthetic_dataset(root, n_train=3, n_val=1, n_test=1,
+                            size=(32, 32))
+    model = create_model("UNet", base_filters=8, depth=3)
+    cks, vs = [], []
+    for seed in (0, 1):
+        v = model.init({"params": jax.random.PRNGKey(seed)},
+                       jnp.zeros((1, 32, 32, 1)), train=False)
+        ck = str(tmp_path / f"w{seed}.npz")
+        save_params_npz(ck, v["params"], v["batch_stats"])
+        cks.append(ck)
+        vs.append(v)
+
+    out = str(tmp_path / "ens")
+    rc = export_main(["--checkpoint", ",".join(cks), "--output", out,
+                      "--model_type", "UNet", "--base_filters", "8",
+                      "--depth", "3", "--image_size", "32",
+                      "--batch_size", "2", "--input_dtype", "uint8",
+                      "--threshold", "0.4"])
+    assert rc == 0
+    prog = out + "_serving_program.stablehlo"
+    assert os.path.exists(prog) and os.path.exists(out
+                                                   + "_serving_program.npz")
+
+    serve, batch_n, size, in_dtype = load_serving_bundle(prog)
+    assert (batch_n, size, in_dtype) == (2, 32, jnp.uint8)
+    x_u8 = np.random.default_rng(0).integers(
+        0, 255, (2, 32, 32, 1), dtype=np.uint8)
+    got = np.asarray(serve(x_u8))
+
+    # live ensemble oracle: mean of member sigmoids, thresholded at 0.4
+    x = jnp.asarray(x_u8, jnp.float32) / 255.0
+    probs = np.mean([np.asarray(jax.nn.sigmoid(
+        model.apply(v, x, train=False))) for v in vs], axis=0)
+    want = (probs > 0.4).astype(np.uint8)
+    assert np.array_equal(got, want)
+
+    # the bundle drives the infer CLI like any other artifact
+    outdir = str(tmp_path / "preds")
+    rc = infer_main(["--checkpoint", prog, "--input_dir",
+                     os.path.join(root, "train"), "--output_dir", outdir])
+    assert rc == 0
+    assert len([n for n in os.listdir(outdir)
+                if n.endswith("_pred.png")]) == 3
+
+
 def test_infer_cli_serving_bundle(tmp_path):
     """Serving-bundle path: --checkpoint <program>.stablehlo + paired .npz
     drives inference with no model code (ROADMAP #7). Covers the padded
