@@ -506,3 +506,39 @@ def test_watch_auto_reloads_on_mtime_change(tmp_path):
         server.shutdown()
         server.close()
         t.join(timeout=10)
+
+
+def test_serve_ensemble_bundle(tmp_path):
+    """A ddti-export ensemble artifact (weights-as-arguments, K-member
+    vote baked in) serves through the daemon like any other bundle."""
+    from ddti_tpu.train.checkpoint import save_variables_npz
+    from ddti_tpu.train.export import export_serving_ensemble
+
+    model = create_model("UNet", base_filters=8, depth=3)
+    members = []
+    for seed in (0, 1):
+        v = model.init({"params": jax.random.PRNGKey(seed)},
+                       jnp.zeros((1, 32, 32, 1)), train=False)
+        members.append((v["params"], v["batch_stats"]))
+    blob, svars = export_serving_ensemble(model, members, batch=2, size=32,
+                                          input_dtype=jnp.uint8)
+    prog = str(tmp_path / "ens_serving_program.stablehlo")
+    with open(prog, "wb") as f:
+        f.write(blob)
+    save_variables_npz(str(tmp_path / "ens_serving_program.npz"), svars)
+
+    args = get_parser().parse_args(["--checkpoint", prog, "--port", "0",
+                                    "--compilation_cache", "off"])
+    server = create_server(args)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        resp, data = _request(server, "GET", "/healthz")
+        assert json.loads(data)["batch"] == 2
+        resp, data = _request(server, "POST", "/predict", _jpeg_bytes())
+        assert resp.status == 200
+        Image.open(io.BytesIO(data)).verify()  # a valid PNG mask
+    finally:
+        server.shutdown()
+        server.close()
+        t.join(timeout=10)
