@@ -175,6 +175,16 @@ def get_parser() -> argparse.ArgumentParser:
                         "-truth composite + w*KD (1.0 = teacher only)")
     p.add_argument("--distill_temperature", default=2.0, type=float,
                    help="sigmoid softening temperature for the KD term")
+    p.add_argument("--freeze", default="", type=str,
+                   help="fine-tuning: comma list of param-path prefixes "
+                        "to freeze (no updates, no weight decay) — e.g. "
+                        "'encoders,bottleneck' trains only the decoder; "
+                        "pair with --checkpoint_path to fine-tune a "
+                        "pretrained model (incl. reference .pth)")
+    p.add_argument("--freeze_bn_stats", action="store_true",
+                   help="also pin frozen modules' BatchNorm running "
+                        "stats (default: BN-adapt — stats keep tracking "
+                        "the fine-tuning data)")
     p.add_argument("--serving_batches", default=None, type=str,
                    help="comma list of batch shapes for --export_serving "
                         "(e.g. 1,8,128): one bundle per shape, servable "

@@ -106,6 +106,12 @@ class Config:
     distill_depth: int = 0         # teacher depth (0 = student's)
     distill_weight: float = 0.5    # KD share of the total loss [0, 1]
     distill_temperature: float = 2.0  # sigmoid softening temperature
+    # fine-tuning: comma list of param-path prefixes to freeze (no
+    # updates, no weight decay, no moment buffers) — e.g.
+    # "encoders,bottleneck" trains only the decoder head
+    freeze: str = ""
+    freeze_bn_stats: bool = False  # also pin frozen modules' BN running
+    # stats (default: BN-adapt — stats keep tracking the new data)
     early_stop_patience: int = 50
     alpha: float = 2.0
     ema_decay: float = 0.0  # >0 keeps an exponential-moving-average

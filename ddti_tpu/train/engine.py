@@ -85,6 +85,8 @@ class Trainer:
                 # side-channel (same constraint as calibrate_conv_amax)
                 raise ValueError("--qat is incompatible with --remat; "
                                  "use --grad_accum for memory instead")
+            freeze = tuple(p for p in str(getattr(config, "freeze", "")
+                                          or "").split(",") if p)
             state = create_train_state(
                 model, jax.random.PRNGKey(config.seed), shape,
                 config.lr, steps_per_epoch, config.weight_decay,
@@ -94,7 +96,22 @@ class Trainer:
                 qat=qat,
                 quant_min_channels=int(getattr(config,
                                                "quant_min_channels", 0)
-                                       or 0))
+                                       or 0),
+                freeze=freeze)
+            if freeze:
+                from ddti_tpu.train.state import freeze_labels
+                labels, _ = freeze_labels(state.params, freeze)
+                n_f = sum(int(p.size) for p, l in zip(
+                    jax.tree.leaves(state.params), jax.tree.leaves(labels))
+                    if l == "frozen")
+                n_all = sum(int(p.size)
+                            for p in jax.tree.leaves(state.params))
+                logger.info(
+                    f"Freezing {','.join(freeze)}: {n_f:,}/{n_all:,} "
+                    f"params fixed"
+                    + (", BN stats pinned too"
+                       if getattr(config, "freeze_bn_stats", False)
+                       else " (BN stats keep adapting)"))
         self.state = state
         self._batch_sh = None
         self._multihost = mesh is not None and jax.process_count() > 1

@@ -94,20 +94,72 @@ def flat_fused(inner: optax.GradientTransformation
     return optax.GradientTransformation(init, update)
 
 
+def _param_path(kp) -> str:
+    """'/'-joined key path ("encoders_0/conv1/kernel") — the same naming
+    the QAT range tree and --freeze prefixes use."""
+    return "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                    for k in kp)
+
+
+def freeze_labels(params, prefixes):
+    """Per-leaf 'frozen'/'trainable' labels for ``optax.multi_transform``:
+    a param is frozen when its '/'-joined path starts with ANY of the
+    prefixes (so ``encoders`` catches ``encoders_0/...`` through
+    ``encoders_N/...``). Returns ``(labels_tree, n_frozen_leaves)``."""
+    import jax.tree_util as jtu
+
+    pfx = tuple(prefixes)
+    labels = jtu.tree_map_with_path(
+        lambda kp, _: ("frozen" if _param_path(kp).startswith(pfx)
+                       else "trainable"), params)
+    n_frozen = sum(1 for v in jax.tree.leaves(labels) if v == "frozen")
+    return labels, n_frozen
+
+
+def keep_frozen_bstats(new_bstats, old_bstats, prefixes):
+    """--freeze_bn_stats: running BatchNorm statistics of frozen modules
+    keep their step-start values (the strict frozen-feature-extractor
+    semantic); unfrozen modules update normally. Plain --freeze leaves
+    stats adapting — the standard BN-adapt transfer behavior."""
+    import jax.tree_util as jtu
+
+    pfx = tuple(prefixes)
+    return jtu.tree_map_with_path(
+        lambda kp, n, o: o if _param_path(kp).startswith(pfx) else n,
+        new_bstats, old_bstats)
+
+
 def make_optimizer(lr: float, steps_per_epoch: int,
                    weight_decay: float = 1e-2,
                    t_0: int = 20, t_mult: int = 2,
                    fused: bool = False,
-                   clip_norm: float = 0.0) -> tuple:
+                   clip_norm: float = 0.0,
+                   freeze: Any = None) -> tuple:
     """``clip_norm > 0`` chains global-norm gradient clipping ahead of
     AdamW (--clip_grad_norm) — the standard divergence brake the reference
     lacks (its optimizer is bare AdamW, /root/reference/utils/trainer.py:36).
-    0 disables (exact reference parity)."""
+    0 disables (exact reference parity).
+
+    ``freeze`` is a 'frozen'/'trainable' labels tree (``freeze_labels``):
+    frozen leaves get ``optax.set_to_zero`` — no update, no weight decay,
+    no moment buffers — the fine-tuning path (--freeze)."""
     sched = cosine_warm_restarts(lr, steps_per_epoch, t_0, t_mult)
     tx = optax.adamw(learning_rate=sched, b1=0.9, b2=0.999, eps=1e-8,
                      weight_decay=weight_decay)
+    if freeze is not None:
+        # masked AdamW (not just zeroed grads): AdamW's decoupled weight
+        # decay would otherwise still shrink frozen params every step
+        tx = optax.multi_transform(
+            {"trainable": tx, "frozen": optax.set_to_zero()}, freeze)
     if clip_norm and clip_norm > 0:
-        tx = optax.chain(optax.clip_by_global_norm(float(clip_norm)), tx)
+        pre = [optax.clip_by_global_norm(float(clip_norm))]
+        if freeze is not None:
+            # zero frozen grads BEFORE the norm so they don't inflate it
+            # (they are discarded anyway)
+            pre.insert(0, optax.multi_transform(
+                {"trainable": optax.identity(),
+                 "frozen": optax.set_to_zero()}, freeze))
+        tx = optax.chain(*pre, tx)
     if fused:
         tx = flat_fused(tx)
     return tx, sched
@@ -119,13 +171,22 @@ def create_train_state(model, key, input_shape, lr: float,
                        ema: bool = False,
                        clip_norm: float = 0.0,
                        qat: bool = False,
-                       quant_min_channels: int = 0) -> TrainState:
+                       quant_min_channels: int = 0,
+                       freeze: tuple = ()) -> TrainState:
     variables = model.init({"params": key},
                            jnp.zeros(input_shape, jnp.float32), train=False)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
+    labels = None
+    if freeze:
+        labels, n_frozen = freeze_labels(params, freeze)
+        if n_frozen == 0:
+            raise ValueError(
+                f"--freeze {','.join(freeze)} matched no parameters; "
+                "prefixes are '/'-joined module paths like 'encoders' or "
+                "'encoders_0/conv1'")
     tx, _ = make_optimizer(lr, steps_per_epoch, weight_decay,
-                           clip_norm=clip_norm)
+                           clip_norm=clip_norm, freeze=labels)
     if qat:
         from .qat import init_qstats
         qstats = init_qstats(model, variables, input_shape,

@@ -303,6 +303,18 @@ def _build_train_step_impl(config, aug_cfg: AugmentConfig | None,
     kd_w = (float(getattr(config, "distill_weight", 0.5))
             if teacher_apply is not None else 0.0)  # 0.0 is a valid weight
     kd_t = float(getattr(config, "distill_temperature", 2.0) or 2.0)
+    # --freeze_bn_stats: frozen modules' BN running stats keep their
+    # step-start values (params are frozen by the optimizer mask,
+    # state.py make_optimizer)
+    frozen_bn = (tuple(p for p in str(getattr(config, "freeze", "")
+                                      or "").split(",") if p)
+                 if getattr(config, "freeze_bn_stats", False) else ())
+
+    def merge_bstats(new, old):
+        if not frozen_bn:
+            return new
+        from .state import keep_frozen_bstats
+        return keep_frozen_bstats(new, old, frozen_bn)
 
     def finite_all(grads, loss):
         """Scalar bool: the loss and EVERY gradient element are finite —
@@ -391,10 +403,12 @@ def _build_train_step_impl(config, aug_cfg: AugmentConfig | None,
             (_, (terms, updates, logits, observed)), grads = grad_fn(
                 state.params, state.batch_stats)
             counts = confusion_counts(logits, masks)
+            bstats = merge_bstats(updates["batch_stats"],
+                                  state.batch_stats)
             if nan_guard:
-                return guarded_update(state, grads, updates["batch_stats"],
+                return guarded_update(state, grads, bstats,
                                       terms, counts, n, observed)
-            state = state.apply_gradients(grads, updates["batch_stats"])
+            state = state.apply_gradients(grads, bstats)
             if ema_decay:
                 state = state.update_ema(ema_decay)
             if qat:
@@ -446,6 +460,7 @@ def _build_train_step_impl(config, aug_cfg: AugmentConfig | None,
 
         (bstats, gsum, tsum, counts, observed), _ = jax.lax.scan(
             body, (state.batch_stats, g0, t0, c0, o0), (im, mk, kd))
+        bstats = merge_bstats(bstats, state.batch_stats)
         inv = jnp.float32(1.0 / grad_accum)
         grads = jax.tree.map(lambda g: g * inv, gsum)
         terms = jax.tree.map(lambda t: t * inv, tsum)

@@ -1,0 +1,186 @@
+"""Parameter freezing for fine-tuning (--freeze, train/state.py).
+
+The reference has no transfer-learning support; --freeze masks AdamW
+per-leaf (optax.multi_transform) so frozen params get no updates AND no
+decoupled weight decay, with optional pinning of frozen modules' BN
+running statistics. These tests pin the mask semantics, the interaction
+with clipping/grad-accum, and the warm-start fine-tune workflow.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ddti_tpu.core import Config
+from ddti_tpu.data import generate_ddti_like
+from ddti_tpu.models import create_model
+from ddti_tpu.train import create_train_state
+from ddti_tpu.train.engine import aug_config_from
+from ddti_tpu.train.state import freeze_labels, keep_frozen_bstats
+from ddti_tpu.train.steps import make_train_step
+
+
+def _cfg(**kw):
+    base = dict(batch_size=4, image_size=32, store_size=32, lr=3e-3,
+                model_type="ResUNet", use_mixup=False,
+                compute_unused_losses=False)
+    base.update(kw)
+    return Config(**base)
+
+
+def _state(freeze=(), seed=0, **kw):
+    model = create_model("ResUNet", base_filters=8, depth=3)
+    return model, create_train_state(
+        model, jax.random.PRNGKey(seed), (1, 32, 32, 1), 3e-3,
+        steps_per_epoch=10, freeze=freeze, **kw)
+
+
+def _batch(n=4, seed=0):
+    im, ma = generate_ddti_like(n, (32, 32), seed)
+    return jnp.asarray(im), jnp.asarray(ma)
+
+
+def _deltas_by_prefix(p0, p1):
+    import jax.tree_util as jtu
+    out = {}
+    for (kp, a), b in zip(jtu.tree_flatten_with_path(p0)[0],
+                          jax.tree.leaves(p1)):
+        path = "/".join(str(getattr(k, "key", k)) for k in kp)
+        out[path] = float(jnp.max(jnp.abs(a - b)))
+    return out
+
+
+def test_freeze_labels_prefix_semantics():
+    _, state = _state()
+    labels, n = freeze_labels(state.params, ("encoders",))
+    assert n > 0
+    import jax.tree_util as jtu
+    for kp, lab in jtu.tree_flatten_with_path(labels)[0]:
+        path = "/".join(str(getattr(k, "key", k)) for k in kp)
+        assert lab == ("frozen" if path.startswith("encoders")
+                       else "trainable"), path
+
+
+def test_freeze_rejects_no_match():
+    with pytest.raises(ValueError, match="matched no parameters"):
+        _state(freeze=("no_such_module",))
+
+
+def test_frozen_params_fixed_trainable_move():
+    cfg = _cfg(freeze="encoders,bottleneck")
+    model, state = _state(freeze=("encoders", "bottleneck"))
+    step = make_train_step(cfg, aug_config_from(cfg))
+    im, ma = _batch()
+    p0 = jax.device_get(state.params)
+    key = jax.random.PRNGKey(1)
+    for _ in range(3):
+        key, k = jax.random.split(key)
+        state, m = step(state, im, ma, k)
+    assert np.isfinite(float(m.loss))
+    d = _deltas_by_prefix(p0, jax.device_get(state.params))
+    frozen = {p: v for p, v in d.items()
+              if p.startswith(("encoders", "bottleneck"))}
+    trainable = {p: v for p, v in d.items() if p not in frozen}
+    assert frozen and max(frozen.values()) == 0.0
+    assert max(trainable.values()) > 0.0
+
+
+def test_freeze_blocks_weight_decay():
+    # zero-gradient leaves would still decay under plain AdamW; the mask
+    # must stop that too. One step with constant-zero images: encoder
+    # grads are ~0 anyway, but decay would shrink weights measurably at
+    # wd=0.5 — frozen params must stay bit-identical.
+    cfg = _cfg(freeze="encoders")
+    model, state = _state(freeze=("encoders",), weight_decay=0.5)
+    step = make_train_step(cfg, aug_config_from(cfg))
+    im, ma = _batch()
+    p0 = jax.device_get(state.params)
+    state, _ = step(state, im, ma, jax.random.PRNGKey(1))
+    d = _deltas_by_prefix(p0, jax.device_get(state.params))
+    assert max(v for p, v in d.items() if p.startswith("encoders")) == 0.0
+    # and an UNfrozen state with the same wd does move its encoders
+    model2, state2 = _state(weight_decay=0.5)
+    step2 = make_train_step(_cfg(), aug_config_from(_cfg()))
+    state2, _ = step2(state2, im, ma, jax.random.PRNGKey(1))
+    d2 = _deltas_by_prefix(jax.device_get(p0),
+                           jax.device_get(state2.params))
+    assert max(v for p, v in d2.items() if p.startswith("encoders")) > 0.0
+
+
+def test_freeze_with_clip_and_grad_accum():
+    cfg = _cfg(freeze="encoders", grad_accum=2, clip_grad_norm=1.0)
+    model, state = _state(freeze=("encoders",), clip_norm=1.0)
+    step = make_train_step(cfg, aug_config_from(cfg))
+    im, ma = _batch()
+    p0 = jax.device_get(state.params)
+    state, m = step(state, im, ma, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m.loss))
+    d = _deltas_by_prefix(p0, jax.device_get(state.params))
+    assert max(v for p, v in d.items() if p.startswith("encoders")) == 0.0
+    assert max(v for p, v in d.items()
+               if not p.startswith("encoders")) > 0.0
+
+
+def test_freeze_bn_stats_pins_running_stats():
+    im, ma = _batch()
+    for pin, expect_fixed in ((True, True), (False, False)):
+        cfg = _cfg(freeze="encoders", freeze_bn_stats=pin)
+        model, state = _state(freeze=("encoders",))
+        step = make_train_step(cfg, aug_config_from(cfg))
+        s0 = jax.device_get(state.batch_stats)
+        state, _ = step(state, im, ma, jax.random.PRNGKey(1))
+        d = _deltas_by_prefix(s0, jax.device_get(state.batch_stats))
+        enc = max(v for p, v in d.items() if p.startswith("encoders"))
+        dec = max(v for p, v in d.items() if p.startswith("decoders"))
+        assert (enc == 0.0) == expect_fixed
+        assert dec > 0.0  # unfrozen stats always adapt
+
+
+def test_keep_frozen_bstats_helper():
+    _, state = _state()
+    new = jax.tree.map(lambda x: x + 1.0, state.batch_stats)
+    merged = keep_frozen_bstats(new, state.batch_stats, ("encoders",))
+    d = _deltas_by_prefix(jax.device_get(state.batch_stats),
+                          jax.device_get(merged))
+    assert max(v for p, v in d.items() if p.startswith("encoders")) == 0.0
+    assert min(v for p, v in d.items()
+               if not p.startswith("encoders")) == 1.0
+
+
+def test_finetune_warm_start_workflow(tmp_path):
+    """The real workflow: train a 'pretrained' model, save, reload into a
+    frozen-encoder run, fine-tune — loss stays finite, decoder adapts,
+    encoder equals the pretrained weights throughout."""
+    from ddti_tpu.train.checkpoint import (
+        load_params_npz,
+        save_params_npz,
+    )
+
+    cfg = _cfg()
+    model, state = _state()
+    step = make_train_step(cfg, aug_config_from(cfg))
+    im, ma = _batch()
+    key = jax.random.PRNGKey(1)
+    for _ in range(3):
+        key, k = jax.random.split(key)
+        state, _ = step(state, im, ma, k)
+    ck = str(tmp_path / "pre.npz")
+    save_params_npz(ck, jax.device_get(state.params),
+                    jax.device_get(state.batch_stats))
+
+    model2, fresh = _state(freeze=("encoders",), seed=9)
+    params, stats = load_params_npz(ck, fresh.params, fresh.batch_stats)
+    fresh = fresh.replace(params=params, batch_stats=stats)
+    cfg2 = _cfg(freeze="encoders")
+    step2 = make_train_step(cfg2, aug_config_from(cfg2))
+    pre = jax.device_get(params)
+    for _ in range(3):
+        key, k = jax.random.split(key)
+        fresh, m = step2(fresh, im, ma, k)
+    assert np.isfinite(float(m.loss))
+    d = _deltas_by_prefix(pre, jax.device_get(fresh.params))
+    assert max(v for p, v in d.items() if p.startswith("encoders")) == 0.0
+    assert max(v for p, v in d.items()
+               if p.startswith("decoders")) > 0.0
