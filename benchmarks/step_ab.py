@@ -10,7 +10,8 @@ import jax
 import jax.numpy as jnp
 
 
-def run(name, batch=128, remat=False, steps=12, size=256, **cfg_extra):
+def run(name, batch=128, remat=False, steps=12, size=256, freeze=(),
+        **cfg_extra):
     from ddti_tpu.core import Config
     from ddti_tpu.data import generate_ddti_like
     from ddti_tpu.models import ResUNet
@@ -26,7 +27,7 @@ def run(name, batch=128, remat=False, steps=12, size=256, **cfg_extra):
     model = ResUNet(in_channels=1, out_channels=1, base_filters=64, depth=5,
                     dtype=jnp.bfloat16, remat=remat)
     state = create_train_state(model, jax.random.PRNGKey(0), (1, S, S, 1),
-                               cfg.lr, steps_per_epoch=100)
+                               cfg.lr, steps_per_epoch=100, freeze=freeze)
     im, ma = generate_ddti_like(batch, (S, S), 0)
     im, ma = jnp.asarray(im), jnp.asarray(ma)
     step = make_train_step(cfg, aug_config_from(cfg))
@@ -92,3 +93,9 @@ if __name__ == "__main__":
         run("base bs16 512^2     ", 16, size=512)
     if "fastwarp512" in which:
         run("fast-warp bs16 512^2", 16, size=512, aug_fast_warp=True)
+    if "freeze" in which:
+        # fine-tune mode: encoder+bottleneck frozen -> XLA can DCE their
+        # wgrad convs AND the whole encoder backward chain (nothing
+        # upstream of them is trainable)
+        run("freeze enc+bottleneck", 128,
+            freeze=("encoders", "bottleneck"))
