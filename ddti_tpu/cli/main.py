@@ -491,7 +491,15 @@ def main(argv=None) -> int:
                 trainer.state, step = restored
                 logger.info(f"Resumed full state from {cp} step {step}")
             else:
-                trainer.state = restore_checkpoint(cp, trainer.state)
+                try:
+                    trainer.state = restore_checkpoint(cp, trainer.state)
+                except ValueError as e:
+                    raise ValueError(
+                        f"--resume could not restore {cp} into this run's "
+                        "state — a full resume needs the SAME optimizer "
+                        "structure (check --freeze/--clip_grad_norm match "
+                        "the original run; use --checkpoint_path without "
+                        "--resume for a weights-only warm start)") from e
                 logger.info(f"Resumed full state from {cp}")
             # continue the ORIGINAL epoch budget: a run resumed at step S
             # trains epochs S//steps_per_epoch..--epochs, not --epochs
@@ -500,10 +508,17 @@ def main(argv=None) -> int:
                 int(trainer.state.step) // trainer.steps_per_epoch,
                 cfg.epochs)
         else:
-            # reference-style warm start: weights/stats only
-            restored = restore_checkpoint(cfg.checkpoint_path, trainer.state)
+            # reference-style warm start: weights/stats only. Restored
+            # WITHOUT the current state as template — the saved opt_state
+            # structure may legitimately differ from this run's (e.g.
+            # warm-starting a --freeze fine-tune from a plain-AdamW
+            # checkpoint) and weights-only loading never looks at it.
+            from ddti_tpu.train.checkpoint import load_checkpoint_into
+            params, stats = load_checkpoint_into(
+                cfg.checkpoint_path, cfg.model_type, trainer.state.params,
+                trainer.state.batch_stats, prefer_ema=False)
             trainer.state = trainer.state.replace(
-                params=restored.params, batch_stats=restored.batch_stats)
+                params=params, batch_stats=stats)
             logger.info(f"Warm-started weights from {cfg.checkpoint_path}")
 
     n_params = count_params(trainer.state.params)

@@ -122,10 +122,14 @@ def main(argv=None) -> int:
         from ddti_tpu.train.checkpoint import load_qstats
         qs = load_qstats(args.checkpoint)
         if qs:
+            # an all-zero range tree (a --qat run that never completed a
+            # step) must fall back to calibration, not pass an empty dict
             qat_amax = {tuple(p.split("/")): v for p, v in qs.items()
-                        if v > 0}
-            print(f"using {len(qat_amax)} QAT-learned activation ranges "
-                  "from the checkpoint (disable with --no_qstats)")
+                        if v > 0} or None
+            if qat_amax:
+                print(f"using {len(qat_amax)} QAT-learned activation "
+                      "ranges from the checkpoint (disable with "
+                      "--no_qstats)")
 
     if args.calib_dir:
         from PIL import Image

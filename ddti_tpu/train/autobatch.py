@@ -68,24 +68,40 @@ def predicted_step_peak_bytes(config, model, batch: int,
 
     cfg = dataclasses.replace(config, batch_size=batch)
     in_ch = getattr(model, "in_channels", 1)
+    freeze = tuple(p for p in str(getattr(cfg, "freeze", "")
+                                  or "").split(",") if p)
     # abstract state: eval_shape traces init + optimizer without touching
-    # the device; static fields (tx, apply_fn) survive as real objects
+    # the device; static fields (tx, apply_fn) survive as real objects.
+    # qat/freeze change the state structure (range tree, masked opt
+    # state) — probe the SAME structure the run will use
     state = jax.eval_shape(lambda: create_train_state(
         model, jax.random.PRNGKey(0),
         (1, cfg.image_size, cfg.image_size, in_ch),
         cfg.lr, steps_per_epoch=100, weight_decay=cfg.weight_decay,
         ema=float(getattr(cfg, "ema_decay", 0.0) or 0.0) > 0,
-        clip_norm=float(getattr(cfg, "clip_grad_norm", 0.0) or 0.0)))
+        clip_norm=float(getattr(cfg, "clip_grad_norm", 0.0) or 0.0),
+        qat=bool(getattr(cfg, "qat", False)),
+        quant_min_channels=int(getattr(cfg, "quant_min_channels", 0)
+                               or 0),
+        freeze=freeze))
+    # --distill: the teacher's weights AND forward activations are part
+    # of the step's footprint; probe with abstract teacher variables
+    # (shape-only — no checkpoint read, no device allocation)
+    from .distill import teacher_from_config
+    t_apply, t_vars = teacher_from_config(cfg, abstract=True)
+    extra = (t_vars,) if t_apply is not None else ()
     if host_augment:
-        step = make_host_train_step(cfg)
+        step = make_host_train_step(cfg, teacher_apply=t_apply)
         side, dt = cfg.image_size, jnp.float32
     else:
-        step = make_train_step(cfg, aug_config_from(cfg))
+        step = make_train_step(cfg, aug_config_from(cfg),
+                               teacher_apply=t_apply)
         side, dt = cfg.store_size, jnp.uint8
     im = jax.ShapeDtypeStruct((batch, side, side, in_ch), dt)
     ma = jax.ShapeDtypeStruct((batch, side, side, 1), dt)
     key = jax.eval_shape(lambda: jax.random.PRNGKey(0))
-    mem = step.lower(state, im, ma, key).compile().memory_analysis()
+    mem = step.lower(state, im, ma, key,
+                     *extra).compile().memory_analysis()
     est = (mem.argument_size_in_bytes + mem.output_size_in_bytes
            - mem.alias_size_in_bytes + mem.temp_size_in_bytes)
     return max(int(getattr(mem, "peak_memory_in_bytes", 0) or 0), int(est))

@@ -59,11 +59,6 @@ def _ckpt_tree_meta(path: str):
         return None
 
 
-def _ckpt_top_keys(path: str):
-    tree = _ckpt_tree_meta(path)
-    return None if tree is None else set(tree.keys())
-
-
 def _align_optional_target(target: dict, tree) -> dict:
     """Make the restore template's optional-key presence (ema_params,
     qstats) match the checkpoint's — Orbax's structure check has no
@@ -80,7 +75,11 @@ def _align_optional_target(target: dict, tree) -> dict:
         target = {k: v for k, v in target.items() if k != "ema_params"}
     if "qstats" not in keys and "qstats" in target:
         target = {k: v for k, v in target.items() if k != "qstats"}
-    if "qstats" in keys and "qstats" not in target:
+    if "qstats" in keys:
+        # rebuild the qstats template from the CHECKPOINT's own keys —
+        # even when the caller tracks qstats too, its key set may differ
+        # (a changed --quant_min_channels); _merge_restored_qstats then
+        # maps the restored values back onto the run's own keys
         try:
             qkeys = list(tree["qstats"].keys())
             target = dict(target, qstats={
@@ -214,10 +213,17 @@ class ManagedCheckpointer:
 
 
 def load_checkpoint_into(path: str, model_type: str, params: Any,
-                         batch_stats: Any):
+                         batch_stats: Any, prefer_ema: bool = True):
     """Load any supported checkpoint form into (params, batch_stats)
     matching the given templates: reference-format ``.pth``, ``.npz``
-    weight export, or an Orbax checkpoint directory."""
+    weight export, or an Orbax checkpoint directory.
+
+    ``prefer_ema`` (serving/inference default): an --ema_decay run's EMA
+    shadow is returned instead of the live params — the weights the run's
+    logged metrics describe. Pass False for training warm starts, which
+    continue from the live weights. This path never touches the saved
+    opt_state structure, so warm-starting across optimizer changes
+    (--freeze, --clip_grad_norm) works."""
     import os
 
     import jax.numpy as jnp
@@ -241,9 +247,7 @@ def load_checkpoint_into(path: str, model_type: str, params: Any,
             lambda t, g: jnp.asarray(g, getattr(t, "dtype", None)),
             tmpl, got)
 
-    # --ema_decay runs validate/export with the EMA shadow; serve the
-    # same weights the run's logged metrics describe, not the live ones
-    weights = restored.get("ema_params")
+    weights = restored.get("ema_params") if prefer_ema else None
     if weights is None:
         weights = restored["params"]
     return (cast_like(params, weights),
@@ -335,7 +339,18 @@ def load_qstats(path: str) -> dict | None:
         return None
     import orbax.checkpoint as ocp
 
-    restored = ocp.StandardCheckpointer().restore(os.path.abspath(path))
+    apath = os.path.abspath(path)
+    try:
+        # partial restore: read ONLY the scalar range tree — a flagship
+        # full-state restore would materialize params + both AdamW
+        # moments (>1.5 GB) to extract ~50 floats
+        target = {"qstats": {k: np.zeros((), np.float32)
+                             for k in tree["qstats"].keys()}}
+        restored = ocp.PyTreeCheckpointer().restore(
+            apath, args=ocp.args.PyTreeRestore(item=target,
+                                               partial_restore=True))
+    except Exception:  # older orbax: fall back to the full restore
+        restored = ocp.StandardCheckpointer().restore(apath)
     q = restored.get("qstats") or {}
     out = {p: float(v) for p, v in q.items()}
     return out or None

@@ -67,12 +67,16 @@ def soft_targets(teacher_apply, tvars: dict, images: jnp.ndarray,
         jax.nn.sigmoid(logits.astype(jnp.float32) / temperature))
 
 
-def teacher_from_config(config):
+def teacher_from_config(config, abstract: bool = False):
     """(teacher_apply, variables) for ``config.distill_checkpoint``, or
     ``(None, None)`` when distillation is off. Architecture defaults to
     the student's flags; override with --distill_model_type /
     --distill_base_filters / --distill_depth. The checkpoint loads through
-    the universal loader (Orbax dir / .npz / reference .pth)."""
+    the universal loader (Orbax dir / .npz / reference .pth).
+
+    ``abstract=True`` returns ``jax.ShapeDtypeStruct`` variables instead
+    (no checkpoint read, no device allocation) — for compile-time probes
+    like ``--batch_size auto``."""
     path = getattr(config, "distill_checkpoint", "") or ""
     if not path:
         return None, None
@@ -93,6 +97,14 @@ def teacher_from_config(config):
         kwargs["image_size"] = config.image_size
     teacher = create_model(mtype, **kwargs)
     size = int(config.image_size)
+    if abstract:
+        variables = jax.eval_shape(
+            lambda: teacher.init({"params": jax.random.PRNGKey(0)},
+                                 jnp.zeros((1, size, size, 1),
+                                           jnp.float32), train=False))
+        return teacher.apply, {"params": variables["params"],
+                               "batch_stats": variables.get("batch_stats",
+                                                            {})}
     variables = teacher.init({"params": jax.random.PRNGKey(0)},
                              jnp.zeros((1, size, size, 1), jnp.float32),
                              train=False)

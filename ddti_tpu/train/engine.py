@@ -99,16 +99,10 @@ class Trainer:
                                        or 0),
                 freeze=freeze)
             if freeze:
-                from ddti_tpu.train.state import freeze_labels
-                labels, _ = freeze_labels(state.params, freeze)
-                n_f = sum(int(p.size) for p, l in zip(
-                    jax.tree.leaves(state.params), jax.tree.leaves(labels))
-                    if l == "frozen")
-                n_all = sum(int(p.size)
-                            for p in jax.tree.leaves(state.params))
+                from ddti_tpu.train.state import describe_freeze
                 logger.info(
-                    f"Freezing {','.join(freeze)}: {n_f:,}/{n_all:,} "
-                    f"params fixed"
+                    f"Freezing {','.join(freeze)}: "
+                    f"{describe_freeze(state.params, freeze)} params fixed"
                     + (", BN stats pinned too"
                        if getattr(config, "freeze_bn_stats", False)
                        else " (BN stats keep adapting)"))

@@ -71,7 +71,10 @@ def run_lr_finder(trainer, num_steps: int = 100, min_lr: float = 1e-7,
             made_progress = True
             images, masks = batch
             key, k = jax.random.split(key)
-            state, m = trainer.train_step(state, images, masks, k)
+            # the step was built by the Trainer: under --distill it takes
+            # the teacher variables as its fifth argument
+            state, m = trainer.train_step(state, images, masks, k,
+                                          trainer._teacher_vars)
             loss = float(m.loss)
             lr = min_lr * ratio ** (i / (num_steps - 1))
             if not math.isfinite(loss):

@@ -116,6 +116,17 @@ def freeze_labels(params, prefixes):
     return labels, n_frozen
 
 
+def describe_freeze(params, prefixes) -> str:
+    """Human-readable '<frozen>/<total> params' summary for the engine's
+    log line — same ``freeze_labels`` the optimizer mask uses, so the
+    description can't drift from the actual mask."""
+    labels, _ = freeze_labels(params, prefixes)
+    sizes = [(int(p.size), lab) for p, lab in
+             zip(jax.tree.leaves(params), jax.tree.leaves(labels))]
+    n_f = sum(s for s, lab in sizes if lab == "frozen")
+    return f"{n_f:,}/{sum(s for s, _ in sizes):,}"
+
+
 def keep_frozen_bstats(new_bstats, old_bstats, prefixes):
     """--freeze_bn_stats: running BatchNorm statistics of frozen modules
     keep their step-start values (the strict frozen-feature-extractor

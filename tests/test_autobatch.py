@@ -94,3 +94,22 @@ def test_batch_size_arg_parses():
     assert p.parse_args(["--batch_size", "32"]).batch_size == 32
     with pytest.raises(SystemExit):
         p.parse_args(["--batch_size", "biggish"])
+
+
+def test_peak_accounts_for_distill_teacher_and_freeze():
+    """--batch_size auto must probe the REAL step: with --distill the
+    teacher's weights + forward activations raise the predicted peak
+    (probed abstractly — the dummy checkpoint path is never read), and
+    the probe must not crash when --freeze/--qat change the state
+    structure."""
+    import dataclasses
+
+    cfg, model = _tiny()
+    base = predicted_step_peak_bytes(cfg, model, 4)
+    kd = dataclasses.replace(cfg, distill_checkpoint="never_read.npz",
+                             distill_base_filters=16, distill_depth=3)
+    with_teacher = predicted_step_peak_bytes(kd, model, 4)
+    assert with_teacher > base
+
+    frz = dataclasses.replace(cfg, freeze="encoders")
+    assert 0 < predicted_step_peak_bytes(frz, model, 4) <= base

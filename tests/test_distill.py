@@ -280,3 +280,28 @@ def test_trainer_distills_end_to_end(tmp_path):
     assert tr._teacher_vars is not None
     tr.train()
     assert np.isfinite(tr.best_val_iou)
+
+
+def test_lr_finder_with_distill(tmp_path):
+    """--lr_find must work under --distill_checkpoint: the Trainer's step
+    takes the teacher variables as its fifth argument and the finder has
+    to pass them through."""
+    from ddti_tpu.core import create_logger
+    from ddti_tpu.train import Trainer
+    from ddti_tpu.train.lr_finder import run_lr_finder
+
+    tmodel, tvars = _teacher()
+    ck = str(tmp_path / "teacher.npz")
+    save_params_npz(ck, jax.device_get(tvars["params"]),
+                    jax.device_get(tvars["batch_stats"]))
+    cfg = _cfg(epochs=1, base_dir=str(tmp_path), distill_checkpoint=ck,
+               distill_base_filters=8, distill_depth=3)
+    cfg.model_kwargs = dict(base_filters=4, depth=2)
+    cfg.make_dirs()
+    logger = create_logger(str(tmp_path / "log.log"))
+    im, ma = generate_ddti_like(8, (32, 32), 0)
+    src = DeviceDataSource(jnp.asarray(im), jnp.asarray(ma))
+    student = create_model("UNet", base_filters=4, depth=2)
+    tr = Trainer(cfg, (src, src, src), logger, student)
+    r = run_lr_finder(tr, num_steps=12, min_lr=1e-5, max_lr=1e-1)
+    assert r["lr_steepest"] > 0

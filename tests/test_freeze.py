@@ -184,3 +184,32 @@ def test_finetune_warm_start_workflow(tmp_path):
     assert max(v for p, v in d.items() if p.startswith("encoders")) == 0.0
     assert max(v for p, v in d.items()
                if p.startswith("decoders")) > 0.0
+
+
+def test_warm_start_orbax_across_optimizer_change(tmp_path):
+    """The advertised fine-tune pairing: --checkpoint_path <orbax dir of a
+    plain run> + --freeze. Weights-only loading must not touch the saved
+    opt_state (whose structure differs under the optimizer mask)."""
+    from ddti_tpu.train.checkpoint import (
+        load_checkpoint_into,
+        save_checkpoint,
+    )
+
+    model, plain = _state()
+    ck = str(tmp_path / "ck")
+    save_checkpoint(ck, plain)
+
+    _, frozen = _state(freeze=("encoders",), seed=5)
+    params, stats = load_checkpoint_into(ck, "ResUNet", frozen.params,
+                                         frozen.batch_stats,
+                                         prefer_ema=False)
+    for a, b in zip(jax.tree.leaves(jax.device_get(plain.params)),
+                    jax.tree.leaves(jax.device_get(params))):
+        np.testing.assert_array_equal(a, b)
+    # and the state trains under the mask afterwards
+    frozen = frozen.replace(params=params, batch_stats=stats)
+    cfg = _cfg(freeze="encoders")
+    step = make_train_step(cfg, aug_config_from(cfg))
+    im, ma = _batch()
+    frozen, m = step(frozen, im, ma, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m.loss))

@@ -7,6 +7,8 @@ plumbing through the train step (incl. grad_accum and --nan_guard), the
 checkpoint round-trip, and the export handoff into the int8 graph.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -343,3 +345,57 @@ def test_load_qstats_from_orbax_dir(tmp_path):
     ck2 = str(tmp_path / "ck2")
     save_checkpoint(ck2, plain)
     assert load_qstats(ck2) is None
+
+
+def test_qat_restore_across_min_channels_change(tmp_path):
+    """Restoring a --qat checkpoint into a run with a DIFFERENT
+    --quant_min_channels keeps the overlapping ranges (per-key merge via
+    the checkpoint-metadata-derived template) instead of crashing on the
+    key-set mismatch."""
+    cfg = _tiny_cfg()
+    model, state = _tiny(min_channels=16)  # fewer tracked convs
+    step = make_train_step(cfg, aug_config_from(cfg))
+    im, ma = _batch()
+    state, _ = step(state, im, ma, jax.random.PRNGKey(1))
+    ck = str(tmp_path / "ck")
+    save_checkpoint(ck, state)
+
+    # restore into an all-convs run: overlap restored, new keys zero
+    _, wide = _tiny(seed=3, min_channels=0)
+    assert set(state.qstats) < set(wide.qstats)
+    restored = restore_checkpoint(ck, wide)
+    for k, v in state.qstats.items():
+        assert float(restored.qstats[k]) == pytest.approx(float(v))
+    for k in set(wide.qstats) - set(state.qstats):
+        assert float(restored.qstats[k]) == 0.0
+
+    # and the reverse direction (wide checkpoint -> filtered run)
+    wstep = make_train_step(cfg, aug_config_from(cfg))
+    wide, _ = wstep(wide, im, ma, jax.random.PRNGKey(2))
+    ck2 = str(tmp_path / "ck2")
+    save_checkpoint(ck2, wide)
+    _, narrow = _tiny(seed=4, min_channels=16)
+    restored = restore_checkpoint(ck2, narrow)
+    assert set(restored.qstats) == set(narrow.qstats)
+    assert all(float(v) > 0 for v in restored.qstats.values())
+
+
+def test_quantize_cli_zero_qstats_falls_back_to_calibration(tmp_path):
+    """A --qat checkpoint whose ranges are all zero (no successful step)
+    must make cli/quantize CALIBRATE instead of crashing on an empty
+    amax dict."""
+    from ddti_tpu.cli.quantize import main as quantize_main
+
+    model, state = _tiny()  # qstats initialized to zeros, never stepped
+    p = str(tmp_path / "w.npz")
+    save_params_npz(p, jax.device_get(state.params),
+                    jax.device_get(state.batch_stats),
+                    qstats=jax.device_get(state.qstats))
+    out = str(tmp_path / "q")
+    rc = quantize_main(["--checkpoint", p, "--output", out,
+                        "--model_type", "UNet", "--base_filters", "8",
+                        "--depth", "3", "--image_size", "32",
+                        "--batch_size", "2", "--calib_count", "4",
+                        "--cpu", "--compilation_cache", "off"])
+    assert rc == 0
+    assert os.path.exists(out + "_serving_program.stablehlo")
