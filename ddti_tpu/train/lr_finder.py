@@ -45,6 +45,16 @@ def run_lr_finder(trainer, num_steps: int = 100, min_lr: float = 1e-7,
 
     tx = optax.adamw(learning_rate=ramp, b1=0.9, b2=0.999, eps=1e-8,
                      weight_decay=cfg.weight_decay)
+    freeze = tuple(p for p in str(getattr(cfg, "freeze", "")
+                                  or "").split(",") if p)
+    if freeze:
+        # probe the SAME masked optimizer a --freeze fine-tune will use —
+        # the useful-lr range of decoder-only training differs from the
+        # full model's
+        from .state import freeze_labels
+        labels, _ = freeze_labels(trainer.state.params, freeze)
+        tx = optax.multi_transform(
+            {"trainable": tx, "frozen": optax.set_to_zero()}, labels)
     clip = float(getattr(cfg, "clip_grad_norm", 0.0) or 0.0)
     if clip > 0:
         tx = optax.chain(optax.clip_by_global_norm(clip), tx)
