@@ -60,11 +60,18 @@ def soft_targets(teacher_apply, tvars: dict, images: jnp.ndarray,
                  temperature: float) -> jnp.ndarray:
     """Frozen eval-mode teacher forward -> tempered per-pixel
     probabilities, gradient-blocked (the teacher is a fixed target, not a
-    trainable path)."""
+    trainable path). An ensemble teacher (stacked member variables,
+    ``teacher_from_config`` with a comma-list checkpoint) returns stacked
+    (K, B, H, W, 1) logits; the target is the mean of the members'
+    tempered probabilities — distilling the ensemble's vote into one
+    student is the classic route to ensemble quality at single-model
+    serving cost."""
     out = teacher_apply(tvars, images, train=False)
     logits = out[0] if isinstance(out, tuple) else out
-    return jax.lax.stop_gradient(
-        jax.nn.sigmoid(logits.astype(jnp.float32) / temperature))
+    probs = jax.nn.sigmoid(logits.astype(jnp.float32) / temperature)
+    if probs.ndim == images.ndim + 1:  # (K, ...) member axis
+        probs = probs.mean(axis=0)
+    return jax.lax.stop_gradient(probs)
 
 
 def teacher_from_config(config, abstract: bool = False):
@@ -76,10 +83,33 @@ def teacher_from_config(config, abstract: bool = False):
 
     ``abstract=True`` returns ``jax.ShapeDtypeStruct`` variables instead
     (no checkpoint read, no device allocation) — for compile-time probes
-    like ``--batch_size auto``."""
+    like ``--batch_size auto``.
+
+    A COMMA LIST of checkpoints (same teacher architecture — e.g. the K
+    fold models of a k-fold training) builds an ensemble teacher: member
+    trees stacked on a leading axis, apply vmapped over it (stacked
+    member logits out; ``soft_targets`` averages the tempered
+    probabilities). The student then learns the ensemble's vote."""
     path = getattr(config, "distill_checkpoint", "") or ""
     if not path:
         return None, None
+    paths = [p for p in path.split(",") if p]
+    if len(paths) > 1:
+        import dataclasses
+        members = []
+        for p in paths:
+            apply_fn, tvars = teacher_from_config(
+                dataclasses.replace(config, distill_checkpoint=p),
+                abstract=abstract)
+            members.append(tvars)
+        stack = (lambda *xs: jax.eval_shape(lambda *a: jnp.stack(a), *xs)
+                 ) if abstract else (lambda *xs: jnp.stack(xs))
+        stacked = jax.tree.map(stack, *members)
+
+        def ens_apply(variables, images, **kw):
+            return jax.vmap(lambda m: apply_fn(m, images, **kw))(variables)
+
+        return ens_apply, stacked
     from ddti_tpu.models import create_model
     from ddti_tpu.train.checkpoint import load_checkpoint_into
 

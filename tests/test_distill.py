@@ -305,3 +305,48 @@ def test_lr_finder_with_distill(tmp_path):
     tr = Trainer(cfg, (src, src, src), logger, student)
     r = run_lr_finder(tr, num_steps=12, min_lr=1e-5, max_lr=1e-1)
     assert r["lr_steepest"] > 0
+
+
+def test_ensemble_teacher(tmp_path):
+    """--distill_checkpoint a,b: the teacher is the ensemble VOTE — the
+    soft target equals the mean of the members' tempered sigmoids, and
+    the student trains against it (ensemble quality at single-model
+    serving cost)."""
+    members = []
+    cks = []
+    for seed in (3, 4):
+        tmodel, tvars = _teacher(seed=seed)
+        ck = str(tmp_path / f"t{seed}.npz")
+        save_params_npz(ck, jax.device_get(tvars["params"]),
+                        jax.device_get(tvars["batch_stats"]))
+        members.append(tvars)
+        cks.append(ck)
+
+    cfg = _cfg(distill_checkpoint=",".join(cks), distill_base_filters=8,
+               distill_depth=3, distill_weight=0.6)
+    cfg.model_kwargs = dict(base_filters=4, depth=2)
+    apply_fn, stacked = teacher_from_config(cfg)
+    im, ma = _batch()
+    x = im.astype(jnp.float32) / 255.0
+    T = 2.0
+    got = soft_targets(apply_fn, stacked, x, T)
+    want = np.mean([np.asarray(jax.nn.sigmoid(
+        tmodel.apply(v, x, train=False).astype(jnp.float32) / T))
+        for v in members], axis=0)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-2)
+
+    student = create_model("UNet", base_filters=4, depth=2)
+    state = _state(student, seed=1)
+    step = make_train_step(cfg, aug_config_from(cfg),
+                           teacher_apply=apply_fn)
+    state, m = step(state, im, ma, jax.random.PRNGKey(1), stacked)
+    assert np.isfinite(float(m.loss))
+
+    # the autobatch probe handles the comma list abstractly (no file read
+    # needed beyond arch flags)
+    from ddti_tpu.train.autobatch import predicted_step_peak_bytes
+    peak = predicted_step_peak_bytes(cfg, student, 4)
+    solo = predicted_step_peak_bytes(
+        _cfg(distill_checkpoint=cks[0], distill_base_filters=8,
+             distill_depth=3), student, 4)
+    assert peak > solo > 0
