@@ -14,7 +14,10 @@ import time
 from datetime import datetime, timedelta, timezone
 
 
-def create_logger(filename: str) -> logging.Logger:
+def create_logger(filename: str, console: bool = True) -> logging.Logger:
+    """``console=False`` logs to the file only (library-API quiet mode,
+    ddti_tpu.api.fit(verbose=False)); the reference always attaches both
+    handlers (/root/reference/utils/utils.py:125-171)."""
     def utc8(*args):
         return (datetime.now(tz=timezone.utc) + timedelta(hours=8)).timetuple()
 
@@ -27,10 +30,11 @@ def create_logger(filename: str) -> logging.Logger:
     fmt = logging.Formatter("%(asctime)s - %(levelname)s - %(message)s")
     fmt.converter = utc8
 
-    ch = logging.StreamHandler()
-    ch.setLevel(logging.INFO)
-    ch.setFormatter(fmt)
-    logger.addHandler(ch)
+    if console:
+        ch = logging.StreamHandler()
+        ch.setLevel(logging.INFO)
+        ch.setFormatter(fmt)
+        logger.addHandler(ch)
 
     fh = logging.FileHandler(filename)
     fh.setLevel(logging.DEBUG)
