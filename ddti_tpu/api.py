@@ -208,12 +208,15 @@ def fit(images, masks, *, val_images=None, val_masks=None,
         epochs: int = 20, batch_size: int = 16, lr: float = 3e-4,
         bf16: bool = True, val_fraction: float = 0.15,
         run_dir: Optional[str] = None, verbose: bool = True,
-        seed: int = 42, **config_overrides: Any) -> Model:
+        seed: int = 42, mesh: Optional[str] = None,
+        **config_overrides: Any) -> Model:
     """Train a model on arrays. ``images``/``masks``: (N, H, W[, 1]),
     uint8 [0,255] or float [0,1]. Without an explicit val set, the last
     ``val_fraction`` of the (shuffled) data validates. Any further
     keyword becomes a Config field (``use_mixup=True``, ``qat=True``,
-    ``freeze="encoders"``, ``distill_checkpoint=...``, ...). Returns the
+    ``freeze="encoders"``, ``distill_checkpoint=...``, ...). ``mesh``
+    ("data=4" / "data=4,model=2") trains data-parallel (+ spatial)
+    over the local devices, same as the CLI's --mesh. Returns the
     best-val-IoU weights."""
     import jax
 
@@ -258,9 +261,20 @@ def fit(images, masks, *, val_images=None, val_masks=None,
 
     model = _make_model(model_type, size, bf16,
                         base_filters=base_filters, depth=depth)
+    device_mesh = None
+    if mesh:
+        import jax as _jax
+
+        from ddti_tpu.parallel import make_mesh, parse_mesh_spec
+        spec = parse_mesh_spec(mesh)
+        n = int(np.prod(list(spec.values())))
+        # library convenience: a smaller mesh takes the first n devices
+        # (the CLI requires the spec to cover every device exactly)
+        device_mesh = make_mesh(spec, _jax.devices()[:n])
     train_src = DeviceDataSource(x, y)
     val_src = DeviceDataSource(xv, yv)
-    trainer = Trainer(cfg, (train_src, val_src, val_src), logger, model)
+    trainer = Trainer(cfg, (train_src, val_src, val_src), logger, model,
+                      mesh=device_mesh)
     trainer.train()
 
     # the best-val-IoU weights (saved every improvement); fall back to

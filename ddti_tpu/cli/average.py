@@ -135,12 +135,23 @@ def main(argv=None) -> int:
     # running weighted sum in f64 on host — K checkpoints never coexist
     acc_p = jax.tree.map(lambda a: np.zeros(a.shape, np.float64), tmpl_p)
     acc_s = jax.tree.map(lambda a: np.zeros(a.shape, np.float64), tmpl_s)
+    # QAT activation ranges (train --qat): conservative merge is the MAX
+    # over members — a range covering every member's activations keeps
+    # int8 exports of the averaged weights saturation-free
+    from ddti_tpu.train.checkpoint import load_qstats
+    qstats: dict = {}
     for path, wi in zip(paths, w):
         p, s = load_checkpoint_into(path, args.model_type, tmpl_p, tmpl_s)
         acc_p = jax.tree.map(
             lambda acc, x: acc + wi * np.asarray(x, np.float64), acc_p, p)
         acc_s = jax.tree.map(
             lambda acc, x: acc + wi * np.asarray(x, np.float64), acc_s, s)
+        try:
+            qs = load_qstats(path) or {}
+        except Exception:
+            qs = {}
+        for k, v in qs.items():
+            qstats[k] = max(qstats.get(k, 0.0), float(v))
         print(f"averaged {path} (weight {wi:.3f})")
     cast = lambda tmpl, acc: jax.tree.map(
         lambda t, a: np.asarray(a, t.dtype), tmpl, acc)
@@ -189,9 +200,12 @@ def main(argv=None) -> int:
 
     os.makedirs(os.path.dirname(os.path.abspath(args.output)),
                 exist_ok=True)
-    save_params_npz(args.output, params, stats)
-    print(f"wrote averaged weights ({len(paths)} checkpoints) "
-          f"-> {args.output}")
+    save_params_npz(args.output, params, stats,
+                    qstats={k: np.float32(v) for k, v in qstats.items()}
+                    if qstats else None)
+    print(f"wrote averaged weights ({len(paths)} checkpoints"
+          + (f", {len(qstats)} QAT ranges max-merged" if qstats else "")
+          + f") -> {args.output}")
     return 0
 
 

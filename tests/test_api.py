@@ -102,3 +102,30 @@ def test_fit_with_qat_carries_ranges(data, tmp_path):
     p = model.save(str(tmp_path / "q"))
     from ddti_tpu.train.checkpoint import load_qstats
     assert load_qstats(p)
+
+
+def test_fit_on_mesh(data, tmp_path):
+    """fit(mesh='data=2'): data-parallel training over the virtual CPU
+    mesh — the library route to the CLI's --mesh."""
+    im, ma = data
+    model = api.fit(im[:16], ma[:16], model_type="UNet", base_filters=4,
+                    depth=2, epochs=1, batch_size=4,
+                    run_dir=str(tmp_path), verbose=False, mesh="data=2")
+    assert model.predict(im[:2], batch_size=2).shape == (2, 32, 32)
+
+
+def test_fit_freeze_and_distill_compose(data, tmp_path):
+    """fit(freeze=..., distill_checkpoint=...): transfer learning under a
+    teacher through the library API."""
+    im, ma = data
+    teacher = api.fit(im, ma, model_type="UNet", base_filters=8, depth=3,
+                      epochs=1, batch_size=4,
+                      run_dir=str(tmp_path / "t"), verbose=False)
+    ck = teacher.save(str(tmp_path / "teacher"))
+    student = api.fit(im, ma, model_type="UNet", base_filters=8, depth=3,
+                      epochs=1, batch_size=4,
+                      run_dir=str(tmp_path / "s"), verbose=False,
+                      freeze="encoders",
+                      distill_checkpoint=ck, distill_base_filters=8,
+                      distill_depth=3)
+    assert student.predict(im[:2], batch_size=2).shape == (2, 32, 32)

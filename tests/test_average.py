@@ -157,3 +157,39 @@ def test_train_cli_warm_starts_from_average(tmp_path):
               "--depth", "2", "--batch_size", "8", "--resume",
               "--checkpoint_path", out, "--base_dir",
               str(tmp_path / "runs2")])
+
+
+def test_average_max_merges_qat_ranges(tmp_path):
+    """Averaging --qat checkpoints: activation ranges merge by MAX (the
+    saturation-safe choice) and ride the output .npz into int8 exports."""
+    import jax
+    import numpy as np
+
+    from ddti_tpu.cli.average import main as avg_main
+    from ddti_tpu.models import create_model
+    from ddti_tpu.train import create_train_state
+    from ddti_tpu.train.checkpoint import load_qstats, save_params_npz
+
+    model = create_model("UNet", base_filters=8, depth=3)
+    cks = []
+    for seed, scale in ((0, 1.0), (1, 3.0)):
+        state = create_train_state(model, jax.random.PRNGKey(seed),
+                                   (1, 32, 32, 1), 1e-3,
+                                   steps_per_epoch=10, qat=True)
+        qs = {k: np.float32(scale * (i + 1)) for i, k in
+              enumerate(sorted(state.qstats))}
+        p = str(tmp_path / f"m{seed}.npz")
+        save_params_npz(p, jax.device_get(state.params),
+                        jax.device_get(state.batch_stats), qstats=qs)
+        cks.append((p, qs))
+
+    out = str(tmp_path / "avg.npz")
+    rc = avg_main(["--checkpoints", *[p for p, _ in cks],
+                   "--output", out, "--model_type", "UNet",
+                   "--base_filters", "8", "--depth", "3",
+                   "--image_size", "32", "--recalib_count", "0"])
+    assert rc == 0
+    merged = load_qstats(out)
+    assert merged
+    for k in merged:
+        assert merged[k] == max(cks[0][1][k], cks[1][1][k])
