@@ -146,10 +146,13 @@ class Model:
 
     def export_serving(self, path: str, batch: int = 32,
                        dtype: str = "bf16", tta: bool = False,
-                       threshold: float = 0.5) -> str:
+                       threshold: float = 0.5,
+                       min_channels: int = 0) -> str:
         """Write a deployable StableHLO bundle (program + sibling .npz):
         ``dtype`` in {"f32", "bf16", "int8"}. Servable by ``ddti-infer``,
-        ``ddti-serve`` and ``train.export.load_serving_bundle``."""
+        ``ddti-serve`` and ``train.export.load_serving_bundle``.
+        ``min_channels`` (int8 only): quantize just the channel-heavy
+        convs — use 128 at 512² (benchmarks/PERF_NOTES.md)."""
         import jax.numpy as jnp
 
         size = int(self.config.image_size)
@@ -170,7 +173,8 @@ class Model:
             blob, svars = export_serving_int8(
                 self.model, self.params, self.batch_stats, batch=batch,
                 size=size, calib_images=calib, amax=amax,
-                threshold=threshold, input_dtype=jnp.uint8, tta=tta)
+                threshold=threshold, input_dtype=jnp.uint8, tta=tta,
+                min_channels=min_channels)
         else:
             from ddti_tpu.train.export import export_serving_program
 
