@@ -170,6 +170,13 @@ def get_parser() -> argparse.ArgumentParser:
                    help="teacher base_filters (default: --base_filters)")
     p.add_argument("--distill_depth", default=0, type=int,
                    help="teacher depth (default: --depth)")
+    p.add_argument("--distill_kwargs", default="", type=str,
+                   help="JSON dict of extra teacher create_model kwargs "
+                        "(e.g. '{\"num_heads\": 4}') — REQUIRED when the "
+                        "teacher trained with non-default behavior-only "
+                        "kwargs: they don't change param shapes, so a "
+                        "mismatch loads fine but computes the wrong "
+                        "teacher")
     p.add_argument("--distill_weight", default=0.5, type=float,
                    help="KD share of the total loss: total = (1-w)*ground"
                         "-truth composite + w*KD (1.0 = teacher only)")

@@ -104,6 +104,11 @@ class Config:
     distill_model_type: str = ""   # teacher arch ("" = same as student)
     distill_base_filters: int = 0  # teacher width (0 = student's)
     distill_depth: int = 0         # teacher depth (0 = student's)
+    distill_kwargs: str = ""  # JSON dict of extra teacher create_model
+    # kwargs (e.g. '{"num_heads": 4, "batch_axis_attention": true}') —
+    # behavior-only kwargs don't change param shapes, so a mismatch loads
+    # fine but computes the WRONG teacher; always pass what the teacher
+    # trained with
     distill_weight: float = 0.5    # KD share of the total loss [0, 1]
     distill_temperature: float = 2.0  # sigmoid softening temperature
     # fine-tuning: comma list of param-path prefixes to freeze (no

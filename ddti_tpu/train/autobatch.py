@@ -68,8 +68,8 @@ def predicted_step_peak_bytes(config, model, batch: int,
 
     cfg = dataclasses.replace(config, batch_size=batch)
     in_ch = getattr(model, "in_channels", 1)
-    freeze = tuple(p for p in str(getattr(cfg, "freeze", "")
-                                  or "").split(",") if p)
+    from .state import parse_freeze
+    freeze = parse_freeze(cfg)
     # abstract state: eval_shape traces init + optimizer without touching
     # the device; static fields (tx, apply_fn) survive as real objects.
     # qat/freeze change the state structure (range tree, masked opt

@@ -125,6 +125,13 @@ def teacher_from_config(config, abstract: bool = False):
         kwargs["dtype"] = jnp.bfloat16  # same compute policy as serving
     if mtype == "TransUNet":
         kwargs["image_size"] = config.image_size
+    extra = getattr(config, "distill_kwargs", "") or ""
+    if extra:
+        # behavior-only kwargs (num_heads, batch_axis_attention, ...)
+        # don't change param shapes — a mismatch would load fine but
+        # compute the WRONG teacher, so they must be passed explicitly
+        import json
+        kwargs.update(json.loads(extra))
     teacher = create_model(mtype, **kwargs)
     size = int(config.image_size)
     if abstract:

@@ -85,8 +85,8 @@ class Trainer:
                 # side-channel (same constraint as calibrate_conv_amax)
                 raise ValueError("--qat is incompatible with --remat; "
                                  "use --grad_accum for memory instead")
-            freeze = tuple(p for p in str(getattr(config, "freeze", "")
-                                          or "").split(",") if p)
+            from ddti_tpu.train.state import parse_freeze
+            freeze = parse_freeze(config)
             state = create_train_state(
                 model, jax.random.PRNGKey(config.seed), shape,
                 config.lr, steps_per_epoch, config.weight_decay,

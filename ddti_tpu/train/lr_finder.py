@@ -45,29 +45,30 @@ def run_lr_finder(trainer, num_steps: int = 100, min_lr: float = 1e-7,
 
     tx = optax.adamw(learning_rate=ramp, b1=0.9, b2=0.999, eps=1e-8,
                      weight_decay=cfg.weight_decay)
-    freeze = tuple(p for p in str(getattr(cfg, "freeze", "")
-                                  or "").split(",") if p)
-    if freeze:
-        # probe the SAME masked optimizer a --freeze fine-tune will use —
-        # the useful-lr range of decoder-only training differs from the
-        # full model's
-        from .state import freeze_labels
-        labels, _ = freeze_labels(trainer.state.params, freeze)
-        tx = optax.multi_transform(
-            {"trainable": tx, "frozen": optax.set_to_zero()}, labels)
-    clip = float(getattr(cfg, "clip_grad_norm", 0.0) or 0.0)
-    if clip > 0:
-        tx = optax.chain(optax.clip_by_global_norm(clip), tx)
+    # probe the SAME optimizer composition training will use (masked
+    # AdamW under --freeze, frozen-grad-excluded clipping) — the useful-lr
+    # range of a masked/clipped problem differs from the bare one
+    from .state import compose_mask_clip, freeze_labels, parse_freeze
+    freeze = parse_freeze(cfg)
+    labels = (freeze_labels(trainer.state.params, freeze)[0]
+              if freeze else None)
+    tx = compose_mask_clip(
+        tx, labels, float(getattr(cfg, "clip_grad_norm", 0.0) or 0.0))
     # disposable state: copies (the jitted step donates its state arg),
     # starting from the run's current weights — a warm-started run probes
-    # around the restored optimum, a fresh run around the init
+    # around the restored optimum, a fresh run around the init. qstats
+    # carried so a --qat run probes the fake-quant loss landscape, not
+    # the float one.
     src_state = trainer.state
     params = jax.tree.map(jnp.copy, src_state.params)
     state = TrainState(
         step=jnp.zeros((), jnp.int32), params=params,
         batch_stats=jax.tree.map(jnp.copy, src_state.batch_stats),
-        opt_state=tx.init(params), ema_params=None, tx=tx,
-        apply_fn=src_state.apply_fn)
+        opt_state=tx.init(params), ema_params=None,
+        qstats=(jax.tree.map(jnp.copy, src_state.qstats)
+                if getattr(src_state, "qstats", None) is not None
+                else None),
+        tx=tx, apply_fn=src_state.apply_fn)
 
     history = []  # (lr, loss, smoothed)
     ema = 0.0

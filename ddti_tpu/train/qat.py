@@ -156,12 +156,6 @@ def qat_apply(apply_fn, variables: dict, images, qstats: dict, **kwargs):
     return out, observed
 
 
-def merge_observed(a: dict, b: dict) -> dict:
-    """Elementwise max of two observation dicts (gradient-accumulation
-    microbatches observe independently; the step's range is their max)."""
-    return {p: jnp.maximum(a[p], b[p]) for p in a}
-
-
 def qstats_amax(qstats: dict) -> dict:
     """Learned EMA ranges -> the ``{module_path_tuple: float}`` form
     ``quantize_serving(amax=...)`` consumes (zero/unobserved entries are

@@ -101,16 +101,47 @@ def _param_path(kp) -> str:
                     for k in kp)
 
 
+def parse_freeze(config) -> tuple:
+    """The --freeze prefixes as a tuple — THE parse used everywhere
+    (engine, steps, autobatch, lr_finder), so they can't disagree about
+    what is frozen."""
+    return tuple(p.strip() for p in
+                 str(getattr(config, "freeze", "") or "").split(",")
+                 if p.strip())
+
+
+def _freeze_match(path: str, prefixes: tuple) -> bool:
+    """True when ``path`` is frozen by any prefix. A prefix matches at
+    path-segment boundaries only — plus the auto-numbered-list
+    convenience: a final prefix segment ``encoders`` also matches
+    ``encoders_<digits>``. So ``encoders`` catches ``encoders_0/...``
+    but ``layers_1`` does NOT catch ``layers_10/...`` (a bare
+    ``str.startswith`` would)."""
+    segs = path.split("/")
+    for p in prefixes:
+        psegs = p.split("/")
+        if len(psegs) > len(segs):
+            continue
+        if psegs[:-1] != segs[:len(psegs) - 1]:
+            continue
+        last, seg = psegs[-1], segs[len(psegs) - 1]
+        if seg == last or (seg.startswith(last + "_")
+                           and seg[len(last) + 1:].isdigit()):
+            return True
+    return False
+
+
 def freeze_labels(params, prefixes):
     """Per-leaf 'frozen'/'trainable' labels for ``optax.multi_transform``:
-    a param is frozen when its '/'-joined path starts with ANY of the
-    prefixes (so ``encoders`` catches ``encoders_0/...`` through
-    ``encoders_N/...``). Returns ``(labels_tree, n_frozen_leaves)``."""
+    a param is frozen when its '/'-joined path matches ANY prefix at
+    segment boundaries (``encoders`` catches ``encoders_0/...`` through
+    ``encoders_N/...`` — see ``_freeze_match``). Returns
+    ``(labels_tree, n_frozen_leaves)``."""
     import jax.tree_util as jtu
 
     pfx = tuple(prefixes)
     labels = jtu.tree_map_with_path(
-        lambda kp, _: ("frozen" if _param_path(kp).startswith(pfx)
+        lambda kp, _: ("frozen" if _freeze_match(_param_path(kp), pfx)
                        else "trainable"), params)
     n_frozen = sum(1 for v in jax.tree.leaves(labels) if v == "frozen")
     return labels, n_frozen
@@ -131,12 +162,13 @@ def keep_frozen_bstats(new_bstats, old_bstats, prefixes):
     """--freeze_bn_stats: running BatchNorm statistics of frozen modules
     keep their step-start values (the strict frozen-feature-extractor
     semantic); unfrozen modules update normally. Plain --freeze leaves
-    stats adapting — the standard BN-adapt transfer behavior."""
+    stats adapting — the standard BN-adapt transfer behavior. Same
+    segment-boundary prefix matching as the optimizer mask."""
     import jax.tree_util as jtu
 
     pfx = tuple(prefixes)
     return jtu.tree_map_with_path(
-        lambda kp, n, o: o if _param_path(kp).startswith(pfx) else n,
+        lambda kp, n, o: o if _freeze_match(_param_path(kp), pfx) else n,
         new_bstats, old_bstats)
 
 
@@ -157,9 +189,20 @@ def make_optimizer(lr: float, steps_per_epoch: int,
     sched = cosine_warm_restarts(lr, steps_per_epoch, t_0, t_mult)
     tx = optax.adamw(learning_rate=sched, b1=0.9, b2=0.999, eps=1e-8,
                      weight_decay=weight_decay)
+    tx = compose_mask_clip(tx, freeze, clip_norm)
+    if fused:
+        tx = flat_fused(tx)
+    return tx, sched
+
+
+def compose_mask_clip(tx, freeze, clip_norm: float):
+    """The freeze/clip composition shared by ``make_optimizer`` and the
+    lr-finder's ramp optimizer (they must run the SAME chain or the
+    range test probes a different problem than training solves)."""
     if freeze is not None:
-        # masked AdamW (not just zeroed grads): AdamW's decoupled weight
-        # decay would otherwise still shrink frozen params every step
+        # masked inner optimizer (not just zeroed grads): AdamW's
+        # decoupled weight decay would otherwise still shrink frozen
+        # params every step
         tx = optax.multi_transform(
             {"trainable": tx, "frozen": optax.set_to_zero()}, freeze)
     if clip_norm and clip_norm > 0:
@@ -171,9 +214,7 @@ def make_optimizer(lr: float, steps_per_epoch: int,
                 {"trainable": optax.identity(),
                  "frozen": optax.set_to_zero()}, freeze))
         tx = optax.chain(*pre, tx)
-    if fused:
-        tx = flat_fused(tx)
-    return tx, sched
+    return tx
 
 
 def create_train_state(model, key, input_shape, lr: float,

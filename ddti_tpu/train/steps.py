@@ -296,7 +296,8 @@ def _build_train_step_impl(config, aug_cfg: AugmentConfig | None,
     # (train/qat.py); state.qstats must be initialized (create_train_state
     # qat=True)
     qat = bool(getattr(config, "qat", False))
-    qat_decay = float(getattr(config, "qat_ema_decay", 0.99) or 0.99)
+    # 0.0 is a valid decay (track the latest batch amax only) — no `or`
+    qat_decay = float(getattr(config, "qat_ema_decay", 0.99))
     # --distill_checkpoint: blend the ground-truth composite loss with a
     # tempered BCE against the frozen teacher's probabilities
     # (train/distill.py); teacher variables arrive as the step's tvars arg
@@ -306,8 +307,8 @@ def _build_train_step_impl(config, aug_cfg: AugmentConfig | None,
     # --freeze_bn_stats: frozen modules' BN running stats keep their
     # step-start values (params are frozen by the optimizer mask,
     # state.py make_optimizer)
-    frozen_bn = (tuple(p for p in str(getattr(config, "freeze", "")
-                                      or "").split(",") if p)
+    from .state import parse_freeze
+    frozen_bn = (parse_freeze(config)
                  if getattr(config, "freeze_bn_stats", False) else ())
 
     def merge_bstats(new, old):

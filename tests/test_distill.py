@@ -350,3 +350,38 @@ def test_ensemble_teacher(tmp_path):
         _cfg(distill_checkpoint=cks[0], distill_base_filters=8,
              distill_depth=3), student, 4)
     assert peak > solo > 0
+
+
+def test_distill_kwargs_reach_teacher(tmp_path):
+    """--distill_kwargs passes behavior-only kwargs into the teacher
+    build — a TransUNet teacher with batch_axis_attention=True computes
+    differently from the default despite identical param shapes."""
+    tmodel = create_model("TransUNet", base_filters=8, depth=3,
+                          image_size=32, batch_axis_attention=True)
+    tvars = {"params": None}
+    import jax as _jax
+    v = tmodel.init({"params": _jax.random.PRNGKey(0)},
+                    jnp.zeros((1, 32, 32, 1)), train=False)
+    ck = str(tmp_path / "t.npz")
+    save_params_npz(ck, jax.device_get(v["params"]),
+                    jax.device_get(v.get("batch_stats", {})))
+
+    im, _ = _batch()
+    x = im.astype(jnp.float32) / 255.0
+    base = dict(model_type="UNet", image_size=32,
+                distill_checkpoint=ck, distill_model_type="TransUNet",
+                distill_base_filters=8, distill_depth=3,
+                use_amp_autocast=False)
+    cfg_plain = _cfg(**base)
+    cfg_quirk = _cfg(**base,
+                     distill_kwargs='{"batch_axis_attention": true}')
+    for c in (cfg_plain, cfg_quirk):
+        c.model_kwargs = dict(base_filters=4, depth=2)
+    a_plain, v_plain = teacher_from_config(cfg_plain)
+    a_quirk, v_quirk = teacher_from_config(cfg_quirk)
+    lp = a_plain(v_plain, x, train=False)
+    lq = a_quirk(v_quirk, x, train=False)
+    assert float(jnp.max(jnp.abs(lp - lq))) > 1e-4
+    # the quirk teacher reproduces the checkpoint's own forward
+    want = tmodel.apply(v, x, train=False)
+    assert float(jnp.max(jnp.abs(lq - want))) < 1e-4

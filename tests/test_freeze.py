@@ -239,3 +239,19 @@ def test_lr_finder_respects_freeze(tmp_path):
     for a, b in zip(jax.tree.leaves(p0),
                     jax.tree.leaves(jax.device_get(tr.state.params))):
         np.testing.assert_array_equal(a, b)
+
+
+def test_freeze_prefix_segment_boundaries():
+    """Prefix matching is segment-aware: 'layers_1' must not catch
+    'layers_10', while the auto-numbered convenience ('encoders' ->
+    'encoders_0') keeps working."""
+    from ddti_tpu.train.state import _freeze_match
+
+    assert _freeze_match("encoders_0/conv1/kernel", ("encoders",))
+    assert _freeze_match("encoders_0/conv1/kernel", ("encoders_0",))
+    assert _freeze_match("encoders_0/conv1/kernel", ("encoders_0/conv1",))
+    assert not _freeze_match("encoders_0/conv1/kernel", ("enc",))
+    assert not _freeze_match("layers_10/w", ("layers_1",))
+    assert _freeze_match("layers_10/w", ("layers",))
+    assert not _freeze_match("conv1x1/kernel", ("conv1",))
+    assert not _freeze_match("encoders_0/conv10/k", ("encoders_0/conv1",))

@@ -399,3 +399,28 @@ def test_quantize_cli_zero_qstats_falls_back_to_calibration(tmp_path):
                         "--cpu", "--compilation_cache", "off"])
     assert rc == 0
     assert os.path.exists(out + "_serving_program.stablehlo")
+
+
+def test_lr_finder_probes_fake_quant_under_qat(tmp_path):
+    """--qat --lr_find: the disposable probe state carries the range
+    tree, so the sweep measures the fake-quant loss landscape (and leaves
+    the trainer's own ranges untouched)."""
+    from ddti_tpu.core import create_logger
+    from ddti_tpu.data import DeviceDataSource
+    from ddti_tpu.train import Trainer
+    from ddti_tpu.train.lr_finder import run_lr_finder
+
+    cfg = _tiny_cfg(epochs=1)
+    cfg.base_dir = str(tmp_path)
+    cfg.model_kwargs = dict(base_filters=8, depth=3)
+    cfg.make_dirs()
+    logger = create_logger(str(tmp_path / "log.log"))
+    im, ma = _batch(n=8)
+    src = DeviceDataSource(im, ma)
+    model = create_model("UNet", base_filters=8, depth=3)
+    tr = Trainer(cfg, (src, src, src), logger, model)
+    assert tr.state.qstats is not None
+    r = run_lr_finder(tr, num_steps=10, min_lr=1e-5, max_lr=1e-1)
+    assert r["lr_steepest"] > 0
+    # trainer's own ranges are untouched (still the zeros init)
+    assert all(float(v) == 0.0 for v in tr.state.qstats.values())
