@@ -232,9 +232,17 @@ def main(argv=None) -> int:
             nonlocal n_done
             if not batch:
                 return
-            x = jnp.asarray(np.stack(batch))
-            logits = apply_fn(variables, x)
-            probs = np.asarray(jax.nn.sigmoid(logits.astype(jnp.float32)))
+            x = np.stack(batch)
+            if len(batch) < args.batch_size:
+                # zero-pad the tail to the compiled batch shape: an
+                # odd-shaped final batch would trace+compile a SECOND
+                # program (30-60 s through the TPU tunnel)
+                pad = np.zeros((args.batch_size - len(batch),)
+                               + x.shape[1:], x.dtype)
+                x = np.concatenate([x, pad])
+            logits = apply_fn(variables, jnp.asarray(x))
+            probs = np.asarray(jax.nn.sigmoid(
+                logits.astype(jnp.float32)))[:len(batch)]
             preds = probs if args.prob else (probs > args.threshold)
             for p, (name, orig_size) in zip(preds, metas):
                 m = Image.fromarray((p[..., 0] * 255).astype(np.uint8))

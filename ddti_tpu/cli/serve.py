@@ -143,15 +143,34 @@ class Batcher:
                         break
                     continue
                 items.append(nxt)
-            self._flush(items)
+            try:
+                self._flush(items)
+            except BaseException as e:  # the worker must NEVER die —
+                # every submit() waits on an Event with no timeout, so an
+                # escaped exception here would hang all clients forever
+                err = (e if isinstance(e, Exception)
+                       else RuntimeError(repr(e)))
+                for _, ev, slot in items:
+                    if not ev.is_set():
+                        slot["error"] = err
+                        ev.set()
             if self._stop and self._q.empty():
                 return
 
     def _flush(self, items):
         import numpy as np
 
+        with self.lock:  # snapshot: a concurrent reload may swap the set
+            programs = list(self.programs)
+        largest = programs[-1][0]
+        if len(items) > largest:
+            # the program set shrank mid-collect (hot reload to smaller
+            # batches): split instead of crashing the worker
+            for i in range(0, len(items), largest):
+                self._flush(items[i:i + largest])
+            return
         x = np.stack([a for a, _, _ in items])
-        bn, predict = next(p for p in self.programs if p[0] >= len(items))
+        bn, predict = next(p for p in programs if p[0] >= len(items))
         if len(items) < bn:
             pad = np.zeros((bn - len(items),) + x.shape[1:], x.dtype)
             x = np.concatenate([x, pad])
@@ -194,9 +213,12 @@ def load_predictor(args):
                 "--weights applies to a single bundle; with a bundle LIST "
                 "each program loads its sibling .npz")
         loaded = []
+        shared = None  # one HBM copy of the weights across the set
         for p in paths:
             fn, batch_n, size, in_dtype = load_serving_bundle(
-                p, args.weights if len(paths) == 1 else None)
+                p, args.weights if len(paths) == 1 else None,
+                shared_variables=shared)
+            shared = getattr(fn, "variables", None) or shared
             if np.dtype(in_dtype) != np.uint8:
                 def fn(x, _fn=fn, _dt=in_dtype):
                     return _fn(x.astype(_dt) / np.asarray(255, _dt))
@@ -241,7 +263,7 @@ def load_predictor(args):
         params, stats = fold_batchnorm(model, params, stats)
     serve = jax.jit(make_serve_fn(model, params, stats,
                                   threshold=args.threshold,
-                                  input_dtype=jnp.uint8, tta=args.tta))
+                                  tta=args.tta))
 
     def predict(x):
         return np.asarray(serve(jnp.asarray(x)))
@@ -566,24 +588,31 @@ class PredictionServer(ThreadingHTTPServer):
 
     def start_watcher(self, interval_s: float) -> None:
         """--watch: poll the checkpoint file mtimes and hot-reload when
-        training overwrites them (the automatic train->serve loop)."""
-        paths = [p for p in self.args.checkpoint.split(",")
-                 if os.path.exists(p)]
-        state = {p: os.path.getmtime(p) for p in paths}
+        training overwrites them (the automatic train->serve loop). The
+        watched paths are re-read from ``self.args.checkpoint`` every
+        tick, so a ``POST /reload`` onto a NEW path moves the watch with
+        it, and a checkpoint that didn't exist at startup is picked up
+        (and reloaded) when training first writes it."""
+        state = {p: os.path.getmtime(p)
+                 for p in self.args.checkpoint.split(",")
+                 if os.path.exists(p)}
 
         def _poll():
             while not self._watch_stop.wait(interval_s):
                 try:
-                    changed = [p for p in paths
-                               if os.path.getmtime(p) != state[p]]
+                    current = {p: os.path.getmtime(p)
+                               for p in self.args.checkpoint.split(",")
+                               if os.path.exists(p)}
                 except OSError:
                     continue  # mid-write; retry next tick
+                changed = [p for p, m in current.items()
+                           if state.get(p) != m]
                 if not changed:
                     continue
                 try:
                     self.reload()
-                    for p in paths:
-                        state[p] = os.path.getmtime(p)
+                    state.clear()
+                    state.update(current)
                     sys.stderr.write(
                         f"watch: reloaded after {changed} changed\n")
                 except Exception as e:  # keep serving the old programs

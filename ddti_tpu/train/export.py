@@ -40,12 +40,12 @@ def serve_body(model, variables, images, threshold: float = 0.5,
 
 
 def make_serve_fn(model, params: Any, batch_stats: Any,
-                  threshold: float = 0.5, input_dtype=jnp.float32,
-                  tta: bool = False):
-    """Closed-over inference function -> uint8 masks. With
-    ``input_dtype=jnp.uint8`` the function is the full serving entry:
-    raw [0,255] bytes in, binarized masks out (the uint8->model-dtype
-    conversion is baked into the artifact)."""
+                  threshold: float = 0.5, tta: bool = False):
+    """Closed-over inference function -> uint8 masks. The input dtype is
+    decided at trace time by ``serve_body``'s dtype sniff: trace with a
+    uint8 spec and the artifact is the full serving entry (raw [0,255]
+    bytes in, binarized masks out); trace with floats and it expects
+    [0,1]."""
 
     variables = {"params": params, "batch_stats": batch_stats}
 
@@ -66,8 +66,7 @@ def export_serving(model, params: Any, batch_stats: Any, batch: int,
     if fold_bn:
         from ddti_tpu.train.fold_bn import fold_batchnorm
         params, batch_stats = fold_batchnorm(model, params, batch_stats)
-    serve = make_serve_fn(model, params, batch_stats, threshold,
-                          input_dtype, tta=tta)
+    serve = make_serve_fn(model, params, batch_stats, threshold, tta=tta)
     spec = jax.ShapeDtypeStruct((batch, size, size, in_channels),
                                 input_dtype)
     exported = jax_export.export(jax.jit(serve))(spec)
@@ -241,7 +240,8 @@ def aot_compile_serving(blob: bytes):
     return jax.jit(exported.call).lower(*args, **kwargs).compile()
 
 
-def load_serving_bundle(program_path: str, weights_path: str | None = None):
+def load_serving_bundle(program_path: str, weights_path: str | None = None,
+                        shared_variables=None):
     """Rehydrate a weights-as-arguments serving bundle (the pair
     ``--export_serving`` writes: ``<model>_serving_program.stablehlo`` +
     sibling ``.npz``) into ``(fn, batch, size, in_dtype)`` where
@@ -256,7 +256,15 @@ def load_serving_bundle(program_path: str, weights_path: str | None = None):
     ``export_serving_int8_sharded``, ``nr_devices > 1``) are served over a
     ``data``-axis mesh built from the first ``nr_devices`` local devices;
     weights are replicated and the (global) image batch is sharded —
-    ``fn`` still takes/returns ordinary host arrays."""
+    ``fn`` still takes/returns ordinary host arrays.
+
+    ``shared_variables``: the already-device-resident variable tree of a
+    PREVIOUSLY loaded bundle of the same model (``fn.variables``) — used
+    when it matches this program's template exactly, so a multi-batch
+    bundle set (the same weights exported at batch 1/8/32) holds ONE
+    copy of the weights in HBM instead of one per program. The returned
+    ``fn`` exposes its tree as ``fn.variables`` (None for baked-weights
+    artifacts)."""
     import os
 
     from jax import export as jax_export
@@ -297,18 +305,36 @@ def load_serving_bundle(program_path: str, weights_path: str | None = None):
 
         def fn(images):
             return compiled(put_dp(jnp.asarray(images)))
+
+        fn.variables = None
     else:  # weights-as-arguments: fn(variables, images)
         var_template, img_spec = args
-        if weights_path is None:
-            base, _ = os.path.splitext(program_path)
-            weights_path = base + ".npz"
-        from ddti_tpu.train.checkpoint import load_variables_npz
-        # the template carries whatever collections the program was exported
-        # with (params/batch_stats, plus e.g. "quant" for int8 bundles)
-        variables = put_rep(load_variables_npz(weights_path, var_template))
+        variables = None
+        if shared_variables is not None:
+            try:  # reuse iff structure+shape+dtype match this template
+                match = jax.tree.all(jax.tree.map(
+                    lambda t, v: (t.shape == jnp.shape(v)
+                                  and t.dtype == jnp.asarray(v).dtype),
+                    var_template, shared_variables))
+                if match:
+                    variables = shared_variables
+            except (ValueError, TypeError):
+                pass  # different tree structure: load our own
+        if variables is None:
+            if weights_path is None:
+                base, _ = os.path.splitext(program_path)
+                weights_path = base + ".npz"
+            from ddti_tpu.train.checkpoint import load_variables_npz
+            # the template carries whatever collections the program was
+            # exported with (params/batch_stats, plus e.g. "quant" for
+            # int8 bundles)
+            variables = put_rep(load_variables_npz(weights_path,
+                                                   var_template))
 
         def fn(images):
             return compiled(variables, put_dp(jnp.asarray(images)))
+
+        fn.variables = variables
 
     batch, size = img_spec.shape[0], img_spec.shape[1]
     return fn, batch, size, img_spec.dtype

@@ -69,18 +69,24 @@ def _conv_geometry(mod: nn.Conv):
 
 def _is_plain_conv(mod) -> bool:
     """Only quantize the standard dense 2D convs (everything in this zoo);
-    grouped/masked convs fall back to the float path."""
+    grouped/masked/CIRCULAR convs fall back to the float path (flax
+    implements CIRCULAR by wrap-padding inside __call__, which the
+    interceptor bypasses — lax.conv would reject the string)."""
     return (type(mod) is nn.Conv and len(mod.kernel_size) == 2
-            and mod.feature_group_count == 1 and mod.mask is None)
+            and mod.feature_group_count == 1 and mod.mask is None
+            and (not isinstance(mod.padding, str)
+                 or mod.padding in ("SAME", "VALID")))
 
 
 def _is_plain_convt(mod) -> bool:
     """The zoo's decoder upconvs: plain 2D nn.ConvTranspose (k=2, s=2,
     VALID — /root/reference's ConvTranspose2d(k=2, s=2) equivalents), no
-    dilation/mask/kernel-transpose. Anything fancier falls back to float."""
+    dilation/mask/kernel-transpose. Anything fancier (incl. CIRCULAR
+    padding) falls back to float."""
     return (type(mod) is nn.ConvTranspose and len(mod.kernel_size) == 2
             and mod.mask is None and not mod.transpose_kernel
             and isinstance(mod.padding, str)
+            and mod.padding in ("SAME", "VALID")
             and _pairs(mod.kernel_dilation) == (1, 1))
 
 

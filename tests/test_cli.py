@@ -598,3 +598,41 @@ def test_resume_continues_epoch_budget(tmp_path):
     assert "Resuming at epoch 3/3" in log
     assert "Train Epoch: 3," in log
     assert "Train Epoch: 1," not in log  # epochs 1-2 were NOT re-run
+
+
+def test_bundle_set_shares_weights(tmp_path):
+    """A multi-batch bundle set of the same model holds ONE copy of the
+    weights on device (load_serving_bundle shared_variables)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ddti_tpu.models import create_model
+    from ddti_tpu.train.checkpoint import save_params_npz
+    from ddti_tpu.train.export import (
+        export_serving_program,
+        load_serving_bundle,
+    )
+
+    model = create_model("UNet", base_filters=8, depth=3)
+    v = model.init({"params": jax.random.PRNGKey(0)},
+                   jnp.zeros((1, 32, 32, 1)), train=False)
+    progs = []
+    for batch in (2, 4):
+        blob, svars = export_serving_program(
+            model, v["params"], v["batch_stats"], batch=batch, size=32,
+            input_dtype=jnp.uint8)
+        p = str(tmp_path / f"b{batch}_serving_program.stablehlo")
+        with open(p, "wb") as f:
+            f.write(blob)
+        save_params_npz(str(tmp_path / f"b{batch}_serving_program.npz"),
+                        svars["params"], svars["batch_stats"])
+        progs.append(p)
+
+    fn1, *_ = load_serving_bundle(progs[0])
+    fn2, *_ = load_serving_bundle(progs[1], shared_variables=fn1.variables)
+    assert fn2.variables is fn1.variables
+    x = np.zeros((4, 32, 32, 1), np.uint8)
+    a = np.asarray(fn2(x))
+    b = np.asarray(fn1(x[:2]))
+    np.testing.assert_array_equal(a[:2], b)

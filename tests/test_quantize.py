@@ -401,3 +401,16 @@ def test_quantize_cli_batch_set_exports_multi_bundles(tmp_path):
         assert (batch, size) == (bn, 32)
         masks = np.asarray(fn(jnp.zeros((bn, 32, 32, 1), jnp.float32)))
         assert masks.shape == (bn, 32, 32, 1)
+
+
+def test_circular_padding_conv_not_quantizable():
+    """flax implements padding='CIRCULAR' by wrap-padding inside
+    __call__, which the quant interceptor bypasses — such convs must fall
+    back to the float path instead of crashing lax.conv."""
+    from flax import linen as nn
+
+    from ddti_tpu.train.quantize import _is_plain_conv
+
+    assert _is_plain_conv(nn.Conv(8, (3, 3), padding="SAME"))
+    assert _is_plain_conv(nn.Conv(8, (3, 3), padding=1))
+    assert not _is_plain_conv(nn.Conv(8, (3, 3), padding="CIRCULAR"))

@@ -542,3 +542,77 @@ def test_serve_ensemble_bundle(tmp_path):
         server.shutdown()
         server.close()
         t.join(timeout=10)
+
+
+def test_batcher_survives_flush_errors_and_program_shrink(tmp_path):
+    """The worker thread must never die: an oversized item group (program
+    set shrank mid-collect) splits instead of raising StopIteration, and
+    an arbitrary _flush crash surfaces to the waiter while the thread
+    keeps serving."""
+    from ddti_tpu.cli.serve import Batcher
+
+    calls = []
+
+    def predict(x):
+        calls.append(x.shape[0])
+        return np.zeros_like(x)
+
+    b = Batcher(predict, batch_n=2, max_wait_ms=1.0)
+    # oversized group: 5 items through a max-batch-2 program set
+    items = []
+    for _ in range(5):
+        ev = threading.Event()
+        slot = {}
+        items.append((np.zeros((8, 8, 1), np.uint8), ev, slot))
+    b._flush(items)
+    assert all(ev.is_set() for _, ev, _ in items)
+    assert all("mask" in slot for _, _, slot in items)
+    assert calls == [2, 2, 2]  # 2+2+1(padded)
+
+    # a crash inside _flush must not kill the worker
+    orig = b._flush
+    b._flush = lambda items: (_ for _ in ()).throw(RuntimeError("boom"))
+    with pytest.raises(RuntimeError, match="boom"):
+        b.submit(np.zeros((8, 8, 1), np.uint8))
+    b._flush = orig
+    assert b._thread.is_alive()
+    out = b.submit(np.zeros((8, 8, 1), np.uint8))
+    assert out.shape == (8, 8, 1)
+    b.close()
+
+
+def test_watcher_follows_reloaded_path(tmp_path):
+    """--watch must track the path installed by POST /reload, not the
+    startup list."""
+    import os as _os
+    import time as _time
+
+    p_a = str(tmp_path / "a.stablehlo")
+    os.rename(_make_bundle(tmp_path, batch=2, size=32), p_a)
+    args = get_parser().parse_args(
+        ["--checkpoint", p_a, "--port", "0",
+         "--compilation_cache", "off"])
+    server = create_server(args)
+    server.start_watcher(0.2)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        p_b = str(tmp_path / "b.stablehlo")
+        os.rename(_make_bundle(tmp_path, batch=4, size=32), p_b)
+        resp, _ = _request(server, "POST", "/reload",
+                           json.dumps({"checkpoint": p_b}).encode())
+        assert resp.status == 200
+        n0 = server.n_reloads
+        # touching the OLD path must not trigger; touching B must
+        _time.sleep(0.5)
+        _os.utime(p_b, None)
+        deadline = _time.time() + 30
+        while server.n_reloads == n0 and _time.time() < deadline:
+            _time.sleep(0.1)
+        assert server.n_reloads > n0
+        resp, data = _request(server, "GET", "/healthz")
+        assert json.loads(data)["batch"] == 4
+    finally:
+        server.shutdown()
+        server.close()
+        t.join(timeout=10)

@@ -479,8 +479,8 @@ def test_serving_aot_uint8_artifact():
     got2 = np.asarray(exe2(variables, x))
     np.testing.assert_array_equal(got2, got)
     assert got.dtype == np.uint8 and got.shape == (2, 32, 32, 1)
-    live = np.asarray(make_serve_fn(model, v["params"], v["batch_stats"],
-                                    input_dtype=jnp.uint8)(jnp.asarray(x)))
+    live = np.asarray(make_serve_fn(model, v["params"],
+                                    v["batch_stats"])(jnp.asarray(x)))
     # BN folding shifts logits ~1e-3 under MXU default precision; allow a
     # handful of threshold-boundary pixels to flip
     assert (got != live).mean() < 0.01
