@@ -1,10 +1,16 @@
 #!/usr/bin/env python3
 """Benchmark harness: end-to-end train-step + inference throughput of the
-flagship ResUNet (base_filters=64, depth=5, bf16) at 256x256 on one chip,
-including the fused on-device augmentation pipeline and loss suite.
+flagship ResUNet (base_filters=64, depth=5, bf16) on one chip, including the
+fused on-device augmentation pipeline and loss suite.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+Prints the headline JSON line
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N, ...}
+INCREMENTALLY: a full valid line is printed (and flushed) the moment each
+metric lands, so a driver that kills the process early still captures
+everything measured up to that point (last-line-wins). Secondary metrics
+(int8 serving, 512x512, opt-in warp variants) run after the headline under a
+global deadline — worst case the whole bench stays under ~10 minutes even
+through the 30-60 s/program remote-compile tunnel.
 
 Baseline: the PyTorch reference (ResUNet, identical shapes/losses) measured
 on this container's CPU host — train 0.147 img/s, infer 0.781 img/s
@@ -21,20 +27,29 @@ import time
 TORCH_CPU_TRAIN_IPS = 0.147
 TORCH_CPU_INFER_IPS = 0.781
 
+# Global wall-clock budget for the whole bench. Headline (train/infer/serve
+# at 256^2) always runs; each secondary metric only starts if enough budget
+# remains, and subprocesses are additionally hard-capped.
+DEADLINE_S = 540.0
+SUBPROC_CAP_S = 300.0
 
-def bench(batch: int = 128, size: int = 256, steps: int = 20,
-          warmup: int = 2, remat: bool = False) -> dict:
+_T0 = time.perf_counter()
+
+
+def _remaining() -> float:
+    return DEADLINE_S - (time.perf_counter() - _T0)
+
+
+def _setup(batch: int, size: int, grad_accum: int = 1,
+           remat: bool = False, **flags):
+    """Fresh flagship model + train state + synthetic batch + fused step."""
     import jax
     import jax.numpy as jnp
 
     from ddti_tpu.core import Config
     from ddti_tpu.data import generate_ddti_like
     from ddti_tpu.models import ResUNet
-    from ddti_tpu.train import (
-        create_train_state,
-        make_eval_step,
-        make_train_step,
-    )
+    from ddti_tpu.train import create_train_state, make_train_step
     from ddti_tpu.train.engine import aug_config_from
 
     # compute_unused_losses=False is the production path: zero-weighted
@@ -43,36 +58,110 @@ def bench(batch: int = 128, size: int = 256, steps: int = 20,
     # preserved under the default CLI flags, not in the headline bench.
     cfg = Config(batch_size=batch, image_size=size, store_size=size,
                  lr=1e-5, model_type="ResUNet", use_mixup=False,
-                 compute_unused_losses=False)
+                 compute_unused_losses=False, grad_accum=grad_accum, **flags)
     model = ResUNet(in_channels=1, out_channels=1, base_filters=64, depth=5,
                     remat=remat, dtype=jnp.bfloat16)
     state = create_train_state(model, jax.random.PRNGKey(0),
                                (1, size, size, 1), cfg.lr,
                                steps_per_epoch=100)
     images, masks = generate_ddti_like(batch, (size, size), 0)
-    images = jnp.asarray(images)
-    masks = jnp.asarray(masks)
+    images, masks = jnp.asarray(images), jnp.asarray(masks)
+    step = make_train_step(cfg, aug_config_from(cfg))
+    return cfg, model, state, images, masks, step
 
-    train_step = make_train_step(cfg, aug_config_from(cfg))
-    eval_step = make_eval_step(cfg)
+
+def _time_train(state, images, masks, step, steps: int, warmup: int):
+    # NOTE: sync via float() of a step output, not block_until_ready — the
+    # latter can return early on experimental PJRT backends.
+    import jax
     key = jax.random.PRNGKey(1)
-
-    # NOTE: sync via device_get of a step output, not block_until_ready —
-    # the latter can return early on experimental PJRT backends.
-
-    # train throughput
     for _ in range(warmup):
         key, k = jax.random.split(key)
-        state, m = train_step(state, images, masks, k)
+        state, m = step(state, images, masks, k)
     float(m.loss)
     t0 = time.perf_counter()
     for _ in range(steps):
         key, k = jax.random.split(key)
-        state, m = train_step(state, images, masks, k)
+        state, m = step(state, images, masks, k)
     float(m.loss)  # forces completion of the whole dependent chain
-    train_ips = batch * steps / (time.perf_counter() - t0)
+    ips = images.shape[0] * steps / (time.perf_counter() - t0)
+    return ips, state
 
-    # eval throughput (forward + losses + metric counts, the val loop cost)
+
+def measure_train(batch: int, size: int, steps: int = 20, warmup: int = 2,
+                  grad_accum: int = 1, **flags) -> float:
+    """Train-step img/s for one config (fresh process per large program —
+    a fragmented device heap distorts any SECOND large program in-process,
+    see CLAUDE.md)."""
+    _, _, state, images, masks, step = _setup(batch, size,
+                                              grad_accum=grad_accum, **flags)
+    ips, _ = _time_train(state, images, masks, step, steps, warmup)
+    return ips
+
+
+def measure_infer(batch: int, size: int, steps: int = 20,
+                  warmup: int = 2) -> float:
+    """Eval-step (forward + losses + metric counts) img/s."""
+    from ddti_tpu.train import make_eval_step
+
+    cfg, _, state, images, masks, _ = _setup(batch, size)
+    eval_step = make_eval_step(cfg)
+    for _ in range(warmup):
+        m = eval_step(state, images, masks)
+    float(m.loss)
+    t0 = time.perf_counter()
+    last = [eval_step(state, images, masks) for _ in range(steps)][-1]
+    float(last.loss)
+    return batch * steps / (time.perf_counter() - t0)
+
+
+# Secondary measurements runnable standalone: `python bench.py --measure X`
+# prints ONE float. bench() shells out to these so each large program gets
+# a fresh device heap.
+_MEASURES = {
+    "train512": lambda a: measure_train(16, 512, steps=a.steps),
+    "infer512": lambda a: measure_infer(16, 512, steps=a.steps),
+    "train512_ga2": lambda a: measure_train(32, 512, steps=max(4, a.steps // 2),
+                                            grad_accum=2),
+    "fastwarp": lambda a: measure_train(a.batch, a.size, steps=a.steps,
+                                        aug_fast_warp=True),
+    "sg": lambda a: measure_train(a.batch, a.size, steps=a.steps,
+                                  aug_shared_geometry=True),
+}
+
+
+def bench(batch: int = 128, size: int = 256, steps: int = 20,
+          warmup: int = 2, remat: bool = False) -> int:
+    import subprocess
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    out: dict = {
+        "metric": "resunet256_train_images_per_sec_per_chip",
+        "value": 0.0,
+        "unit": "images/sec/chip",
+        "vs_baseline": 0.0,
+    }
+
+    def emit():
+        out["elapsed_s"] = round(time.perf_counter() - _T0, 1)
+        print(json.dumps(out), flush=True)
+
+    # ---- headline: train / infer / AOT-serving at 256^2 -------------------
+    cfg, model, state, images, masks, step = _setup(batch, size, remat=remat)
+    train_ips, state = _time_train(state, images, masks, step, steps, warmup)
+    out["value"] = round(train_ips, 2)
+    out["vs_baseline"] = round(train_ips / TORCH_CPU_TRAIN_IPS, 1)
+    out["backend"] = jax.default_backend()
+    out["batch"] = batch
+    out["image_size"] = size
+    emit()
+
+    from ddti_tpu.train import make_eval_step
+
+    eval_step = make_eval_step(cfg)
     for _ in range(warmup):
         m = eval_step(state, images, masks)
     float(m.loss)
@@ -80,13 +169,16 @@ def bench(batch: int = 128, size: int = 256, steps: int = 20,
     last = [eval_step(state, images, masks) for _ in range(steps)][-1]
     float(last.loss)
     infer_ips = batch * steps / (time.perf_counter() - t0)
+    out["infer_images_per_sec_per_chip"] = round(infer_ips, 2)
+    out["infer_vs_baseline"] = round(infer_ips / TORCH_CPU_INFER_IPS, 1)
+    emit()
 
     # serving only needs params/batch_stats — drop the optimizer moments
     # (~250 MB at flagship scale) before compiling the serving executables
     jax.tree.map(lambda a: a.delete(), state.opt_state)
 
     # serving throughput, measured from the DEPLOYMENT artifact: BN folded
-    # into conv kernels, serialized to StableHLO (weights baked in),
+    # into conv kernels, serialized to StableHLO (weights as arguments),
     # deserialized and AOT-compiled to a loaded executable — uint8 images
     # in, binarized uint8 masks out, no Python model code on the hot path.
     from ddti_tpu.train.export import (
@@ -106,111 +198,76 @@ def bench(batch: int = 128, size: int = 256, steps: int = 20,
     last = [serve(variables, images) for _ in range(steps)][-1]
     int(last[0, 0, 0, 0])
     serve_ips = batch * steps / (time.perf_counter() - t0)
+    out["serve_images_per_sec_per_chip"] = round(serve_ips, 2)
+    out["serve_vs_baseline"] = round(serve_ips / TORCH_CPU_INFER_IPS, 1)
+    emit()
 
+    # ---- secondary: int8 serving (in-process), budget-gated ---------------
     # int8-quantized serving bundle (--serving_dtype int8): per-channel
     # int8 conv weights on the MXU's s8 path, calibrated activations
-    # (train/quantize.py). Secondary metric.
-    from ddti_tpu.train.quantize import export_serving_int8
-
-    # free the bf16 serving executable + weights before compiling the int8
-    # one — the two don't need to coexist and HBM is tight at bs128
+    # (train/quantize.py).
     del serve, last
     jax.tree.map(lambda a: a.delete(), variables)
-    try:
-        blob_q, variables_q = export_serving_int8(
-            model, state.params, state.batch_stats, batch=batch, size=size,
-            calib_images=images[:min(32, batch)].astype(jnp.float32) / 255.0)
-        serve_q = aot_compile_serving(blob_q)
-        variables_q = jax.device_put(variables_q)
-        for _ in range(warmup):
-            p = serve_q(variables_q, images)
-        int(p[0, 0, 0, 0])
-        t0 = time.perf_counter()
-        last = [serve_q(variables_q, images) for _ in range(steps)][-1]
-        int(last[0, 0, 0, 0])
-        serve_int8_ips = batch * steps / (time.perf_counter() - t0)
-    except Exception as e:  # secondary metric must never sink the bench
-        import sys
-        print(f"int8 serving measurement failed: {e!r}", file=sys.stderr)
-        serve_int8_ips = 0.0
-    else:
-        del serve_q, last, p
-        jax.tree.map(lambda a: a.delete(), variables_q)
-
-    # train throughput of the two opt-in warp variants: --aug_fast_warp
-    # (Paeth three-shear barrel warp, per-image geometry kept, QUIRKS #23)
-    # and --aug_shared_geometry (one flip/rotation draw per batch,
-    # QUIRKS #20). Secondary metrics, each measured in its OWN subprocess:
-    # after this process's many compiles/frees the device heap is
-    # fragmented enough to distort (or OOM) a second full train
-    # program — measured 7.5 img/s in-process vs 302.8 standalone.
-    import subprocess
-    import sys
-
-    def _variant_ips(name: str) -> float:
+    if _remaining() > 180:
         try:
-            out = subprocess.run(
-                [sys.executable, __file__, "--variant_only", name,
+            from ddti_tpu.train.quantize import export_serving_int8
+
+            blob_q, variables_q = export_serving_int8(
+                model, state.params, state.batch_stats, batch=batch,
+                size=size,
+                calib_images=(images[:min(32, batch)].astype(jnp.float32)
+                              / 255.0))
+            serve_q = aot_compile_serving(blob_q)
+            variables_q = jax.device_put(variables_q)
+            for _ in range(warmup):
+                p = serve_q(variables_q, images)
+            int(p[0, 0, 0, 0])
+            t0 = time.perf_counter()
+            last = [serve_q(variables_q, images) for _ in range(steps)][-1]
+            int(last[0, 0, 0, 0])
+            ips = batch * steps / (time.perf_counter() - t0)
+            out["serve_int8_images_per_sec_per_chip"] = round(ips, 2)
+            out["serve_int8_vs_baseline"] = round(
+                ips / TORCH_CPU_INFER_IPS, 1)
+            del serve_q, last, p
+            jax.tree.map(lambda a: a.delete(), variables_q)
+        except Exception as e:  # secondary must never sink the bench
+            print(f"int8 serving measurement failed: {e!r}", file=sys.stderr)
+        emit()
+
+    # ---- secondary: 512^2 (reference-native res) + warp variants ----------
+    # Each in its OWN subprocess: after this process's many compiles/frees
+    # the device heap is fragmented enough to distort (or OOM) a second
+    # full train program — measured 7.5 img/s in-process vs 302.8
+    # standalone (CLAUDE.md).
+    def _sub(name: str, key: str, vs: float | None = None):
+        budget = _remaining()
+        if budget < 75:
+            print(f"skipping {name}: {budget:.0f}s budget left",
+                  file=sys.stderr)
+            return
+        try:
+            r = subprocess.run(
+                [sys.executable, __file__, "--measure", name,
                  "--batch", str(batch), "--size", str(size),
                  "--steps", str(steps)],
-                capture_output=True, text=True, timeout=1500, check=True)
-            return float(out.stdout.strip().splitlines()[-1])
-        except Exception as e:  # secondary metric must never sink the bench
-            print(f"{name} variant measurement failed: {e!r}",
-                  file=sys.stderr)
-            return 0.0
+                capture_output=True, text=True,
+                timeout=min(SUBPROC_CAP_S, budget), check=True)
+            val = float(r.stdout.strip().splitlines()[-1])
+            out[key] = round(val, 2)
+            if vs is not None:
+                out[key.replace("images_per_sec", "vs_baseline")
+                       .replace("_per_chip", "")] = round(val / vs, 1)
+        except Exception as e:
+            print(f"{name} measurement failed: {e!r}", file=sys.stderr)
+        emit()
 
-    train_fw_ips = _variant_ips("fastwarp")
-    train_sg_ips = _variant_ips("sg")
-
-    return {"train_ips": train_ips, "train_sg_ips": train_sg_ips,
-            "train_fw_ips": train_fw_ips,
-            "infer_ips": infer_ips, "serve_ips": serve_ips,
-            "serve_int8_ips": serve_int8_ips,
-            "backend": jax.default_backend(), "batch": batch, "size": size}
-
-
-_VARIANT_FLAGS = {
-    "sg": {"aug_shared_geometry": True},
-    "fastwarp": {"aug_fast_warp": True},
-}
-
-
-def bench_variant(variant: str, batch: int, size: int, steps: int = 20,
-                  warmup: int = 2) -> float:
-    """One opt-in train variant, standalone (run in a fresh process by
-    bench(); also invocable directly via --variant_only sg|fastwarp)."""
-    import jax
-    import jax.numpy as jnp
-
-    from ddti_tpu.core import Config
-    from ddti_tpu.data import generate_ddti_like
-    from ddti_tpu.models import ResUNet
-    from ddti_tpu.train import create_train_state, make_train_step
-    from ddti_tpu.train.engine import aug_config_from
-
-    cfg = Config(batch_size=batch, image_size=size, store_size=size,
-                 lr=1e-5, model_type="ResUNet", use_mixup=False,
-                 compute_unused_losses=False, **_VARIANT_FLAGS[variant])
-    model = ResUNet(in_channels=1, out_channels=1, base_filters=64, depth=5,
-                    dtype=jnp.bfloat16)
-    state = create_train_state(model, jax.random.PRNGKey(0),
-                               (1, size, size, 1), cfg.lr,
-                               steps_per_epoch=100)
-    images, masks = generate_ddti_like(batch, (size, size), 0)
-    images, masks = jnp.asarray(images), jnp.asarray(masks)
-    step = make_train_step(cfg, aug_config_from(cfg))
-    key = jax.random.PRNGKey(1)
-    for _ in range(warmup):
-        key, k = jax.random.split(key)
-        state, m = step(state, images, masks, k)
-    float(m.loss)
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        key, k = jax.random.split(key)
-        state, m = step(state, images, masks, k)
-    float(m.loss)
-    return batch * steps / (time.perf_counter() - t0)
+    _sub("train512", "train512_images_per_sec", TORCH_CPU_TRAIN_IPS)
+    _sub("infer512", "infer512_images_per_sec", TORCH_CPU_INFER_IPS)
+    _sub("train512_ga2", "train512_ga2_images_per_sec")
+    _sub("fastwarp", "train_fast_warp_images_per_sec")
+    _sub("sg", "train_shared_geometry_images_per_sec")
+    return 0
 
 
 def main() -> int:
@@ -221,35 +278,19 @@ def main() -> int:
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--remat", action="store_true")
-    ap.add_argument("--variant_only", choices=sorted(_VARIANT_FLAGS),
-                    help="print only this train variant's img/s "
-                         "(used by bench() as an isolated subprocess)")
+    ap.add_argument("--measure", choices=sorted(_MEASURES),
+                    help="print only this secondary metric's img/s "
+                         "(run by bench() as an isolated subprocess)")
+    # legacy alias for --measure (round-2 name)
+    ap.add_argument("--variant_only", choices=["fastwarp", "sg"],
+                    help=argparse.SUPPRESS)
     args = ap.parse_args()
-    if args.variant_only:
-        print(bench_variant(args.variant_only, batch=args.batch,
-                            size=args.size, steps=args.steps))
+    which = args.measure or args.variant_only
+    if which:
+        print(_MEASURES[which](args))
         return 0
-    r = bench(batch=args.batch, size=args.size, steps=args.steps,
-              remat=args.remat)
-    print(json.dumps({
-        "metric": "resunet256_train_images_per_sec_per_chip",
-        "value": round(r["train_ips"], 2),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(r["train_ips"] / TORCH_CPU_TRAIN_IPS, 1),
-        "train_fast_warp_images_per_sec": round(r["train_fw_ips"], 2),
-        "train_shared_geometry_images_per_sec": round(r["train_sg_ips"], 2),
-        "infer_images_per_sec_per_chip": round(r["infer_ips"], 2),
-        "infer_vs_baseline": round(r["infer_ips"] / TORCH_CPU_INFER_IPS, 1),
-        "serve_images_per_sec_per_chip": round(r["serve_ips"], 2),
-        "serve_vs_baseline": round(r["serve_ips"] / TORCH_CPU_INFER_IPS, 1),
-        "serve_int8_images_per_sec_per_chip": round(r["serve_int8_ips"], 2),
-        "serve_int8_vs_baseline": round(
-            r["serve_int8_ips"] / TORCH_CPU_INFER_IPS, 1),
-        "backend": r["backend"],
-        "batch": r["batch"],
-        "image_size": r["size"],
-    }))
-    return 0
+    return bench(batch=args.batch, size=args.size, steps=args.steps,
+                 remat=args.remat)
 
 
 if __name__ == "__main__":

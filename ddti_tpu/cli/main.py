@@ -252,6 +252,22 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--nan_guard_patience", default=5, type=int,
                    help="consecutive non-finite steps tolerated under "
                         "--nan_guard before training stops")
+    p.add_argument("--bn_exact_variance", action="store_true",
+                   help="compute BatchNorm batch variance two-pass "
+                        "(E[(x-mu)^2], torch numerics) instead of flax's "
+                        "one-pass E[x^2]-E[x]^2: exact gradient-level "
+                        "parity with the reference (QUIRKS #24) at ~5%% "
+                        "train throughput cost")
+    p.add_argument("--fused_epoch", action="store_true",
+                   help="run each training epoch as ONE scanned XLA "
+                        "program (dataset resident in HBM, a single "
+                        "dispatch per epoch). Caveats: --profile is "
+                        "ignored (no per-step trace boundaries) and "
+                        "--nan_guard degrades to epoch granularity — "
+                        "rejected steps are still skipped on device, but "
+                        "training only stops when a WHOLE epoch is "
+                        "rejected, not after --nan_guard_patience bad "
+                        "steps (both warned at epoch 0)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize conv-block activations in the "
                         "backward pass (fits f32 512x512 batch-16 training "

@@ -142,6 +142,9 @@ class Config:
     host_augment: bool = False     # strict host-oracle augmentation path
     mesh_shape: Optional[dict] = None  # e.g. {"data": 8}
     fused_epoch: bool = False  # whole epoch as one scanned XLA program
+    # two-pass (torch-numerics) BatchNorm variance — exact gradient parity
+    # with the reference at ~5% train cost (QUIRKS #24)
+    bn_exact_variance: bool = False
     donate_state: bool = True
     compute_unused_losses: bool = True  # reference computes all 4 terms
 

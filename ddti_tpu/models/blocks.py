@@ -32,6 +32,38 @@ from flax import linen as nn
 BN_MOMENTUM = 0.9
 BN_EPS = 1e-5
 
+# BatchNorm variance algorithm (QUIRKS #24). flax's default one-pass
+# E[x^2]-E[x]^2 ("fast variance") suffers f32 cancellation on conv
+# activations: train-mode GRADIENTS diverge from torch (two-pass
+# E[(x-mu)^2]) by up to ~1e-2 normwise per parameter even though forward
+# losses agree to 1e-5 — the error enters through the d(var) chain of the
+# BN input-gradient. Two-pass matches torch down to torch's own f32
+# conditioning (~2e-3, the same profile as torch f32-vs-f64) but costs
+# 4.8% train throughput on the flagship (258.5 -> 246.0 img/s, one extra
+# reduction pass per BN; /tmp A/B r3). Production default stays fast;
+# set_bn_fast_variance(False) (--bn_exact_variance) selects torch
+# numerics. Trace-time setting: flip it BEFORE jit/apply.
+_BN_FAST_VARIANCE = [True]
+
+
+def set_bn_fast_variance(fast: bool) -> None:
+    """Select the process-wide BatchNorm variance algorithm (see above).
+    Takes effect at trace time — call before building/jitting steps."""
+    _BN_FAST_VARIANCE[0] = bool(fast)
+
+
+def bn_fast_variance() -> bool:
+    return _BN_FAST_VARIANCE[0]
+
+
+def batch_norm(*, train: bool, dtype=jnp.float32, name: str | None = None,
+               momentum: float = BN_MOMENTUM, epsilon: float = BN_EPS):
+    """The zoo's BatchNorm: torch defaults + the process-wide variance
+    algorithm selection."""
+    return nn.BatchNorm(use_running_average=not train, momentum=momentum,
+                        epsilon=epsilon, dtype=dtype, name=name,
+                        use_fast_variance=_BN_FAST_VARIANCE[0])
+
 
 class ConvBNAct(nn.Module):
     """3x3 Conv (no bias) -> BatchNorm -> activation, twice.
@@ -52,9 +84,7 @@ class ConvBNAct(nn.Module):
                 self.features, (3, 3), padding=1, use_bias=False,
                 dtype=self.dtype, name=f"conv{i + 1}",
             )(x)
-            x = nn.BatchNorm(
-                use_running_average=not train, momentum=BN_MOMENTUM,
-                epsilon=BN_EPS, dtype=self.dtype, name=f"bn{i + 1}",
+            x = batch_norm(train=train, dtype=self.dtype, name=f"bn{i + 1}",
             )(x)
             if self.act == "prelu":
                 # torch nn.PReLU(): one shared learnable slope, init 0.25.
@@ -75,13 +105,11 @@ class ResidualBlock(nn.Module):
         # ``train`` is positional-friendly so nn.remat can mark it static
         y = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
                     dtype=self.dtype, name="conv1")(x)
-        y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                         epsilon=BN_EPS, dtype=self.dtype, name="bn1")(y)
+        y = batch_norm(train=train, dtype=self.dtype, name="bn1")(y)
         y = nn.relu(y)
         y = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
                     dtype=self.dtype, name="conv2")(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                         epsilon=BN_EPS, dtype=self.dtype, name="bn2")(y)
+        y = batch_norm(train=train, dtype=self.dtype, name="bn2")(y)
         s = nn.Conv(self.features, (1, 1), use_bias=False,
                     dtype=self.dtype, name="skip")(x)
         return nn.relu(y + s)
@@ -108,8 +136,7 @@ class ASPP(nn.Module):
         y = jnp.concatenate(branches, axis=-1)
         y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
                     name="project")(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                         epsilon=BN_EPS, dtype=self.dtype, name="project_bn")(y)
+        y = batch_norm(train=train, dtype=self.dtype, name="project_bn")(y)
         return nn.relu(y)
 
 
@@ -126,17 +153,14 @@ class AttentionGate(nn.Module):
     def __call__(self, g, x, *, train: bool):
         g1 = nn.Conv(self.inter_features, (1, 1), use_bias=True,
                      dtype=self.dtype, name="w_g")(g)
-        g1 = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                          epsilon=BN_EPS, dtype=self.dtype, name="w_g_bn")(g1)
+        g1 = batch_norm(train=train, dtype=self.dtype, name="w_g_bn")(g1)
         x1 = nn.Conv(self.inter_features, (1, 1), use_bias=True,
                      dtype=self.dtype, name="w_x")(x)
-        x1 = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                          epsilon=BN_EPS, dtype=self.dtype, name="w_x_bn")(x1)
+        x1 = batch_norm(train=train, dtype=self.dtype, name="w_x_bn")(x1)
         psi = nn.relu(g1 + x1)
         psi = nn.Conv(1, (1, 1), use_bias=True, dtype=self.dtype,
                       name="psi")(psi)
-        psi = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                           epsilon=BN_EPS, dtype=self.dtype, name="psi_bn")(psi)
+        psi = batch_norm(train=train, dtype=self.dtype, name="psi_bn")(psi)
         return x * jax.nn.sigmoid(psi)
 
 
@@ -257,14 +281,22 @@ class TransformerEncoderLayer(nn.Module):
         q, k, v = heads(q), heads(k), heads(v)
         use_flash = self.use_flash_attention
         if use_flash is None:
-            use_flash = s >= 1024 and s % 256 == 0 and hd % 8 == 0
+            # Auto-enable only when it cannot change training semantics:
+            # the flash kernels skip attention-probability dropout (torch
+            # MHA drops the softmax weights too, mod.py:309 semantics), so
+            # a *training* step with dropout>0 must stay on the exact
+            # parity path even at long S (e.g. TransUNet depth-3 at 512^2,
+            # S=4096). Eval/serving — dropout off — still picks flash.
+            # An explicit use_flash_attention=True flag always wins.
+            use_flash = (s >= 1024 and s % 256 == 0 and hd % 8 == 0
+                         and (not train or self.dropout == 0.0))
         if use_flash:
             # Pallas tiled online-softmax kernel: O(S*D) memory — use for
             # long bottleneck sequences (shallow depth at high res).
             # NOTE: the flash kernels do NOT drop attention probabilities
             # (torch MHA's dropout=p on the softmax weights); out_proj/FF
-            # dropout still applies. The default auto threshold keeps the
-            # reference configs (S <= 256) on the exact-parity path below.
+            # dropout still applies. The auto path never takes flash when
+            # it would drop that regularizer (gated on train/dropout above).
             from ddti_tpu.ops.attention import flash_attention
             y = flash_attention(q, k, v).astype(x.dtype)
         else:

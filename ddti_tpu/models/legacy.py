@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .blocks import BN_EPS, BN_MOMENTUM, max_pool_2x2, up_conv
+from .blocks import batch_norm, max_pool_2x2, up_conv
 
 
 class _ConvReluBN(nn.Module):
@@ -41,9 +41,7 @@ class _ConvReluBN(nn.Module):
             x = nn.Conv(self.features, (3, 3), padding=1, use_bias=True,
                         dtype=self.dtype, name=f"conv{i + 1}")(x)
             x = nn.relu(x)
-            x = nn.BatchNorm(use_running_average=not train,
-                             momentum=BN_MOMENTUM, epsilon=BN_EPS,
-                             dtype=self.dtype, name=f"bn{i + 1}")(x)
+            x = batch_norm(train=train, dtype=self.dtype, name=f"bn{i + 1}")(x)
         return x
 
 
@@ -117,9 +115,7 @@ class _ConvBlock(nn.Module):
         for i in range(self.num_convs):
             x = nn.Conv(self.features, (3, 3), padding=1, use_bias=True,
                         dtype=self.dtype, name=f"conv{i + 1}")(x)
-            x = nn.BatchNorm(use_running_average=not train,
-                             momentum=BN_MOMENTUM, epsilon=BN_EPS,
-                             dtype=self.dtype, name=f"bn{i + 1}")(x)
+            x = batch_norm(train=train, dtype=self.dtype, name=f"bn{i + 1}")(x)
             x = nn.relu(x)
             x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
         if self.project_residual:

@@ -34,12 +34,11 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .blocks import (
-    BN_EPS,
-    BN_MOMENTUM,
     ASPP,
     AttentionGate,
     ConvBNAct,
     ResidualBlock,
+    batch_norm,
     TransformerEncoderLayer,
     max_pool_2x2,
 )
@@ -58,9 +57,7 @@ class _ConvReluBN2(nn.Module):
             x = nn.Conv(self.features, (3, 3), padding=1, use_bias=True,
                         dtype=self.dtype, name=f"conv{i + 1}")(x)
             x = nn.relu(x)
-            x = nn.BatchNorm(use_running_average=not train,
-                             momentum=BN_MOMENTUM, epsilon=BN_EPS,
-                             dtype=self.dtype, name=f"bn{i + 1}")(x)
+            x = batch_norm(train=train, dtype=self.dtype, name=f"bn{i + 1}")(x)
         return x
 
 
@@ -298,9 +295,7 @@ class _DropConvBlock(nn.Module):
         for i in range(self.num_convs):
             x = nn.Conv(self.features, (3, 3), padding=1, use_bias=True,
                         dtype=self.dtype, name=f"conv{i}")(x)
-            x = nn.BatchNorm(use_running_average=not train,
-                             momentum=BN_MOMENTUM, epsilon=BN_EPS,
-                             dtype=self.dtype, name=f"bn{i}")(x)
+            x = batch_norm(train=train, dtype=self.dtype, name=f"bn{i}")(x)
             x = nn.relu(x)
             x = nn.Dropout(self.dropout_rate)(x, deterministic=not train)
         if self.project:

@@ -185,6 +185,9 @@ class TransUNet(_EncoderDecoderBase):
     num_heads: int = 8
     embed_dim: int = 256
     image_size: int = 512
+    # The reference hardcodes 0.1 into its TransEncoder (mod.py:307-309);
+    # configurable here so deterministic parity/serving runs can zero it.
+    dropout_rate: float = 0.1
     # Reference-parity quirk: torch feeds (B, S, E) into seq-first layers so
     # "attention" runs across the batch axis (mod.py:308-319). False = the
     # intended spatial attention (default); True = bit parity with torch.
@@ -206,6 +209,7 @@ class TransUNet(_EncoderDecoderBase):
         self.trans_layers = [
             TransformerEncoderLayer(
                 self.embed_dim, self.num_heads,
+                dropout=self.dropout_rate,
                 attend_batch_axis=self.batch_axis_attention,
                 use_flash_attention=self.use_flash_attention,
                 dtype=self.dtype)
@@ -213,7 +217,7 @@ class TransUNet(_EncoderDecoderBase):
         ]
         self.trans_proj = nn.Dense(ch[-1], use_bias=True, dtype=self.dtype,
                                    name="trans_proj")
-        self.in_dropout = nn.Dropout(0.1)
+        self.in_dropout = nn.Dropout(self.dropout_rate)
         self.upconvs = [up_conv(c, dtype=self.dtype) for c in reversed(ch)]
         self.decoders = [self._maybe_remat(ConvBNAct)(c, dtype=self.dtype) for c in reversed(ch)]
         self.final_conv = nn.Conv(self.out_channels, (1, 1), use_bias=True,

@@ -65,6 +65,14 @@ class Trainer:
         self.train_src, self.val_src, self.test_src = data
         self.mesh = mesh
 
+        if getattr(config, "bn_exact_variance", False):
+            # torch-numerics BN variance (QUIRKS #24): trace-time setting,
+            # must flip before the step builders below trace the model
+            from ddti_tpu.models.blocks import set_bn_fast_variance
+            set_bn_fast_variance(False)
+            logger.info("--bn_exact_variance: two-pass BatchNorm variance "
+                        "(torch numerics, ~5%% slower)")
+
         if hasattr(self.train_src, "num_batches"):
             steps_per_epoch = max(
                 self.train_src.num_batches(config.batch_size), 1)
@@ -286,6 +294,14 @@ class Trainer:
                     "--profile is ignored under --fused_epoch (the epoch "
                     "is ONE XLA program — there are no per-step trace "
                     "boundaries); rerun without --fused_epoch to trace")
+            if epoch == 0 and self._nan_guard:
+                self.logger.warning(
+                    "--nan_guard under --fused_epoch degrades to EPOCH "
+                    "granularity: rejected steps are still skipped inside "
+                    "the scanned program, but the patience counter only "
+                    "sees the per-epoch skip total (training stops when a "
+                    "whole epoch is rejected, not after %s bad steps)",
+                    self._nan_patience)
             return self._train_one_epoch_fused(epoch)
         total = None
         # same key derivation as the fused-epoch path: one epoch key, one

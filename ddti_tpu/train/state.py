@@ -225,13 +225,18 @@ def create_train_state(model, key, input_shape, lr: float,
                        qat: bool = False,
                        quant_min_channels: int = 0,
                        freeze: tuple = ()) -> TrainState:
-    variables = model.init({"params": key},
-                           jnp.zeros(input_shape, jnp.float32), train=False)
-    params = variables["params"]
-    batch_stats = variables.get("batch_stats", {})
+    x0 = jnp.zeros(input_shape, jnp.float32)
+
+    def init_variables(k, x):
+        return model.init({"params": k}, x, train=False)
+
     labels = None
     if freeze:
-        labels, n_frozen = freeze_labels(params, freeze)
+        # freeze_labels only looks at tree paths — derive them from the
+        # abstract init (no compute) so the optimizer can be built before
+        # the single fused init program below.
+        abs_params = jax.eval_shape(init_variables, key, x0)["params"]
+        labels, n_frozen = freeze_labels(abs_params, freeze)
         if n_frozen == 0:
             raise ValueError(
                 f"--freeze {','.join(freeze)} matched no parameters; "
@@ -239,18 +244,31 @@ def create_train_state(model, key, input_shape, lr: float,
                 "'encoders_0/conv1'")
     tx, _ = make_optimizer(lr, steps_per_epoch, weight_decay,
                            clip_norm=clip_norm, freeze=labels)
+
+    # Param init + optimizer-moment init as ONE compiled program: running
+    # flax's init eagerly dispatches every op separately, which through a
+    # remote-dispatch TPU backend (~30-50 ms/op) costs minutes at flagship
+    # scale — jitted it is one compile + one execution.
+    def init_state(k, x):
+        variables = init_variables(k, x)
+        params = variables["params"]
+        return (params, variables.get("batch_stats", {}), tx.init(params),
+                jax.tree.map(jnp.copy, params) if ema else None)
+
+    params, batch_stats, opt_state, ema_params = jax.jit(init_state)(key, x0)
     if qat:
         from .qat import init_qstats
-        qstats = init_qstats(model, variables, input_shape,
-                             quant_min_channels)
+        qstats = init_qstats(model,
+                             {"params": params, "batch_stats": batch_stats},
+                             input_shape, quant_min_channels)
     else:
         qstats = None
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         batch_stats=batch_stats,
-        opt_state=tx.init(params),
-        ema_params=jax.tree.map(jnp.copy, params) if ema else None,
+        opt_state=opt_state,
+        ema_params=ema_params,
         qstats=qstats,
         tx=tx,
         apply_fn=model.apply,

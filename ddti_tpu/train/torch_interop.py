@@ -50,6 +50,12 @@ _ASPP = {"branch0": "branches.0", "branch1": "branches.1",
 _TRANS_LAYER = {"qkv": "self_attn.in_proj", "out_proj": "self_attn.out_proj",
                 "fc1": "linear1", "fc2": "linear2",
                 "ln1": "norm1", "ln2": "norm2"}
+# legacy conv_block (model.py:35-42 / mores.py:33-43): Conv(0) ReLU(1) BN(2)
+# Conv(3) ReLU(4) BN(5)
+_CONV_RELU_BN = {"conv1": "0", "bn1": "2", "conv2": "3", "bn2": "5"}
+# mores VNet2D _block (mores.py:105-114): Conv BN PReLU Conv BN PReLU
+_MORES_PRELU = {"conv1": "0", "bn1": "1", "prelu1": "2",
+                "conv2": "3", "bn2": "4", "prelu2": "5"}
 
 
 def _block_map(model_type: str, prelu: bool) -> dict:
@@ -58,9 +64,86 @@ def _block_map(model_type: str, prelu: bool) -> dict:
     return _CONVBN_PRELU if prelu else _CONVBN
 
 
+def _legacy_unet_key(path: tuple[str, ...]) -> str:
+    """Key map for the fixed-depth legacy UNet (models/model.py:5-79 ==
+    mores.py:5-74): encoder1..4 are plain conv_block Sequentials; middle =
+    Sequential(pool(0), conv_block(1), ConvT(2)); decoderN =
+    Sequential(conv_block(0), ConvT(1)); final = Sequential(conv_block(0),
+    Conv1x1(1))."""
+    out: list[str] = []
+    i = 0
+    while i < len(path):
+        p = path[i]
+        if p.startswith("encoder"):
+            out.append(f"{p}.{_CONV_RELU_BN[path[i + 1]]}")
+            i += 2
+            continue
+        if p == "middle_block":
+            out.append(f"middle.1.{_CONV_RELU_BN[path[i + 1]]}")
+            i += 2
+            continue
+        if p == "middle_up":
+            out.append("middle.2")
+            i += 1
+            continue
+        if p.startswith("decoder") and p.endswith("_block"):
+            out.append(f"{p[:-6]}.0.{_CONV_RELU_BN[path[i + 1]]}")
+            i += 2
+            continue
+        if p.startswith("decoder") and p.endswith("_up"):
+            out.append(f"{p[:-3]}.1")
+            i += 1
+            continue
+        if p == "final_block":
+            out.append(f"final.0.{_CONV_RELU_BN[path[i + 1]]}")
+            i += 2
+            continue
+        if p == "final_conv":
+            out.append("final.1")
+            i += 1
+            continue
+        out.append(p)
+        i += 1
+    return ".".join(out)
+
+
+def _mores_vnet_key(path: tuple[str, ...]) -> str:
+    """Key map for MoresVNet2D (mores.py:75-135): enc{i}/down{i}/up{i}/
+    dec{i}/bottleneck flax modules onto the torch ModuleList names."""
+    out: list[str] = []
+    i = 0
+    while i < len(path):
+        p = path[i]
+        stem = p.rstrip("0123456789")
+        idx = p[len(stem):]
+        if stem in ("enc", "dec") and idx:
+            out.append(f"{stem}_blocks.{idx}.{_MORES_PRELU[path[i + 1]]}")
+            i += 2
+            continue
+        if p == "bottleneck":
+            out.append(f"bottleneck.{_MORES_PRELU[path[i + 1]]}")
+            i += 2
+            continue
+        if stem == "down" and idx:
+            out.append(f"down_convs.{idx}")
+            i += 1
+            continue
+        if stem == "up" and idx:
+            out.append(f"up_convs.{idx}")
+            i += 1
+            continue
+        out.append(p)
+        i += 1
+    return ".".join(out)
+
+
 def _torch_key(model_type: str, path: tuple[str, ...]) -> str:
     """Translate a flax param path (module names + leaf name) to the torch
     state_dict key prefix (without .weight/.bias leaf suffix)."""
+    if model_type in ("LegacyUNet", "MoresUNet"):
+        return _legacy_unet_key(path)
+    if model_type == "MoresVNet2D":
+        return _mores_vnet_key(path)
     prelu = model_type == "VNet2D"
     parts = list(path)
     out: list[str] = []
@@ -140,8 +223,16 @@ def _is_layernorm(path) -> bool:
 
 
 def _is_transpose_conv(model_type: str, path) -> bool:
-    return any(p.startswith("upconvs_") or p.startswith("up_convs_")
-               for p in path)
+    def is_up(p: str) -> bool:
+        if p.startswith("upconvs_") or p.startswith("up_convs_"):
+            return True  # active zoo
+        if p == "middle_up" or (p.startswith("decoder")
+                                and p.endswith("_up")):
+            return True  # legacy UNet / MoresUNet
+        stem = p.rstrip("0123456789")
+        return stem == "up" and len(p) > len(stem)  # MoresVNet2D up{i}
+
+    return any(is_up(p) for p in path)
 
 
 def _is_dense(path) -> bool:

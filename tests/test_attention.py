@@ -148,3 +148,37 @@ def test_transunet_flash_flag_forward():
     o1 = m1.apply(v, x, train=False)
     o2 = m2.apply(v, x, train=False)  # same params, same math
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-4)
+
+
+def test_auto_flash_gated_off_training_dropout(monkeypatch):
+    """QUIRKS #21: the flash kernels skip attention-prob dropout, so auto
+    flash must never fire on a *training* step with dropout>0 (e.g. the
+    reference's TransUNet depth-3 at 512^2, S=4096) while eval — and a
+    dropout=0 train step — still picks flash at long S."""
+    import ddti_tpu.ops.attention as attn_mod
+    from ddti_tpu.models.blocks import TransformerEncoderLayer
+
+    calls = []
+    real = attn_mod.flash_attention
+
+    def spy(q, k, v, *a, **kw):
+        calls.append(q.shape)
+        return real(q, k, v, *a, **kw)
+
+    monkeypatch.setattr(attn_mod, "flash_attention", spy)
+
+    s, e = 1024, 32  # smallest auto-flash-eligible S; hd = 8
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, s, e))
+
+    def run(dropout, train):
+        layer = TransformerEncoderLayer(embed_dim=e, num_heads=4,
+                                        dropout=dropout)
+        v = layer.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        calls.clear()  # init ran with train=False (flash) — not under test
+        layer.apply(v, x, train=train,
+                    rngs={"dropout": jax.random.PRNGKey(2)} if train else {})
+        return bool(calls)
+
+    assert not run(dropout=0.1, train=True)   # parity path: prob dropout
+    assert run(dropout=0.1, train=False)      # eval: flash
+    assert run(dropout=0.0, train=True)       # no regularizer at stake

@@ -221,3 +221,51 @@ def test_upconv_matches_conv_transpose():
     out_ct = ct.apply(v, x)
     out_up = up.apply(v, x)
     assert jnp.abs(out_up - out_ct).max() < 1e-5
+
+
+def test_bn_variance_algorithm_switch():
+    """QUIRKS #24: set_bn_fast_variance selects the BN variance algorithm
+    at trace time. With a large common-mode offset, one-pass
+    E[x^2]-E[x]^2 loses precision in f32 while two-pass stays exact —
+    the two settings must produce measurably different train-mode
+    normalizations, and the default must be restored."""
+    import numpy as np
+
+    from ddti_tpu.models.blocks import (
+        batch_norm,
+        bn_fast_variance,
+        set_bn_fast_variance,
+    )
+    from flax import linen as nn
+
+    class OneBN(nn.Module):
+        @nn.compact
+        def __call__(self, x, *, train: bool):
+            return batch_norm(train=train)(x)
+
+    # offset >> std: var = E[x^2] - E[x]^2 cancels catastrophically in f32
+    rng = np.random.default_rng(0)
+    x = (1000.0 + rng.normal(0, 0.1, (4, 16, 16, 8))).astype(np.float32)
+
+    def run():
+        m = OneBN()
+        v = m.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(x),
+                   train=False)
+        out, _ = m.apply(v, jnp.asarray(x), train=True,
+                         mutable=["batch_stats"])
+        return np.asarray(out)
+
+    assert bn_fast_variance()  # production default
+    fast = run()
+    set_bn_fast_variance(False)
+    try:
+        slow = run()
+    finally:
+        set_bn_fast_variance(True)
+    # two-pass matches the f64 ground truth much more closely
+    mu = x.astype(np.float64).mean(axis=(0, 1, 2))
+    var = x.astype(np.float64).var(axis=(0, 1, 2))
+    want = ((x - mu) / np.sqrt(var + 1e-5)).astype(np.float32)
+    err_fast = np.abs(fast - want).max()
+    err_slow = np.abs(slow - want).max()
+    assert err_slow < err_fast / 10, (err_slow, err_fast)
