@@ -9,6 +9,7 @@ import pytest
 
 import ddti_tpu.api as api
 from ddti_tpu.data import generate_ddti_like
+pytestmark = pytest.mark.slow  # full-depth tier: pytest tests/ -m "slow or not slow"
 
 
 @pytest.fixture(scope="module")

@@ -14,6 +14,7 @@ import pytest
 
 from ddti_tpu.core import Config
 from ddti_tpu.models import create_model
+pytestmark = pytest.mark.slow  # full-depth tier: pytest tests/ -m "slow or not slow"
 from ddti_tpu.train.autobatch import (
     device_budget_bytes,
     pick_batch_size,

@@ -12,6 +12,7 @@ import pytest
 from ddti_tpu.cli.average import _expand_managed, main as average_main
 from ddti_tpu.models import create_model
 from ddti_tpu.train.checkpoint import load_params_npz, save_params_npz
+pytestmark = pytest.mark.slow  # full-depth tier: pytest tests/ -m "slow or not slow"
 
 MODEL_ARGS = ["--model_type", "UNet", "--base_filters", "8",
               "--depth", "2", "--image_size", "32", "--cpu",

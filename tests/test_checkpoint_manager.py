@@ -14,6 +14,7 @@ import jax.numpy as jnp
 from ddti_tpu.models import create_model
 from ddti_tpu.train import create_train_state
 from ddti_tpu.train.checkpoint import ManagedCheckpointer
+pytestmark = pytest.mark.slow  # full-depth tier: pytest tests/ -m "slow or not slow"
 
 
 def _state(seed=0, lr=1e-3):

@@ -47,6 +47,7 @@ def test_split_config(tmp_path):
     assert loaded["model"]["kwargs"]["base_filters"] == 32
 
 
+@pytest.mark.slow
 def test_sweep_runner_concurrency(tmp_path):
     marker = tmp_path / "out"
     cmds = [[sys.executable, "-c",
@@ -57,6 +58,7 @@ def test_sweep_runner_concurrency(tmp_path):
     assert all((tmp_path / f"out_{i}").exists() for i in range(5))
 
 
+@pytest.mark.slow
 def test_sweep_runner_propagates_failure():
     codes = run_jobs([[sys.executable, "-c", "raise SystemExit(3)"]],
                      max_jobs=1, min_gap=0.0)
@@ -81,6 +83,7 @@ def test_main_synthetic_end_to_end(tmp_path):
     assert (run / "log" / "train_log.log").is_file()
 
 
+@pytest.mark.slow
 def test_main_host_augment_end_to_end(tmp_path):
     """Strict host-oracle augmentation path: PIL/cv2 chain feeding the
     device train step."""
@@ -94,6 +97,7 @@ def test_main_host_augment_end_to_end(tmp_path):
     assert rc == 0
 
 
+@pytest.mark.slow
 def test_sweep_retries(tmp_path):
     """A job that fails on the first attempt and succeeds on retry."""
     marker = tmp_path / "marker"
@@ -163,6 +167,7 @@ def test_infer_cli_end_to_end(tmp_path):
     assert masks["0.001"].min() == 255 and masks["0.999"].max() == 0
 
 
+@pytest.mark.slow
 def test_infer_cli_ensemble(tmp_path):
     """--checkpoint a,b: probability-mean ensemble over live checkpoints
     (cli/infer.py). Self-ensemble must reproduce the single-model masks
@@ -458,6 +463,7 @@ def test_config_from_dict_filters_unknown():
     assert cfg.lr == 0.1 and cfg.model_type == "UNet"
 
 
+@pytest.mark.slow
 def test_sweep_config_dir_end_to_end(tmp_path):
     """run.sh semantics end-to-end: split a 2-entry matrix, sweep it with
     subprocess jobs (CPU-forced), verify both runs trained."""
@@ -485,6 +491,7 @@ def test_sweep_config_dir_end_to_end(tmp_path):
     assert any(r.startswith("VNet2D_") for r in runs)
 
 
+@pytest.mark.slow
 def test_main_native_loader_end_to_end(tmp_path):
     """--native_loader on: the train split streams through the C++ mmap
     loader (Trainer's host-streaming path), val/test stay device-resident."""
@@ -572,6 +579,7 @@ def test_enable_compilation_cache(tmp_path, monkeypatch):
                           before_min)
 
 
+@pytest.mark.slow
 def test_resume_continues_epoch_budget(tmp_path):
     """--resume completes the ORIGINAL --epochs budget: a run stopped
     after 2/3 epochs trains exactly one more epoch, not three more (the

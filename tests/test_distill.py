@@ -20,6 +20,7 @@ from ddti_tpu.train import create_train_state, save_params_npz
 from ddti_tpu.train.distill import kd_bce, soft_targets, teacher_from_config
 from ddti_tpu.train.engine import aug_config_from
 from ddti_tpu.train.steps import make_scan_epoch, make_train_step
+pytestmark = pytest.mark.slow  # full-depth tier: pytest tests/ -m "slow or not slow"
 
 
 def _cfg(**kw):

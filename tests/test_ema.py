@@ -17,6 +17,7 @@ from ddti_tpu.data import generate_ddti_like  # noqa: E402
 from ddti_tpu.models import create_model  # noqa: E402
 from ddti_tpu.train import create_train_state, make_train_step  # noqa: E402
 from ddti_tpu.train.engine import aug_config_from  # noqa: E402
+pytestmark = pytest.mark.slow  # full-depth tier: pytest tests/ -m "slow or not slow"
 
 DECAY = 0.5  # large blend so drift is visible within a few steps
 

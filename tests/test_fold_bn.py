@@ -10,6 +10,7 @@ import pytest
 
 from ddti_tpu.models import create_model
 from ddti_tpu.train.fold_bn import fold_batchnorm
+pytestmark = pytest.mark.slow  # full-depth tier: pytest tests/ -m "slow or not slow"
 
 
 def _randomize_bn(key, params, batch_stats):

@@ -20,6 +20,7 @@ from ddti_tpu.train import create_train_state
 from ddti_tpu.train.engine import aug_config_from
 from ddti_tpu.train.state import freeze_labels, keep_frozen_bstats
 from ddti_tpu.train.steps import make_train_step
+pytestmark = pytest.mark.slow  # full-depth tier: pytest tests/ -m "slow or not slow"
 
 
 def _cfg(**kw):

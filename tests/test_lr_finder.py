@@ -1,5 +1,6 @@
 """LR range test (train/lr_finder.py, --lr_find)."""
 
+import pytest
 import os
 
 import jax
@@ -10,6 +11,7 @@ from ddti_tpu.data import DeviceDataSource, generate_ddti_like
 from ddti_tpu.models import create_model
 from ddti_tpu.train import Trainer
 from ddti_tpu.train.lr_finder import run_lr_finder
+pytestmark = pytest.mark.slow  # full-depth tier: pytest tests/ -m "slow or not slow"
 
 
 def _trainer(tmp_path, **kw):

@@ -37,7 +37,10 @@ def _n_params(model, size):
     return sum(int(p.size) for p in jax.tree.leaves(v["params"])), v
 
 
-@pytest.mark.parametrize("name", sorted(MODEL_REGISTRY))
+@pytest.mark.parametrize("name", [
+    # TransUNet inits its 512-sized pos-emb here (~16 s) -> full tier
+    pytest.param(n, marks=pytest.mark.slow) if n == "TransUNet" else n
+    for n in sorted(MODEL_REGISTRY)])
 def test_param_parity_bf16_d3(name):
     kwargs = dict(in_channels=1, out_channels=1, base_filters=16, depth=3)
     if name == "TransUNet":
@@ -50,6 +53,7 @@ def test_param_parity_bf16_d3(name):
     assert n == GOLDEN_BF16_D3[name]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name", ["ResUNet", "TransUNet", "ImprovedVNet"])
 def test_param_parity_bf32_d4(name):
     kwargs = dict(in_channels=1, out_channels=1, base_filters=32, depth=4)
@@ -104,7 +108,10 @@ def test_improvedvnet_no_attention_param_count_changes():
     assert na > nb
 
 
-@pytest.mark.parametrize("name", ["UNet", "ResUNet", "VNet2D"])
+@pytest.mark.parametrize("name", [
+    "ResUNet",
+    pytest.param("UNet", marks=pytest.mark.slow),
+    pytest.param("VNet2D", marks=pytest.mark.slow)])
 def test_gradients_finite(name):
     model = create_model(name, base_filters=8, depth=3)
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 1))
@@ -147,6 +154,7 @@ def test_create_model_tolerates_extra_kwargs():
 
 # ---- legacy variants (reference model.py / vnet.py) ----
 
+@pytest.mark.slow
 def test_legacy_unet_param_parity():
     from ddti_tpu.models import LegacyUNet
     m = LegacyUNet()
@@ -157,6 +165,7 @@ def test_legacy_unet_param_parity():
     assert n == 31042369  # torch reference models/model.py
 
 
+@pytest.mark.slow
 def test_triple_branch_param_parity():
     from ddti_tpu.models import TripleBranchImprovedVNet
     m = TripleBranchImprovedVNet(base_num_filters=16)
@@ -166,6 +175,7 @@ def test_triple_branch_param_parity():
     assert n == 10041721  # torch reference models/vnet.py at base 16
 
 
+@pytest.mark.slow
 def test_legacy_models_forward_and_dispatch():
     m = create_model("LegacyUNet")
     x = jnp.zeros((1, 32, 32, 1))
@@ -184,6 +194,7 @@ def test_features_list_api_adapter():
         create_model("UNet", features=[8, 24, 32])
 
 
+@pytest.mark.slow
 def test_remat_identical_forward_and_params():
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 1))
     m1 = create_model("ResUNet", base_filters=8, depth=3, remat=False)

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 
 from ddti_tpu.models import create_model
 from ddti_tpu.train.state import count_params
+pytestmark = pytest.mark.slow  # full-depth tier: pytest tests/ -m "slow or not slow"
 
 torch = pytest.importorskip("torch")
 

@@ -13,6 +13,8 @@ import pytest
 
 from ddti_tpu.parallel import MultihostSpec, spec_from
 
+pytestmark = pytest.mark.slow  # full-depth tier: pytest tests/ -m "slow or not slow"
+
 
 def test_spec_explicit_wins_over_env():
     s = spec_from("a:1", 4, 2,

@@ -20,6 +20,7 @@ from ddti_tpu.train import Trainer, create_train_state
 from ddti_tpu.train.state import make_optimizer
 from ddti_tpu.train.steps import make_host_train_step, make_train_step
 from ddti_tpu.train.engine import aug_config_from
+pytestmark = pytest.mark.slow  # full-depth tier: pytest tests/ -m "slow or not slow"
 
 
 def _tiny_cfg(tmp, **kw):

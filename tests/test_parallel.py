@@ -81,6 +81,7 @@ def test_dp_step_matches_single_device(mesh8):
                                    rtol=2e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_dp_fast_warp_step_matches_single_device(mesh8):
     """--aug_fast_warp's barrel rolls/selects must shard cleanly over the
     batch axis: the DP step equals the single-device step bit-for-bit in
@@ -100,6 +101,7 @@ def test_dp_fast_warp_step_matches_single_device(mesh8):
     assert float(m1.counts.fp) == float(m2.counts.fp)
 
 
+@pytest.mark.slow
 def test_spatial_fast_warp_step_matches_single_device(eight_devices):
     """--aug_fast_warp under a spatial (H-sharded) mesh: the barrel rolls
     cross shard boundaries, so GSPMD must insert the halo exchanges; the
@@ -134,6 +136,7 @@ def test_dp_eval_step_counts_match(mesh8):
     assert float(m1.loss) == pytest.approx(float(m2.loss), rel=2e-5)
 
 
+@pytest.mark.slow
 def test_spatial_partition_step_runs(eight_devices):
     """DP x spatial(H) sharding: GSPMD must insert conv halo exchanges."""
     mesh = make_mesh({"data": 4, "model": 2}, eight_devices)
@@ -210,6 +213,7 @@ def test_trainer_end_to_end_on_mesh(tmp_path, eight_devices, serving_dtype):
         assert any(k.startswith("quant/") for k in npz.files)
 
 
+@pytest.mark.slow
 def test_fused_epoch_on_mesh(tmp_path, eight_devices):
     """fused_epoch + mesh: batch axis sharded over "data" inside the
     scanned program; results match the single-device fused run."""
@@ -277,6 +281,7 @@ def test_trainer_spatial_mesh_sharding(tmp_path, eight_devices):
     assert 0.0 <= iou <= 1.0
 
 
+@pytest.mark.slow
 def test_spatial_partition_512(eight_devices):
     """The benchmark-resolution spatial case: one DP x spatial train step at
     512x512 on the 8-device mesh (H sharded 2-way -> 256-row halo shards)."""
@@ -347,6 +352,7 @@ def test_sharded_serving_export_roundtrip(mesh8):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+@pytest.mark.slow
 def test_int8_sharded_serving_export(mesh8):
     """Int8 + GSPMD in one artifact (export_serving_int8_sharded): the
     quantized graph serves a batch sharded over the 8-device mesh and
@@ -418,6 +424,7 @@ def test_infer_cli_sharded_bundle(tmp_path, mesh8):
     assert len(os.listdir(out)) == 3
 
 
+@pytest.mark.slow
 def test_dp_grad_accum_step_matches_single_device(mesh8):
     """grad_accum=2 under a data-sharded mesh: the (K, B/K, ...) microbatch
     reshape must stay GSPMD-shardable and match the single-device result

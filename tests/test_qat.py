@@ -37,6 +37,7 @@ from ddti_tpu.train.quantize import (
     quantized_apply,
 )
 from ddti_tpu.train.steps import make_train_step
+pytestmark = pytest.mark.slow  # full-depth tier: pytest tests/ -m "slow or not slow"
 
 
 def _tiny_cfg(**kw):

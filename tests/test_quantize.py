@@ -18,6 +18,7 @@ from ddti_tpu.models import AttentionUNet, ResUNet, UNet
 from ddti_tpu.train.checkpoint import save_variables_npz
 from ddti_tpu.train.export import load_serving_bundle, make_serve_fn
 from ddti_tpu.train.fold_bn import fold_batchnorm
+pytestmark = pytest.mark.slow  # full-depth tier: pytest tests/ -m "slow or not slow"
 from ddti_tpu.train.quantize import (
     build_quant_tree,
     calibrate_conv_amax,

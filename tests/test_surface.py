@@ -7,6 +7,7 @@ the device path must match it on arbitrary masks.
 
 import numpy as np
 import pytest
+pytestmark = pytest.mark.slow  # full-depth tier: pytest tests/ -m "slow or not slow"
 
 from ddti_tpu.eval.surface import (
     boundary_map,

@@ -17,6 +17,7 @@ from ddti_tpu.core import Config  # noqa: E402
 from ddti_tpu.data import DeviceDataSource, generate_ddti_like  # noqa: E402
 from ddti_tpu.eval.metrics import confusion_counts  # noqa: E402
 from ddti_tpu.models import create_model  # noqa: E402
+pytestmark = pytest.mark.slow  # full-depth tier: pytest tests/ -m "slow or not slow"
 from ddti_tpu.train import (  # noqa: E402
     create_train_state,
     make_threshold_sweep_step,

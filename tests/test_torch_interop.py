@@ -12,6 +12,8 @@ import jax
 import jax.numpy as jnp
 
 from ddti_tpu.models import create_model
+
+pytestmark = pytest.mark.slow  # full-depth tier: pytest tests/ -m "slow or not slow"
 from ddti_tpu.train.torch_interop import (
     export_state_dict,
     import_state_dict,

@@ -243,6 +243,7 @@ def test_trainer_boundary_loss_path(tmp_path):
     assert np.isfinite(float(m.loss)) and float(m.boundary) > 0
 
 
+@pytest.mark.slow
 def test_fused_epoch_matches_stepwise(tmp_path):
     """fused_epoch (whole epoch as one scanned program) must produce the
     same final params as the step-by-step path given identical rng."""
@@ -299,6 +300,7 @@ def test_decode_to_store_cache_roundtrip(tmp_path):
     assert len(os.listdir(cache)) == 2
 
 
+@pytest.mark.slow
 def test_deep_supervision_training(tmp_path):
     """ImprovedVNet with deep_supervision trains: aux heads contribute to
     the loss (alpha > 0) and gradients stay finite."""
@@ -324,6 +326,7 @@ def test_deep_supervision_training(tmp_path):
     assert loss_with_ds > float(m0.loss)
 
 
+@pytest.mark.slow
 def test_trainer_exports_reference_pth(tmp_path):
     """Training output includes a reference-format .pth the torch reference
     can load_state_dict."""
@@ -350,6 +353,7 @@ def test_trainer_exports_reference_pth(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_serving_export_roundtrip(tmp_path):
     """StableHLO serving artifact: serialize, reload, outputs match the
     live model exactly."""
@@ -376,6 +380,7 @@ def test_serving_export_roundtrip(tmp_path):
     assert got.dtype == np.uint8
 
 
+@pytest.mark.slow
 def test_trainer_export_serving_artifact(tmp_path):
     """cfg.export_serving writes a StableHLO artifact at end of training
     that loads and predicts without the model code (train/export.py)."""
@@ -398,6 +403,7 @@ def test_trainer_export_serving_artifact(tmp_path):
     assert out.shape == (4, 32, 32, 1) and out.dtype == np.uint8
 
 
+@pytest.mark.slow
 def test_profile_steps_writes_trace(tmp_path):
     """--profile N captures an XLA device trace of the first N train steps
     into <result_dir>/trace (engine.train_one_epoch; core/profiling.py).
@@ -421,6 +427,7 @@ def test_profile_steps_writes_trace(tmp_path):
     tr.train_one_epoch(1)
 
 
+@pytest.mark.slow
 def test_trainer_export_serving_int8(tmp_path):
     """--serving_dtype int8: end of training writes an int8-quantized
     weights-as-arguments bundle (calibrated on a val batch) that
@@ -451,6 +458,7 @@ def test_trainer_export_serving_int8(tmp_path):
     assert out.shape == (4, 32, 32, 1) and out.dtype == _np.uint8
 
 
+@pytest.mark.slow
 def test_serving_aot_uint8_artifact():
     """The deployment artifact bench.py measures: uint8-in (conversion
     baked in), BN folded, deserialized + AOT-compiled to a loaded
@@ -486,6 +494,7 @@ def test_serving_aot_uint8_artifact():
     assert (got != live).mean() < 0.01
 
 
+@pytest.mark.slow
 def test_serving_export_bf16_weights():
     """weights_dtype=bf16 halves the deployment bundle; predictions must
     agree with the f32-weights artifact on all but threshold-boundary
@@ -544,6 +553,7 @@ def test_step_progress_and_tb_scalars(tmp_path):
             assert t in raw, f"{tag}/{phase} missing"
 
 
+@pytest.mark.slow
 def test_grad_accum_matches_manual_microbatching(tmp_path, tiny_data):
     """grad_accum=K must equal the hand-rolled accumulation semantics:
     augment/mixup the FULL batch, then per microbatch value_and_grad with
@@ -607,6 +617,7 @@ def test_grad_accum_matches_manual_microbatching(tmp_path, tiny_data):
                                    rtol=5e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_grad_accum_trainer_end_to_end(tmp_path):
     """Trainer runs with --grad_accum 2: losses finite, params update."""
     cfg = _tiny_cfg(tmp_path, epochs=2, batch_size=4, grad_accum=2)
@@ -632,6 +643,7 @@ def test_grad_accum_indivisible_batch_raises(tmp_path, tiny_data):
         step(state, im[:4], ma[:4], jax.random.PRNGKey(1))
 
 
+@pytest.mark.slow
 def test_fused_epoch_with_grad_accum(tmp_path):
     """fused_epoch x grad_accum: the accumulation scan nests inside the
     epoch scan; same final params as the stepwise grad_accum path."""

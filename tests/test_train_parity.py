@@ -275,8 +275,12 @@ def _assert_grads_close(name, t_grads, jax_grads):
 
 @pytest.mark.skipif(not HAVE_REF, reason="reference checkout not mounted")
 @pytest.mark.parametrize("name", [
-    "UNet", "ResUNet", "ASPPUNet", "AttentionUNet", "VNet2D",
-    "ImprovedVNet", "TransUNet", "MoresVNet2D", "LegacyUNet"])
+    # ResUNet (the flagship) stays in the fast tier; the other eight run
+    # in the full tier (pytest tests/ -m "slow or not slow")
+    "ResUNet",
+    *(pytest.param(n, marks=pytest.mark.slow) for n in (
+        "UNet", "ASPPUNet", "AttentionUNet", "VNet2D",
+        "ImprovedVNet", "TransUNet", "MoresVNet2D", "LegacyUNet"))])
 def test_train_step_parity(name):
     tm, jname, jkw = _make_pair(name)
     images, masks = _batch()
@@ -301,6 +305,7 @@ def test_train_step_parity(name):
     _assert_deltas_close(name, t_deltas, d_after, t_grads)
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(not HAVE_REF, reason="reference checkout not mounted")
 def test_train_trajectory_parity_multistep():
     """3 steps on ResUNet with the SGDR schedule advancing every step

@@ -15,6 +15,7 @@ import jax.numpy as jnp  # noqa: E402
 from ddti_tpu.core import Config  # noqa: E402
 from ddti_tpu.eval.tta import tta_logits, tta_probs  # noqa: E402
 from ddti_tpu.models import ResUNet  # noqa: E402
+pytestmark = pytest.mark.slow  # full-depth tier: pytest tests/ -m "slow or not slow"
 
 
 @pytest.fixture(scope="module")
