@@ -562,6 +562,14 @@ def main(argv=None) -> int:
 
     if args.mode in ("train", "both"):
         trainer.train()
+        if trainer.preempted:
+            # graceful SIGTERM/SIGINT shutdown: checkpoints are saved by
+            # train(); skip the test phase and exit with EX_TEMPFAIL so
+            # schedulers/sweep runners can distinguish preemption from
+            # failure and relaunch with --resume.
+            logger.info("Run preempted — test phase skipped "
+                        "(exit code 75, checkpoints saved)")
+            return 75
     if args.mode in ("test", "both"):
         trainer.test()
     return 0

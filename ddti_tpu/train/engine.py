@@ -186,6 +186,16 @@ class Trainer:
                                  or 5)
         self._consecutive_skips = 0
         self._diverged = False
+        # graceful preemption: SIGTERM/SIGINT during train() checkpoints
+        # and stops cleanly (TPU spot/preemptible capacity sends SIGTERM;
+        # the reference just dies mid-epoch with only stale saves)
+        self._preempted = False
+
+    @property
+    def preempted(self) -> bool:
+        """True when train() stopped on SIGTERM/SIGINT (checkpoints saved;
+        resume with --resume --checkpoint_path <run>/models/<Model>_last)."""
+        return self._preempted
 
     # ------------------------------------------------------------------
 
@@ -342,6 +352,12 @@ class Trainer:
             if self._nan_guard and not self._note_skip(
                     float(m.skipped), epoch, i):
                 break  # patience exhausted — stop the epoch (and the run)
+            if self._preempted:
+                # graceful shutdown: the update that just dispatched is
+                # kept; train() checkpoints the state and stops. (Under
+                # --fused_epoch there is no step loop — the flag is
+                # honored at the next epoch boundary instead.)
+                break
             if prof_n and i + 1 == prof_n:
                 try:
                     float(m.loss)  # drain the device into the trace window
@@ -473,8 +489,41 @@ class Trainer:
         self._last_val_counts = total.counts
         return avgs["loss"], em["iou"]
 
+    def _on_preempt_signal(self, signum, frame):
+        """SIGTERM/SIGINT during train(): finish the in-flight step, then
+        checkpoint and stop. A second signal aborts immediately."""
+        if self._preempted:
+            raise KeyboardInterrupt(f"second signal {signum}: aborting")
+        self._preempted = True
+        self.logger.warning(
+            f"received signal {signum}: will checkpoint and stop at the "
+            f"next step boundary (send again to abort without saving)")
+
+    def _install_preempt_handlers(self):
+        """Install the graceful handlers; returns the previous handlers
+        (None outside the main thread, where signal.signal is illegal —
+        e.g. a Trainer driven from a server worker thread)."""
+        import signal as _signal
+        prev = {}
+        try:
+            for s in (_signal.SIGTERM, _signal.SIGINT):
+                prev[s] = _signal.signal(s, self._on_preempt_signal)
+        except ValueError:
+            return None
+        return prev
+
     def train(self):
         cfg = self.config
+        prev_handlers = self._install_preempt_handlers()
+        try:
+            self._train_loop(cfg)
+        finally:
+            if prev_handlers is not None:
+                import signal as _signal
+                for s, h in prev_handlers.items():
+                    _signal.signal(s, h)
+
+    def _train_loop(self, cfg):
         if self.start_epoch:
             self.logger.info(
                 f"Resuming at epoch {self.start_epoch + 1}/{cfg.epochs} "
@@ -483,6 +532,13 @@ class Trainer:
             self.train_one_epoch(epoch)
             if self._diverged:  # --nan_guard patience exhausted; the
                 break           # last/best saves below still run
+            if self._preempted:
+                last = os.path.join(cfg.model_dir, f"{cfg.model_type}_last")
+                self.logger.warning(
+                    f"preempted at epoch {epoch + 1}: saving checkpoints "
+                    f"and stopping — resume with --resume "
+                    f"--checkpoint_path {last}")
+                break
             val_loss, val_iou = self.validate(epoch)
 
             # periodic artifacts (makes the reference's parsed-but-unused
@@ -517,6 +573,13 @@ class Trainer:
             self.early_stopping(-val_iou)
             if self.early_stopping.early_stop:
                 self.logger.info("--Early stopping triggered")
+                break
+            if self._preempted:  # signal arrived during validate/saves
+                last = os.path.join(cfg.model_dir, f"{cfg.model_type}_last")
+                self.logger.warning(
+                    f"preempted after epoch {epoch + 1}: saving checkpoints "
+                    f"and stopping — resume with --resume "
+                    f"--checkpoint_path {last}")
                 break
 
         last = os.path.join(cfg.model_dir, f"{cfg.model_type}_last")
