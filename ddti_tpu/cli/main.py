@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import json
 import os
 import sys
 
@@ -567,6 +568,18 @@ def main(argv=None) -> int:
             # train(); skip the test phase and exit with EX_TEMPFAIL so
             # schedulers/sweep runners can distinguish preemption from
             # failure and relaunch with --resume.
+            hint = os.environ.get("DDTI_RESUME_HINT")
+            if hint:
+                # contract with cli/sweep.py: the runner reads this file
+                # on exit-75 and relaunches the job with
+                # --resume --checkpoint_path <checkpoint_path>
+                try:
+                    with open(hint, "w") as f:
+                        json.dump({"checkpoint_path": os.path.join(
+                            cfg.model_dir, f"{cfg.model_type}_last"),
+                            "epochs": cfg.epochs}, f)
+                except OSError as e:
+                    logger.warning(f"could not write resume hint {hint}: {e}")
             logger.info("Run preempted — test phase skipped "
                         "(exit code 75, checkpoints saved)")
             return 75

@@ -21,26 +21,110 @@ import sys
 import time
 
 
+PREEMPTED_RC = 75  # EX_TEMPFAIL — cli/main.py's graceful-shutdown code
+
+
+def _with_resume(cmd, checkpoint_path: str):
+    """The job command relaunched as a full resume from ``checkpoint_path``
+    (argv list gets flags appended; simple shell strings get them quoted
+    on). Returns None for COMPOUND shell lines (pipes/redirects/
+    sequencing) — appended flags would attach to the wrong command, so
+    those jobs are left preempted rather than resumed wrong."""
+    import re
+    extra = ["--resume", "--checkpoint_path", checkpoint_path]
+    if isinstance(cmd, str):
+        if re.search(r"[;&|<>`]|\$\(", cmd):
+            return None
+        return cmd + " " + " ".join(shlex.quote(x) for x in extra)
+    return list(cmd) + extra
+
+
 def run_jobs(commands: list, max_jobs: int = 3,
-             min_gap: float = 1.0, env=None, retries: int = 0) -> list[int]:
+             min_gap: float = 1.0, env=None, retries: int = 0,
+             resume_preempted: bool = True,
+             max_resumes: int = 5) -> list[int]:
     """Launch commands with a concurrency cap + launch stagger; returns
     return codes in input order. A command is either an argv list (exec'd
     directly) or a string (run through the shell — commands-file lines may
     use redirects/pipes like the reference's run.sh jobs). ``retries``
     re-launches failed jobs up to that many times (simple failure
     recovery — the reference's sweep has none: a crashed job just dies,
-    run.sh:27)."""
-    if retries:
-        codes = run_jobs(commands, max_jobs, min_gap, env, retries=0)
+    run.sh:27).
+
+    Preemption recovery: every job gets a ``DDTI_RESUME_HINT`` env file;
+    a job that exits with code 75 (cli/main.py's graceful SIGTERM
+    shutdown) after writing its hint is relaunched — up to
+    ``max_resumes`` times — with ``--resume --checkpoint_path <hint>``,
+    so a preempted sweep entry continues its epoch budget instead of
+    restarting or counting as failed. Exit-75 jobs WITHOUT a hint (not
+    our CLI, or the save itself failed) fall through to ``retries``."""
+    if retries or resume_preempted:
+        import json
+        import tempfile
+
+        hints = [tempfile.NamedTemporaryFile(
+            mode="w", suffix=".resume.json", delete=False).name
+            for _ in commands]
+        for h in hints:
+            os.unlink(h)  # the CLI creates it only on preemption
+
+        def env_for(i):
+            e = dict(env or os.environ)
+            e["DDTI_RESUME_HINT"] = hints[i]
+            return e
+
+        current = list(commands)
+        codes = run_jobs_once(current, max_jobs, min_gap,
+                              [env_for(i) for i in range(len(current))])
+        if resume_preempted:
+            for _ in range(max_resumes):
+                pre = [i for i, c in enumerate(codes)
+                       if c == PREEMPTED_RC and os.path.exists(hints[i])]
+                if not pre:
+                    break
+                resumable = []
+                for i in pre:
+                    with open(hints[i]) as f:
+                        ckpt = json.load(f)["checkpoint_path"]
+                    os.unlink(hints[i])  # rewritten if preempted again
+                    resumed = _with_resume(commands[i], ckpt)
+                    if resumed is None:
+                        print(f"[sweep] job {i} preempted but its compound "
+                              f"shell line cannot take --resume flags — "
+                              f"left at exit 75 (resume manually from "
+                              f"{ckpt})")
+                        continue
+                    current[i] = resumed
+                    resumable.append(i)
+                    print(f"[sweep] job {i} preempted — resuming from "
+                          f"{ckpt}")
+                if not resumable:
+                    break
+                rcodes = run_jobs_once(
+                    [current[i] for i in resumable], max_jobs, min_gap,
+                    [env_for(i) for i in resumable])
+                for i, c in zip(resumable, rcodes):
+                    codes[i] = c
         for _ in range(retries):
             failed = [i for i, c in enumerate(codes) if c != 0]
             if not failed:
                 break
-            retry_codes = run_jobs([commands[i] for i in failed], max_jobs,
-                                   min_gap, env, retries=0)
+            retry_codes = run_jobs_once(
+                [commands[i] for i in failed], max_jobs, min_gap,
+                [env_for(i) for i in failed])
             for i, c in zip(failed, retry_codes):
                 codes[i] = c
+        for h in hints:
+            if os.path.exists(h):
+                os.unlink(h)
         return codes
+    return run_jobs_once(commands, max_jobs, min_gap,
+                         [env] * len(commands) if env else None)
+
+def run_jobs_once(commands: list, max_jobs: int = 3, min_gap: float = 1.0,
+                  envs: list | None = None) -> list[int]:
+    """One launch pass (no retries/resumes): the concurrency-capped,
+    staggered runner. ``envs`` optionally gives each job its own env."""
     running: list[tuple[int, subprocess.Popen]] = []
     codes: dict[int, int] = {}
     last_start = 0.0
@@ -74,7 +158,8 @@ def run_jobs(commands: list, max_jobs: int = 3,
             shlex.quote(c) for c in cmd)
         print(f"[{time.strftime('%H:%M:%S')}] RUN  ->  {shown}")
         running.append((idx, subprocess.Popen(
-            cmd, env=env, shell=isinstance(cmd, str))))
+            cmd, env=envs[idx] if envs else None,
+            shell=isinstance(cmd, str))))
         last_start = time.time()
 
     while running:
@@ -92,6 +177,9 @@ def main(argv=None) -> int:
     ap.add_argument("--min_gap", type=float, default=1.0)
     ap.add_argument("--retries", type=int, default=0,
                     help="re-launch failed jobs up to N times")
+    ap.add_argument("--max_resumes", type=int, default=5,
+                    help="relaunch a gracefully preempted job (exit 75 + "
+                         "resume hint) with --resume up to N times")
     ap.add_argument("--extra", default="",
                     help="extra flags appended to every generated command")
     args = ap.parse_args(argv)
@@ -116,7 +204,8 @@ def main(argv=None) -> int:
     if not commands:
         print("nothing to run (pass --config_dir or --commands_file)")
         return 1
-    codes = run_jobs(commands, args.max_jobs, args.min_gap, retries=args.retries)
+    codes = run_jobs(commands, args.max_jobs, args.min_gap,
+                     retries=args.retries, max_resumes=args.max_resumes)
     print("All jobs finished.")
     return 0 if all(c == 0 for c in codes) else 1
 

@@ -146,3 +146,65 @@ def test_cli_sigterm_exit75_and_resume(tmp_path):
                        stderr=subprocess.STDOUT, text=True, timeout=480)
     assert r.returncode == 0, r.stdout[-3000:]
     assert re.search(r"Test Metrics", r.stdout)
+
+
+# ---------------------------------------------------------------------------
+# sweep-runner preemption recovery (cli/sweep.py DDTI_RESUME_HINT contract)
+# ---------------------------------------------------------------------------
+
+_FAKE_JOB = """
+import json, os, sys
+# first run: "get preempted" — write the resume hint and exit 75.
+# resumed run (has --resume): verify the flags and exit 0.
+if "--resume" in sys.argv:
+    i = sys.argv.index("--checkpoint_path")
+    assert sys.argv[i + 1] == "CKPT", sys.argv
+    sys.exit(0)
+with open(os.environ["DDTI_RESUME_HINT"], "w") as f:
+    json.dump({"checkpoint_path": "CKPT", "epochs": 7}, f)
+sys.exit(75)
+"""
+
+
+def test_sweep_resumes_preempted_job(tmp_path):
+    import sys
+    from ddti_tpu.cli.sweep import run_jobs
+
+    job = tmp_path / "job.py"
+    job.write_text(_FAKE_JOB)
+    codes = run_jobs([[sys.executable, str(job)],
+                      [sys.executable, "-c", "pass"]],
+                     max_jobs=2, min_gap=0)
+    assert codes == [0, 0]  # preempted job resumed to success
+
+
+def test_sweep_preempt_without_hint_counts_as_failure(tmp_path):
+    """Exit 75 from a job that never wrote its hint (not our CLI / save
+    failed) must NOT be resumed — it falls through to plain retries."""
+    import sys
+    from ddti_tpu.cli.sweep import run_jobs
+
+    codes = run_jobs([[sys.executable, "-c", "import sys; sys.exit(75)"]],
+                     max_jobs=1, min_gap=0)
+    assert codes == [75]
+
+
+def test_sweep_repeated_preemption_caps(tmp_path):
+    """A job preempted on every launch stops after max_resumes relaunches."""
+    import sys
+    from ddti_tpu.cli.sweep import run_jobs
+
+    counter = tmp_path / "count"
+    job = tmp_path / "job.py"
+    job.write_text(
+        "import json, os, sys\n"
+        f"c = int(open({str(counter)!r}).read()) if "
+        f"os.path.exists({str(counter)!r}) else 0\n"
+        f"open({str(counter)!r}, 'w').write(str(c + 1))\n"
+        "with open(os.environ['DDTI_RESUME_HINT'], 'w') as f:\n"
+        "    json.dump({'checkpoint_path': 'CKPT'}, f)\n"
+        "sys.exit(75)\n")
+    codes = run_jobs([[sys.executable, str(job)]], max_jobs=1, min_gap=0,
+                     max_resumes=2)
+    assert codes == [75]
+    assert int(counter.read_text()) == 3  # 1 launch + 2 resumes
