@@ -208,3 +208,17 @@ def test_sweep_repeated_preemption_caps(tmp_path):
                      max_resumes=2)
     assert codes == [75]
     assert int(counter.read_text()) == 3  # 1 launch + 2 resumes
+
+
+def test_preempt_under_fused_epoch_stops_at_epoch_boundary(tmp_path):
+    """--fused_epoch has no step loop; the flag is honored between the
+    scanned epoch programs."""
+    tr = _trainer(tmp_path, epochs=5, fused_epoch=True)
+    assert tr.scan_epoch is not None  # the fused path is actually active
+    tr._preempted = True
+    validated = []
+    tr.validate = lambda e: validated.append(e) or (0.0, 0.0)
+    tr.train()
+    assert validated == []
+    assert int(tr.state.step) == tr.steps_per_epoch  # exactly one epoch
+    assert os.path.isdir(os.path.join(tr.config.model_dir, "UNet_last"))
