@@ -200,6 +200,12 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--export_serving", action="store_true",
                    help="after training, write a StableHLO serving artifact "
                         "(weights baked in, loadable without model code)")
+    p.add_argument("--best_full_state", action="store_true",
+                   help="also write the Orbax full-train-state checkpoint "
+                        "at best-IoU epochs (resume-from-best with "
+                        "optimizer state). Default: best epochs write the "
+                        ".npz weight export only — 3x fewer bytes per "
+                        "improvement epoch; <Model>_last stays resumable")
     p.add_argument("--tune_threshold", action="store_true",
                    help="pick the mask binarization threshold maximizing "
                         "val IoU (19-point device sweep) and test with it "

@@ -81,6 +81,14 @@ class Config:
     # nan_guard_patience consecutive rejections
     nan_guard_patience: int = 5
     save_interval: int = 20
+    best_full_state: bool = False  # also write the Orbax full-train-state
+    # checkpoint at every best-IoU epoch (resume-from-best with optimizer
+    # state). Default off: best epochs write the .npz weight export (+.pth)
+    # only — the full state is 3x the bytes (params + both AdamW moments:
+    # 1.56 GB at flagship scale, ~90 s through a 20 MB/s transfer path per
+    # improvement epoch, benchmarks/ckpt_fetch_ab.py) and <Model>_last
+    # always carries the resumable full state. Matches the reference's
+    # weights-only best policy (/root/reference/utils/trainer.py:184-195).
     log_every: int = 20  # in-epoch INFO progress interval (steps); 0 = off
     profile_steps: int = 0  # capture an XLA device trace of the first N
     # train steps of epoch 1 into <result_dir>/trace (TensorBoard-viewable;

@@ -563,7 +563,12 @@ class Trainer:
                 self.best_val_iou = val_iou
                 best = os.path.join(cfg.model_dir,
                                     f"{cfg.model_type}_best")
-                save_checkpoint(best, self.state)
+                if getattr(cfg, "best_full_state", False):
+                    # opt-in: resume-from-best with optimizer state. Off by
+                    # default — the full state is 3x the weight bytes (both
+                    # AdamW moments) per improvement epoch, and _last always
+                    # carries a resumable full state.
+                    save_checkpoint(best, self.state)
                 save_params_npz(best + ".npz", *self._eval_weights(),
                                 qstats=getattr(self.state, "qstats", None))
                 self._maybe_export_pth(best + ".pth")

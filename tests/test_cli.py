@@ -79,7 +79,7 @@ def test_main_synthetic_end_to_end(tmp_path):
     assert len(runs) == 1 and runs[0].startswith("UNet_")
     run = tmp_path / runs[0]
     assert (run / "config.yaml").is_file()
-    assert (run / "models" / "UNet_best").is_dir()
+    assert (run / "models" / "UNet_best.npz").is_file()
     assert (run / "log" / "train_log.log").is_file()
 
 

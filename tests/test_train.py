@@ -157,7 +157,10 @@ def test_trainer_end_to_end(tmp_path):
     model = create_model("UNet", base_filters=8, depth=3)
     tr = Trainer(cfg, srcs, logger, model)
     tr.train()
-    assert os.path.isdir(os.path.join(cfg.model_dir, "UNet_best"))
+    # default best policy is weights-only (.npz; the Orbax full-state best
+    # dir is opt-in via best_full_state); _last always carries full state
+    assert os.path.isfile(os.path.join(cfg.model_dir, "UNet_best.npz"))
+    assert not os.path.isdir(os.path.join(cfg.model_dir, "UNet_best"))
     assert os.path.isdir(os.path.join(cfg.model_dir, "UNet_last"))
     m = tr.test(visualize=True)
     assert 0.0 <= m["acc"] <= 1.0
@@ -172,6 +175,31 @@ def test_trainer_end_to_end(tmp_path):
     assert sorted(int(r["index"]) for r in rows) == [0, 1, 2, 3]
     for key in ("tp", "fp", "fn", "tn"):
         assert sum(int(r[key]) for r in rows) == int(m[key])
+
+
+def test_best_full_state_opt_in(tmp_path):
+    """best_full_state=True restores the Orbax full-state best checkpoint
+    (resume-from-best with optimizer state) alongside the .npz export."""
+    cfg = _tiny_cfg(tmp_path, epochs=1, best_full_state=True)
+    cfg.make_dirs()
+    logger = create_logger(os.path.join(cfg.log_dir, "train_log.log"))
+    srcs = tuple(
+        DeviceDataSource(*generate_ddti_like(n, (32, 32), s))
+        for n, s in ((8, 0), (4, 1), (4, 2)))
+    model = create_model("UNet", base_filters=8, depth=3)
+    tr = Trainer(cfg, srcs, logger, model)
+    tr.train()
+    best = os.path.join(cfg.model_dir, "UNet_best")
+    assert os.path.isdir(best)
+    assert os.path.isfile(best + ".npz")
+    # the full-state dir restores into a fresh state (optimizer included)
+    from ddti_tpu.train.checkpoint import restore_checkpoint
+    fresh = create_train_state(model, jax.random.PRNGKey(1), (1, 32, 32, 1),
+                               cfg.lr, steps_per_epoch=100)
+    restored = restore_checkpoint(best, fresh)
+    for a, b in zip(jax.tree.leaves(jax.device_get(tr.state.params)),
+                    jax.tree.leaves(jax.device_get(restored.params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_test_metrics_dedupe_wraparound_padding(tmp_path):
