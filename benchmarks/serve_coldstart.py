@@ -65,6 +65,10 @@ def boot_once(prog: str, wpath: str, cache_dir: str, label: str) -> float:
                           flush=True)
                     return dt
             except OSError:
+                rc = proc.poll()
+                if rc is not None:  # daemon died at startup: fail fast
+                    raise RuntimeError(f"{label}: serve exited rc={rc} "
+                                       "before first healthy")
                 time.sleep(0.5)
         raise TimeoutError(label)
     finally:

@@ -143,6 +143,11 @@ def prepare(source: str, output: str, mask_format: str = "jpg",
             name = f"{case}_{frame}"
             img_ext = os.path.splitext(img_path)[1].lower()
             dst_img = os.path.join(output, name + img_ext)
+            # lexists: a dangling symlink (raw dump moved since the last
+            # run) must be replaced, not tripped over by os.symlink or
+            # silently written through by copy2
+            if os.path.lexists(dst_img) and not os.path.exists(dst_img):
+                os.unlink(dst_img)  # re-point at the current source
             if not os.path.exists(dst_img):
                 if copy:
                     shutil.copy2(img_path, dst_img)
@@ -192,8 +197,16 @@ def main(argv=None) -> int:
     manifest = prepare(args.source, args.output, args.mask_format,
                        args.keep_empty, args.copy, args.quality)
     if not manifest["pairs"]:
-        print(f"no <case>.xml with matching frame images found in "
-              f"{args.source}")
+        if manifest["skipped_empty"]:
+            # every annotated frame had an empty <svg> payload — point the
+            # operator at the real knob instead of a bogus "no XML" story
+            print(f"all {len(manifest['skipped_empty'])} annotated "
+                  f"frame(s) in {args.source} carry empty mark payloads "
+                  f"(nodule-free); rerun with --keep_empty to emit them "
+                  f"with all-background masks")
+        else:
+            print(f"no <case>.xml with matching frame images found in "
+                  f"{args.source}")
         return 1
     if manifest["missing_images"]:
         lost = manifest["missing_images"]

@@ -57,7 +57,13 @@ def run_jobs(commands: list, max_jobs: int = 3,
     ``max_resumes`` times — with ``--resume --checkpoint_path <hint>``,
     so a preempted sweep entry continues its epoch budget instead of
     restarting or counting as failed. Exit-75 jobs WITHOUT a hint (not
-    our CLI, or the save itself failed) fall through to ``retries``."""
+    our CLI, or the save itself failed) fall through to ``retries``.
+
+    The ``retries`` pass never scratch-restarts a preempted job: exit-75
+    jobs are retried WITH resume flags when a hint allows it and left at
+    75 otherwise (a scratch relaunch would discard the saved checkpoint
+    progress); non-75 failures of a previously-resumed job also retry the
+    resumed command, not the original."""
     if retries or resume_preempted:
         import json
         import tempfile
@@ -106,11 +112,29 @@ def run_jobs(commands: list, max_jobs: int = 3,
                 for i, c in zip(resumable, rcodes):
                     codes[i] = c
         for _ in range(retries):
-            failed = [i for i, c in enumerate(codes) if c != 0]
+            failed = []
+            for i, c in enumerate(codes):
+                if c == 0:
+                    continue
+                if c == PREEMPTED_RC:
+                    # retry a preempted job only as a RESUME (scratch
+                    # relaunch would discard its checkpoint progress)
+                    if os.path.exists(hints[i]):
+                        with open(hints[i]) as f:
+                            ckpt = json.load(f)["checkpoint_path"]
+                        os.unlink(hints[i])
+                        resumed = _with_resume(commands[i], ckpt)
+                        if resumed is not None:
+                            current[i] = resumed
+                            failed.append(i)
+                    elif current[i] != commands[i]:
+                        failed.append(i)  # prior resume flags still apply
+                else:
+                    failed.append(i)
             if not failed:
                 break
             retry_codes = run_jobs_once(
-                [commands[i] for i in failed], max_jobs, min_gap,
+                [current[i] for i in failed], max_jobs, min_gap,
                 [env_for(i) for i in failed])
             for i, c in zip(failed, retry_codes):
                 codes[i] = c

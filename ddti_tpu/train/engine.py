@@ -65,11 +65,14 @@ class Trainer:
         self.train_src, self.val_src, self.test_src = data
         self.mesh = mesh
 
-        if getattr(config, "bn_exact_variance", False):
-            # torch-numerics BN variance (QUIRKS #24): trace-time setting,
-            # must flip before the step builders below trace the model
-            from ddti_tpu.models.blocks import set_bn_fast_variance
-            set_bn_fast_variance(False)
+        # torch-numerics BN variance (QUIRKS #24): trace-time setting, must
+        # flip before the step builders below trace the model. Set BOTH
+        # ways so a prior Trainer's choice in the same process (library
+        # use, A/B harnesses) never leaks into this one.
+        from ddti_tpu.models.blocks import set_bn_fast_variance
+        exact = bool(getattr(config, "bn_exact_variance", False))
+        set_bn_fast_variance(not exact)
+        if exact:
             logger.info("--bn_exact_variance: two-pass BatchNorm variance "
                         "(torch numerics, ~5%% slower)")
 
@@ -593,7 +596,17 @@ class Trainer:
                         qstats=getattr(self.state, "qstats", None))
         self._maybe_export_pth(last + ".pth")
         if getattr(cfg, "export_serving", False):
-            self._export_serving_artifacts()
+            if self._preempted:
+                # the graceful-shutdown grace window is for checkpoints —
+                # the export's 30-60 s remote compiles (plus any threshold
+                # sweep) would race the scheduler's SIGKILL and keep
+                # cli/main.py from reaching its exit-75/resume-hint path.
+                # The resumed job exports on ITS completion.
+                self.logger.warning(
+                    "preempted: --export_serving skipped (runs when the "
+                    "resumed job completes)")
+            else:
+                self._export_serving_artifacts()
         if self._ckpt_manager is not None:
             self._ckpt_manager.close()
         self.writer.close()

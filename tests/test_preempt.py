@@ -210,6 +210,54 @@ def test_sweep_repeated_preemption_caps(tmp_path):
     assert int(counter.read_text()) == 3  # 1 launch + 2 resumes
 
 
+def test_preempted_run_skips_serving_export(tmp_path):
+    """--export_serving must not run inside the preemption grace window
+    (its 30-60 s remote compiles would race the scheduler's SIGKILL and
+    keep the CLI from reaching its exit-75/resume-hint path); the resumed
+    job exports on its completion."""
+    tr = _trainer(tmp_path, epochs=2, export_serving=True)
+    tr._preempted = True
+    tr.train()
+    assert tr.preempted
+    assert os.path.isdir(os.path.join(tr.config.model_dir, "UNet_last"))
+    assert not any(f.endswith(".stablehlo")
+                   for f in os.listdir(tr.config.model_dir))
+    # a normal completion with the same config still exports
+    tr2 = _trainer(tmp_path / "normal", epochs=1, export_serving=True)
+    tr2.train()
+    assert any(f.endswith(".stablehlo")
+               for f in os.listdir(tr2.config.model_dir))
+
+
+def test_sweep_retry_pass_resumes_instead_of_scratch(tmp_path):
+    """A job still preempted after max_resumes is retried WITH resume
+    flags by the retries pass — never relaunched from scratch (which
+    would discard checkpoint progress)."""
+    import sys
+    from ddti_tpu.cli.sweep import run_jobs
+
+    counter = tmp_path / "count"
+    scratch = tmp_path / "scratch"
+    job = tmp_path / "job.py"
+    job.write_text(
+        "import json, os, sys\n"
+        f"c = int(open({str(counter)!r}).read()) if "
+        f"os.path.exists({str(counter)!r}) else 0\n"
+        f"open({str(counter)!r}, 'w').write(str(c + 1))\n"
+        "if '--resume' not in sys.argv:\n"
+        f"    open({str(scratch)!r}, 'a').write('x')\n"
+        "if c + 1 >= 3:\n"
+        "    sys.exit(0)\n"
+        "with open(os.environ['DDTI_RESUME_HINT'], 'w') as f:\n"
+        "    json.dump({'checkpoint_path': 'CKPT'}, f)\n"
+        "sys.exit(75)\n")
+    codes = run_jobs([[sys.executable, str(job)]], max_jobs=1, min_gap=0,
+                     max_resumes=1, retries=1)
+    assert codes == [0]
+    assert int(counter.read_text()) == 3  # launch + resume + retry-resume
+    assert scratch.read_text() == "x"  # only the first launch was scratch
+
+
 def test_preempt_under_fused_epoch_stops_at_epoch_boundary(tmp_path):
     """--fused_epoch has no step loop; the flag is honored between the
     scanned epoch programs."""
