@@ -200,6 +200,10 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--export_serving", action="store_true",
                    help="after training, write a StableHLO serving artifact "
                         "(weights baked in, loadable without model code)")
+    p.add_argument("--async_best_save", type=_str2bool, default=True,
+                   help="write best-epoch artifacts on a background "
+                        "thread (overlaps the ~40 s flagship-scale "
+                        "fetch+write with training); false = blocking")
     p.add_argument("--best_full_state", action="store_true",
                    help="also write the Orbax full-train-state checkpoint "
                         "at best-IoU epochs (resume-from-best with "

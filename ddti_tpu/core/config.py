@@ -81,6 +81,11 @@ class Config:
     # nan_guard_patience consecutive rejections
     nan_guard_patience: int = 5
     save_interval: int = 20
+    async_best_save: bool = True  # write best-epoch artifacts on a
+    # background thread (donation-safe on-device snapshots): the ~40 s
+    # flagship-scale fetch+write overlaps the next epochs instead of
+    # blocking the step loop; train() joins before anything reads the
+    # files. False = blocking writes (strict log ordering).
     best_full_state: bool = False  # also write the Orbax full-train-state
     # checkpoint at every best-IoU epoch (resume-from-best with optimizer
     # state). Default off: best epochs write the .npz weight export (+.pth)

@@ -41,6 +41,70 @@ from .steps import (
 )
 
 
+class _AsyncBestSaver:
+    """Background writer for best-epoch artifacts: the device->host fetch
+    and file writes (tens of seconds at flagship scale through a ~20 MB/s
+    transfer path, benchmarks/ckpt_fetch_ab.py) overlap the next epochs
+    instead of blocking the step loop. Latest-wins: if a newer best lands
+    while one is being written, the superseded pending payload is dropped
+    (its files would be overwritten immediately anyway). Errors are
+    logged, never raised into the training loop."""
+
+    def __init__(self, logger):
+        import threading
+
+        self._logger = logger
+        self._cond = threading.Condition()
+        self._pending = None
+        self._writing = False
+        self._stop = False
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="best-saver")
+        self._thread.start()
+
+    def submit(self, write_fn, label: str) -> None:
+        with self._cond:
+            if self._pending is not None:
+                self._logger.info(
+                    f"--Best-save superseded before writing ({label} "
+                    f"replaces it)")
+            self._pending = (write_fn, label)
+            self._cond.notify_all()
+
+    def _run(self) -> None:
+        while True:
+            with self._cond:
+                while self._pending is None and not self._stop:
+                    self._cond.wait()
+                if self._pending is None and self._stop:
+                    return
+                write_fn, label = self._pending
+                self._pending = None
+                self._writing = True
+            try:
+                write_fn()
+                self._logger.info(label)
+            except Exception as e:  # never kill training from the writer
+                self._logger.warning(f"--Best-save failed: {e}")
+            finally:
+                with self._cond:
+                    self._writing = False
+                    self._cond.notify_all()
+
+    def join(self) -> None:
+        """Block until every submitted save has been written."""
+        with self._cond:
+            while self._pending is not None or self._writing:
+                self._cond.wait()
+
+    def close(self) -> None:
+        self.join()
+        with self._cond:
+            self._stop = True
+            self._cond.notify_all()
+        self._thread.join(timeout=60)
+
+
 def aug_config_from(config) -> AugmentConfig:
     return AugmentConfig(
         use_elastic=config.use_elastic, use_speckle=config.use_speckle,
@@ -181,6 +245,7 @@ class Trainer:
         self.key = jax.random.PRNGKey(config.seed)
         self.best_val_iou = -np.inf
         self._ckpt_manager = None  # lazy ManagedCheckpointer (rotation)
+        self._best_saver = None    # lazy _AsyncBestSaver (async_best_save)
         self._tuned_threshold = None  # cached --tune_threshold sweep result
         # --nan_guard bookkeeping: consecutive rejected steps; training
         # stops (gracefully, checkpoints intact) once patience is exhausted
@@ -564,19 +629,7 @@ class Trainer:
 
             if val_iou > self.best_val_iou:
                 self.best_val_iou = val_iou
-                best = os.path.join(cfg.model_dir,
-                                    f"{cfg.model_type}_best")
-                if getattr(cfg, "best_full_state", False):
-                    # opt-in: resume-from-best with optimizer state. Off by
-                    # default — the full state is 3x the weight bytes (both
-                    # AdamW moments) per improvement epoch, and _last always
-                    # carries a resumable full state.
-                    save_checkpoint(best, self.state)
-                save_params_npz(best + ".npz", *self._eval_weights(),
-                                qstats=getattr(self.state, "qstats", None))
-                self._maybe_export_pth(best + ".pth")
-                self.logger.info(f"--Best model saved at epoch {epoch + 1} "
-                                 f"with IoU: {self.best_val_iou:.4f}")
+                self._save_best(epoch, val_iou)
 
             self.early_stopping(-val_iou)
             if self.early_stopping.early_stop:
@@ -595,6 +648,12 @@ class Trainer:
         save_params_npz(last + ".npz", *self._eval_weights(),
                         qstats=getattr(self.state, "qstats", None))
         self._maybe_export_pth(last + ".pth")
+        if self._best_saver is not None:
+            # every submitted best artifact is on disk before anything
+            # downstream (serving export, api.fit, the test phase's
+            # callers) reads it
+            self._best_saver.close()
+            self._best_saver = None
         if getattr(cfg, "export_serving", False):
             if self._preempted:
                 # the graceful-shutdown grace window is for checkpoints —
@@ -753,16 +812,66 @@ class Trainer:
         v = _eval_variables(self.state, use_ema)
         return v["params"], v["batch_stats"]
 
-    def _maybe_export_pth(self, path: str) -> None:
+    def _maybe_export_pth(self, path: str, weights: tuple | None = None) -> None:
         """Also export reference-format .pth weights (torch interop) so the
         torch reference can load_state_dict our training output. No-op for
-        model types without a key mapping or when torch is unavailable."""
+        model types without a key mapping or when torch is unavailable.
+        ``weights``: explicit (params, batch_stats) — the async best-saver
+        passes its donation-safe snapshot; None = the live eval weights."""
         try:
             from .torch_interop import save_pth
-            params, batch_stats = jax.device_get(self._eval_weights())
+            params, batch_stats = jax.device_get(
+                self._eval_weights() if weights is None else weights)
             save_pth(path, self.config.model_type, params, batch_stats)
         except Exception as e:  # legacy models / missing torch
             self.logger.debug(f".pth export skipped: {e}")
+
+    def _save_best(self, epoch: int, val_iou: float) -> None:
+        """Write the best-epoch artifacts: .npz weights (+ .pth), plus the
+        Orbax full state under --best_full_state. Default is asynchronous:
+        the device->host fetch and writes (~40 s at flagship scale,
+        PERF_NOTES) run on a background thread against donation-safe
+        on-device snapshots while training continues; train() joins before
+        anything downstream reads the files. --async_best_save false
+        restores the blocking write."""
+        import jax.numpy as jnp
+
+        cfg = self.config
+        best = os.path.join(cfg.model_dir, f"{cfg.model_type}_best")
+        label = (f"--Best model saved at epoch {epoch + 1} "
+                 f"with IoU: {val_iou:.4f}")
+        qstats = getattr(self.state, "qstats", None)
+        full = getattr(cfg, "best_full_state", False)
+        if not getattr(cfg, "async_best_save", True):
+            if full:
+                # opt-in: resume-from-best with optimizer state (3x the
+                # weight bytes — both AdamW moments; _last always carries
+                # a resumable full state)
+                save_checkpoint(best, self.state)
+            save_params_npz(best + ".npz", *self._eval_weights(),
+                            qstats=qstats)
+            self._maybe_export_pth(best + ".pth")
+            self.logger.info(label)
+            return
+
+        # donation-safe snapshots: the train step donates self.state, so
+        # the NEXT step reuses its buffers — the background fetch must
+        # read copies (cheap on-device; freed when the write completes)
+        weights = jax.tree.map(jnp.copy, self._eval_weights())
+        qsnap = jax.tree.map(jnp.copy, qstats) if qstats else qstats
+        state_snap = (jax.tree.map(jnp.copy, self.state) if full else None)
+
+        def write():
+            if state_snap is not None:
+                save_checkpoint(best, state_snap)
+            tmp = best + ".tmp.npz"
+            save_params_npz(tmp, *weights, qstats=qsnap)
+            os.replace(tmp, best + ".npz")  # readers never see a torn file
+            self._maybe_export_pth(best + ".pth", weights)
+
+        if self._best_saver is None:
+            self._best_saver = _AsyncBestSaver(self.logger)
+        self._best_saver.submit(write, label)
 
     # ------------------------------------------------------------------
 

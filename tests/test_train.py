@@ -202,6 +202,56 @@ def test_best_full_state_opt_in(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_async_best_saver_latest_wins_and_survives_errors():
+    """Unit: a failing write never raises into training; a payload
+    superseded before writing is dropped; join() waits for the last one."""
+    import logging
+
+    from ddti_tpu.train.engine import _AsyncBestSaver
+
+    saver = _AsyncBestSaver(logging.getLogger("t"))
+    try:
+        done = []
+        saver.submit(lambda: 1 / 0, "boom")
+        saver.join()  # error logged, thread alive
+        import threading
+        gate = threading.Event()
+        saver.submit(lambda: gate.wait(5), "slow")
+        # while "slow" may be pending or writing, queue two more: only the
+        # newest of the queued ones must run
+        saver.submit(lambda: done.append("a"), "a")
+        saver.submit(lambda: done.append("b"), "b")
+        gate.set()
+        saver.join()
+        assert done == ["b"]
+    finally:
+        saver.close()
+
+
+def test_async_best_save_files_on_disk_after_train(tmp_path):
+    """Default async best-saves: train() joins the writer, so the best
+    artifacts are complete on disk when train() returns, and the saver
+    thread is shut down."""
+    cfg = _tiny_cfg(tmp_path, epochs=2)
+    cfg.make_dirs()
+    logger = create_logger(os.path.join(cfg.log_dir, "train_log.log"))
+    srcs = tuple(
+        DeviceDataSource(*generate_ddti_like(n, (32, 32), s))
+        for n, s in ((8, 0), (4, 1), (4, 2)))
+    model = create_model("UNet", base_filters=8, depth=3)
+    tr = Trainer(cfg, srcs, logger, model)
+    assert cfg.async_best_save  # the default path under test
+    tr.train()
+    assert tr._best_saver is None  # closed by train()
+    best = os.path.join(cfg.model_dir, "UNet_best.npz")
+    assert os.path.isfile(best)
+    assert not os.path.exists(best.replace(".npz", ".tmp.npz"))
+    # the bundle is complete and loadable
+    from ddti_tpu.train.checkpoint import load_params_npz
+    p, s = load_params_npz(best, tr.state.params, tr.state.batch_stats)
+    assert jax.tree.structure(p) == jax.tree.structure(tr.state.params)
+
+
 def test_test_metrics_dedupe_wraparound_padding(tmp_path):
     """Non-divisible test sets: the final batch is wraparound-padded for
     static shapes, but the global metrics must count each image exactly
