@@ -241,6 +241,11 @@ class Trainer:
         self.early_stopping = EarlyStopping(
             logger=logger, patience=config.early_stop_patience, delta=0)
         self.writer = ScalarWriter(config.result_dir)
+        # self.rng drives the non-training shuffles (test quirk #10);
+        # TRAIN epochs use the stateless per-epoch streams below so a
+        # --resume run reproduces the uninterrupted run's batch order and
+        # augmentation randomness exactly (epoch-indexed, not a stateful
+        # chain that would restart from the seed on resume)
         self.rng = np.random.default_rng(config.seed)
         self.key = jax.random.PRNGKey(config.seed)
         self.best_val_iou = -np.inf
@@ -329,7 +334,19 @@ class Trainer:
             (np.asarray(images)[lo:lo + per],
              np.asarray(masks)[lo:lo + per]), self.mesh)
 
-    def _iter_batches(self, src, shuffle: bool, with_idx: bool = False):
+    def _epoch_rng(self, epoch: int) -> np.random.Generator:
+        """Batch-order stream for one train epoch, derived from (seed,
+        epoch) alone — resume-stable and identical in every process."""
+        return np.random.default_rng((self.config.seed, epoch))
+
+    def _epoch_key(self, epoch: int):
+        """Augmentation/mixup key for one train epoch, derived from (seed,
+        epoch) alone — resume-stable; fused and stepwise epochs share it
+        (one fold_in per step on top keeps the two modes bit-identical)."""
+        return jax.random.fold_in(self.key, epoch)
+
+    def _iter_batches(self, src, shuffle: bool, with_idx: bool = False,
+                      rng: np.random.Generator | None = None):
         """Unify device-resident and host-streaming sources: yields device
         batch arrays (uint8 store batches or host-augmented float batches —
         the jitted steps accept both; dtype is static per source).
@@ -339,8 +356,10 @@ class Trainer:
         def emit(idx, batch):
             return (idx, *batch) if with_idx else batch
 
+        if rng is None:
+            rng = self.rng
         if self._is_device_src(src):
-            for idx in src.epoch_batches(self.rng, self.config.batch_size,
+            for idx in src.epoch_batches(rng, self.config.batch_size,
                                          shuffle=shuffle):
                 if self._multihost:  # host store -> process-local shards
                     yield emit(idx, self._shard_multihost(src.images[idx],
@@ -382,9 +401,7 @@ class Trainer:
                     self._nan_patience)
             return self._train_one_epoch_fused(epoch)
         total = None
-        # same key derivation as the fused-epoch path: one epoch key, one
-        # fold_in per step (keeps the two modes bit-identical)
-        self.key, ekey = jax.random.split(self.key)
+        ekey = self._epoch_key(epoch)
         # tqdm-equivalent in-epoch progress (the reference wraps its loader
         # in tqdm, /root/reference/utils/trainer.py:57): every step at
         # DEBUG (file log), every log_every steps at INFO with wall-clock
@@ -400,7 +417,8 @@ class Trainer:
         t0 = _time.perf_counter()
         n_imgs = 0
         for i, (images, masks) in enumerate(
-                self._iter_batches(self.train_src, shuffle=True)):
+                self._iter_batches(self.train_src, shuffle=True,
+                                   rng=self._epoch_rng(epoch))):
             if prof_n and i == 0:
                 try:
                     jax.profiler.start_trace(prof_dir)
@@ -488,7 +506,7 @@ class Trainer:
         """One dispatch for the whole epoch: scan over precomputed batch
         index arrays (dataset resident in HBM)."""
         src = self.train_src
-        idx = np.stack(list(src.epoch_batches(self.rng,
+        idx = np.stack(list(src.epoch_batches(self._epoch_rng(epoch),
                                               self.config.batch_size)))
         idx = jax.numpy.asarray(idx)
         if self.mesh is not None:
@@ -497,7 +515,7 @@ class Trainer:
             from jax.sharding import NamedSharding, PartitionSpec as P
             idx = jax.device_put(idx, NamedSharding(self.mesh,
                                                     P(None, "data")))
-        self.key, ekey = jax.random.split(self.key)
+        ekey = self._epoch_key(epoch)
         self.state, stacked = self.scan_epoch(
             self.state, src.images, src.masks, idx, ekey,
             self._teacher_vars)

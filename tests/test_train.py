@@ -202,6 +202,48 @@ def test_best_full_state_opt_in(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_resume_reproduces_uninterrupted_run_exactly(tmp_path):
+    """Full-state resume + stateless per-epoch rng streams: a run stopped
+    after epoch 2 and resumed to epoch 4 ends with BIT-IDENTICAL params to
+    the uninterrupted 4-epoch run — batch order and augmentation/mixup
+    randomness are epoch-indexed, not a stateful chain that would restart
+    from the seed on resume. (The reference cannot resume at all: its
+    warm start reloads weights only, /root/reference/main.py:141-142.)"""
+    def make(tag, epochs):
+        cfg = _tiny_cfg(tmp_path / tag, epochs=epochs, use_mixup=True,
+                        use_speckle=True)
+        cfg.make_dirs()
+        logger = create_logger(os.path.join(cfg.log_dir, "log.log"))
+        srcs = tuple(
+            DeviceDataSource(*generate_ddti_like(n, (32, 32), s))
+            for n, s in ((12, 0), (4, 1), (4, 2)))
+        model = create_model("UNet", base_filters=8, depth=3)
+        return Trainer(cfg, srcs, logger, model), cfg
+
+    straight, _ = make("straight", 4)
+    straight.train()
+
+    first, cfg1 = make("resumed", 2)
+    first.train()
+    last = os.path.join(cfg1.model_dir, "UNet_last")
+
+    second, _ = make("resumed2", 4)
+    from ddti_tpu.train.checkpoint import restore_checkpoint
+    second.state = restore_checkpoint(last, second.state)
+    second.start_epoch = min(int(second.state.step) // second.steps_per_epoch,
+                             4)
+    assert second.start_epoch == 2
+    second.train()
+
+    for a, b in zip(jax.tree.leaves(jax.device_get(straight.state.params)),
+                    jax.tree.leaves(jax.device_get(second.state.params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(
+            jax.tree.leaves(jax.device_get(straight.state.batch_stats)),
+            jax.tree.leaves(jax.device_get(second.state.batch_stats))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_async_best_saver_latest_wins_and_survives_errors():
     """Unit: a failing write never raises into training; a payload
     superseded before writing is dropped; join() waits for the last one."""
