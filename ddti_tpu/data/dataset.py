@@ -221,13 +221,24 @@ class HostBatchIterator:
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
+        self.seed = seed
+        self._epoch = None
         self.rng = np.random.default_rng(seed)
+
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the next iteration's randomness to (seed, epoch) — the
+        Trainer calls this per train epoch so a --resume run replays the
+        exact order/transform stream the uninterrupted run would have had
+        (the default stateful stream would restart from the seed)."""
+        self._epoch = int(epoch)
 
     def __iter__(self):
         import random as _random
-        order = (self.rng.permutation(len(self.dataset)) if self.shuffle
+        rng = (np.random.default_rng((self.seed, self._epoch))
+               if self._epoch is not None else self.rng)
+        order = (rng.permutation(len(self.dataset)) if self.shuffle
                  else np.arange(len(self.dataset)))
-        host_rng = _random.Random(int(self.rng.integers(2 ** 31)))
+        host_rng = _random.Random(int(rng.integers(2 ** 31)))
         batch_imgs, batch_masks = [], []
         for i in order:
             img, mask = self.dataset.open_pair(int(i))

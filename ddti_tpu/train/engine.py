@@ -416,6 +416,8 @@ class Trainer:
         prof_dir = os.path.join(self.config.result_dir, "trace")
         t0 = _time.perf_counter()
         n_imgs = 0
+        if hasattr(self.train_src, "set_epoch"):  # host-streaming source:
+            self.train_src.set_epoch(epoch)       # resume-stable stream
         for i, (images, masks) in enumerate(
                 self._iter_batches(self.train_src, shuffle=True,
                                    rng=self._epoch_rng(epoch))):

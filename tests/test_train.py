@@ -244,6 +244,39 @@ def test_resume_reproduces_uninterrupted_run_exactly(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_host_iterator_set_epoch_is_resume_stable():
+    """HostBatchIterator.set_epoch pins the stream to (seed, epoch): two
+    iterations of the same epoch agree exactly (what a resumed run needs),
+    different epochs differ, and the legacy stateful stream (no set_epoch)
+    still advances between epochs."""
+    from ddti_tpu.data import HostBatchIterator
+
+    class _FakeDS:
+        transform = None
+
+        def __len__(self):
+            return 12
+
+        def open_pair(self, i):
+            a = np.full((4, 4), i, np.uint8)
+            return a, a
+
+    def order(it):
+        return [int(round(float(im[0, 0, 0, 0]) * 255)) for im, _ in it]
+
+    it = HostBatchIterator(_FakeDS(), batch_size=1, shuffle=True, seed=3)
+    it.set_epoch(5)
+    first = order(it)
+    it.set_epoch(5)
+    assert order(it) == first
+    it.set_epoch(6)
+    assert order(it) != first
+
+    stateful = HostBatchIterator(_FakeDS(), batch_size=1, shuffle=True,
+                                 seed=3)
+    assert order(stateful) != order(stateful)
+
+
 def test_async_best_saver_latest_wins_and_survives_errors():
     """Unit: a failing write never raises into training; a payload
     superseded before writing is dropped; join() waits for the last one."""
