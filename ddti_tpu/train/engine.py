@@ -41,6 +41,16 @@ from .steps import (
 )
 
 
+@jax.jit
+def _snapshot(tree):
+    """Donation-safe copy of a pytree in ONE device dispatch (jit caches
+    per tree structure; eager per-leaf jnp.copy would pay the ~30-50 ms
+    remote-dispatch cost hundreds of times at flagship scale)."""
+    import jax.numpy as jnp
+
+    return jax.tree.map(jnp.copy, tree)
+
+
 class _AsyncBestSaver:
     """Background writer for best-epoch artifacts: the device->host fetch
     and file writes (tens of seconds at flagship scale through a ~20 MB/s
@@ -876,10 +886,13 @@ class Trainer:
 
         # donation-safe snapshots: the train step donates self.state, so
         # the NEXT step reuses its buffers — the background fetch must
-        # read copies (cheap on-device; freed when the write completes)
-        weights = jax.tree.map(jnp.copy, self._eval_weights())
-        qsnap = jax.tree.map(jnp.copy, qstats) if qstats else qstats
-        state_snap = (jax.tree.map(jnp.copy, self.state) if full else None)
+        # read copies (cheap on-device; freed when the write completes).
+        # One JITTED dispatch for the whole tree: eager per-leaf copies
+        # would cost ~300 dispatches x 30-50 ms through the remote tunnel
+        # (measured: 10-15 s per improvement epoch), the jitted copy ~none.
+        weights = _snapshot(self._eval_weights())
+        qsnap = _snapshot(qstats) if qstats else qstats
+        state_snap = _snapshot(self.state) if full else None
 
         def write():
             if state_snap is not None:
