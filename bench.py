@@ -7,10 +7,24 @@ Prints the headline JSON line
   {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N, ...}
 INCREMENTALLY: a full valid line is printed (and flushed) the moment each
 metric lands, so a driver that kills the process early still captures
-everything measured up to that point (last-line-wins). Secondary metrics
-(int8 serving, 512x512, opt-in warp variants) run after the headline under a
-global deadline — worst case the whole bench stays under ~10 minutes even
-through the 30-60 s/program remote-compile tunnel.
+everything measured up to that point (last-line-wins).
+
+Leg order (the 512x512 legs run BEFORE the serving exports — 512 is the
+reference's native training resolution, /root/reference/main.py:88,100, and
+must never again lose its budget to the expensive, low-information serving
+AOT compiles):
+  1. train 256^2 headline (+ step-time ms and analytic conv-MFU estimate)
+  2. infer 256^2
+  3. train 512^2  (subprocess, 8 steps — compile dominates)
+  4. infer 512^2  (subprocess)
+  5. int8 serving export + AOT (the strongest serving number)
+  6. bf16 serving export + AOT
+  7. fast-warp / shared-geometry train variants (subprocesses)
+
+The persistent XLA compilation cache (core/compcache.py) is enabled for the
+main process AND all measurement subprocesses, so repeat rounds stop
+re-paying ~30-60 s/program through the remote-compile tunnel; a warm round
+fits every leg comfortably inside the deadline.
 
 Baseline: the PyTorch reference (ResUNet, identical shapes/losses) measured
 on this container's CPU host — train 0.147 img/s, infer 0.781 img/s
@@ -27,8 +41,13 @@ import time
 TORCH_CPU_TRAIN_IPS = 0.147
 TORCH_CPU_INFER_IPS = 0.781
 
-# Global wall-clock budget for the whole bench. Headline (train/infer/serve
-# at 256^2) always runs; each secondary metric only starts if enough budget
+# v5e bf16 MXU peak (197 TFLOP/s, NOT the 394 int8 figure): an 8192^3 bf16
+# matmul measures 151.9 TFLOP/s on this chip (benchmarks/PERF_NOTES.md,
+# "MFU accounting").
+V5E_BF16_PEAK_FLOPS = 197e12
+
+# Global wall-clock budget for the whole bench. Headline (train/infer at
+# 256^2 then 512^2) always runs; each later leg only starts if enough budget
 # remains, and subprocesses are additionally hard-capped.
 DEADLINE_S = 540.0
 SUBPROC_CAP_S = 300.0
@@ -38,6 +57,39 @@ _T0 = time.perf_counter()
 
 def _remaining() -> float:
     return DEADLINE_S - (time.perf_counter() - _T0)
+
+
+def resunet_train_flops(batch: int, size: int, bf: int = 64, depth: int = 5,
+                        in_ch: int = 1, out_ch: int = 1) -> float:
+    """Analytic conv FLOPs per train step for the flagship ResUNet.
+
+    Forward conv FLOPs (2*H*W*k^2*Cin*Cout per conv; ConvTranspose 2x2/s2
+    touches each output once) x3 for fwd+dgrad+wgrad. Cross-checked against
+    the xplane trace: 16.1 TFLOP analytic fwd at bs128/256^2 vs 15.7
+    measured (benchmarks/PERF_NOTES.md) — a ~2.5% over-estimate, fine for
+    the MFU guard this feeds.
+    """
+    def conv(h, cin, cout, k):
+        return 2 * h * h * k * k * cin * cout
+
+    def resblock(h, cin, cout):
+        return (conv(h, cin, cout, 3) + conv(h, cout, cout, 3)
+                + conv(h, cin, cout, 1))
+
+    ch = [bf * 2 ** i for i in range(depth)]
+    f, h, cin = 0, size, in_ch
+    for c in ch:
+        f += resblock(h, cin, c)
+        cin, h = c, h // 2
+    f += resblock(h, cin, ch[-1] * 2)
+    cin = ch[-1] * 2
+    for c in reversed(ch):
+        h *= 2
+        f += 2 * h * h * cin * c
+        f += resblock(h, 2 * c, c)
+        cin = c
+    f += conv(size, cin, out_ch, 1)
+    return 3.0 * batch * f
 
 
 def _setup(batch: int, size: int, grad_accum: int = 1,
@@ -117,11 +169,13 @@ def measure_infer(batch: int, size: int, steps: int = 20,
 
 # Secondary measurements runnable standalone: `python bench.py --measure X`
 # prints ONE float. bench() shells out to these so each large program gets
-# a fresh device heap.
+# a fresh device heap. The 512^2 legs honor --size512 so a --cpu smoke run
+# can exercise the whole pipeline at toy shapes.
 _MEASURES = {
-    "train512": lambda a: measure_train(16, 512, steps=a.steps),
-    "infer512": lambda a: measure_infer(16, 512, steps=a.steps),
-    "train512_ga2": lambda a: measure_train(32, 512, steps=max(4, a.steps // 2),
+    "train512": lambda a: measure_train(16, a.size512, steps=a.steps),
+    "infer512": lambda a: measure_infer(16, a.size512, steps=a.steps),
+    "train512_ga2": lambda a: measure_train(32, a.size512,
+                                            steps=max(4, a.steps // 2),
                                             grad_accum=2),
     "fastwarp": lambda a: measure_train(a.batch, a.size, steps=a.steps,
                                         aug_fast_warp=True),
@@ -131,7 +185,9 @@ _MEASURES = {
 
 
 def bench(batch: int = 128, size: int = 256, steps: int = 20,
-          warmup: int = 2, remat: bool = False) -> int:
+          warmup: int = 2, remat: bool = False, size512: int = 512,
+          extra_argv: tuple = ()) -> int:
+    import os
     import subprocess
     import sys
 
@@ -149,7 +205,7 @@ def bench(batch: int = 128, size: int = 256, steps: int = 20,
         out["elapsed_s"] = round(time.perf_counter() - _T0, 1)
         print(json.dumps(out), flush=True)
 
-    # ---- headline: train / infer / AOT-serving at 256^2 -------------------
+    # ---- headline: train / infer at 256^2 ----------------------------------
     cfg, model, state, images, masks, step = _setup(batch, size, remat=remat)
     train_ips, state = _time_train(state, images, masks, step, steps, warmup)
     out["value"] = round(train_ips, 2)
@@ -157,6 +213,12 @@ def bench(batch: int = 128, size: int = 256, steps: int = 20,
     out["backend"] = jax.default_backend()
     out["batch"] = batch
     out["image_size"] = size
+    # Efficiency guard: vs_baseline (torch CPU, ~1800x) can mask a 2x
+    # regression forever; a step-time + MFU line cannot.
+    step_s = batch / train_ips
+    out["train_step_ms"] = round(1000.0 * step_s, 2)
+    out["train_mfu_est"] = round(
+        resunet_train_flops(batch, size) / step_s / V5E_BF16_PEAK_FLOPS, 3)
     emit()
 
     from ddti_tpu.train import make_eval_step
@@ -173,42 +235,61 @@ def bench(batch: int = 128, size: int = 256, steps: int = 20,
     out["infer_vs_baseline"] = round(infer_ips / TORCH_CPU_INFER_IPS, 1)
     emit()
 
-    # serving only needs params/batch_stats — drop the optimizer moments
-    # (~250 MB at flagship scale) before compiling the serving executables
+    # Free the optimizer moments (~1 GB at flagship scale) before the 512^2
+    # subprocesses — both processes share the one chip's HBM, and serving
+    # later only needs params/batch_stats.
     jax.tree.map(lambda a: a.delete(), state.opt_state)
 
-    # serving throughput, measured from the DEPLOYMENT artifact: BN folded
-    # into conv kernels, serialized to StableHLO (weights as arguments),
-    # deserialized and AOT-compiled to a loaded executable — uint8 images
-    # in, binarized uint8 masks out, no Python model code on the hot path.
+    def _sub(name: str, key: str, vs: float | None = None,
+             sub_steps: int | None = None, min_budget: float = 75.0):
+        # Each variant in its OWN subprocess: after this process's many
+        # compiles/frees the device heap is fragmented enough to distort
+        # (or OOM) a second full train program — measured 7.5 img/s
+        # in-process vs 302.8 standalone (CLAUDE.md).
+        budget = _remaining()
+        if budget < min_budget:
+            print(f"skipping {name}: {budget:.0f}s budget left",
+                  file=sys.stderr)
+            return
+        try:
+            r = subprocess.run(
+                [sys.executable, __file__, "--measure", name,
+                 "--batch", str(batch), "--size", str(size),
+                 "--size512", str(size512),
+                 "--steps", str(sub_steps if sub_steps is not None
+                                else steps), *extra_argv],
+                capture_output=True, text=True,
+                timeout=min(SUBPROC_CAP_S, budget), check=True,
+                env={**os.environ, "DDTI_BENCH_SUBPROC": "1"})
+            val = float(r.stdout.strip().splitlines()[-1])
+            out[key] = round(val, 2)
+            if vs is not None:
+                out[key.replace("images_per_sec", "vs_baseline")
+                       .replace("_per_chip", "")] = round(val / vs, 1)
+        except Exception as e:
+            print(f"{name} measurement failed: {e!r}", file=sys.stderr)
+        emit()
+
+    # ---- 512^2: the reference-native resolution, ahead of serving ---------
+    # 8 steps: compile dominates; 8 steps is ~2.4 s of actual measurement.
+    _sub("train512", "train512_images_per_sec", TORCH_CPU_TRAIN_IPS,
+         sub_steps=8)
+    _sub("infer512", "infer512_images_per_sec", TORCH_CPU_INFER_IPS,
+         sub_steps=8)
+
+    # ---- serving: int8 first (the strongest number), then bf16 ------------
+    # int8-quantized serving bundle (--serving_dtype int8): per-channel
+    # int8 conv weights on the MXU's s8 path, calibrated activations
+    # (train/quantize.py). Both legs measure the DEPLOYMENT artifact: BN
+    # folded into conv kernels, serialized to StableHLO (weights as
+    # arguments), deserialized + AOT-compiled — uint8 images in, binarized
+    # uint8 masks out, no Python model code on the hot path.
     from ddti_tpu.train.export import (
         aot_compile_serving,
         export_serving_program,
     )
 
-    blob, variables = export_serving_program(
-        model, state.params, state.batch_stats, batch=batch, size=size,
-        fold_bn=True, input_dtype=jnp.uint8)
-    serve = aot_compile_serving(blob)
-    variables = jax.device_put(variables)
-    for _ in range(warmup):
-        p = serve(variables, images)
-    int(p[0, 0, 0, 0])
-    t0 = time.perf_counter()
-    last = [serve(variables, images) for _ in range(steps)][-1]
-    int(last[0, 0, 0, 0])
-    serve_ips = batch * steps / (time.perf_counter() - t0)
-    out["serve_images_per_sec_per_chip"] = round(serve_ips, 2)
-    out["serve_vs_baseline"] = round(serve_ips / TORCH_CPU_INFER_IPS, 1)
-    emit()
-
-    # ---- secondary: int8 serving (in-process), budget-gated ---------------
-    # int8-quantized serving bundle (--serving_dtype int8): per-channel
-    # int8 conv weights on the MXU's s8 path, calibrated activations
-    # (train/quantize.py).
-    del serve, last
-    jax.tree.map(lambda a: a.delete(), variables)
-    if _remaining() > 180:
+    if _remaining() > 110:
         try:
             from ddti_tpu.train.quantize import export_serving_int8
 
@@ -234,39 +315,41 @@ def bench(batch: int = 128, size: int = 256, steps: int = 20,
         except Exception as e:  # secondary must never sink the bench
             print(f"int8 serving measurement failed: {e!r}", file=sys.stderr)
         emit()
+    else:
+        print(f"skipping int8 serving: {_remaining():.0f}s budget left",
+              file=sys.stderr)
 
-    # ---- secondary: 512^2 (reference-native res) + warp variants ----------
-    # Each in its OWN subprocess: after this process's many compiles/frees
-    # the device heap is fragmented enough to distort (or OOM) a second
-    # full train program — measured 7.5 img/s in-process vs 302.8
-    # standalone (CLAUDE.md).
-    def _sub(name: str, key: str, vs: float | None = None):
-        budget = _remaining()
-        if budget < 75:
-            print(f"skipping {name}: {budget:.0f}s budget left",
-                  file=sys.stderr)
-            return
+    if _remaining() > 90:
         try:
-            r = subprocess.run(
-                [sys.executable, __file__, "--measure", name,
-                 "--batch", str(batch), "--size", str(size),
-                 "--steps", str(steps)],
-                capture_output=True, text=True,
-                timeout=min(SUBPROC_CAP_S, budget), check=True)
-            val = float(r.stdout.strip().splitlines()[-1])
-            out[key] = round(val, 2)
-            if vs is not None:
-                out[key.replace("images_per_sec", "vs_baseline")
-                       .replace("_per_chip", "")] = round(val / vs, 1)
+            blob, variables = export_serving_program(
+                model, state.params, state.batch_stats, batch=batch,
+                size=size, fold_bn=True, input_dtype=jnp.uint8)
+            serve = aot_compile_serving(blob)
+            variables = jax.device_put(variables)
+            for _ in range(warmup):
+                p = serve(variables, images)
+            int(p[0, 0, 0, 0])
+            t0 = time.perf_counter()
+            last = [serve(variables, images) for _ in range(steps)][-1]
+            int(last[0, 0, 0, 0])
+            serve_ips = batch * steps / (time.perf_counter() - t0)
+            out["serve_images_per_sec_per_chip"] = round(serve_ips, 2)
+            out["serve_vs_baseline"] = round(
+                serve_ips / TORCH_CPU_INFER_IPS, 1)
+            del serve, last, p
+            jax.tree.map(lambda a: a.delete(), variables)
         except Exception as e:
-            print(f"{name} measurement failed: {e!r}", file=sys.stderr)
+            print(f"bf16 serving measurement failed: {e!r}", file=sys.stderr)
         emit()
+    else:
+        print(f"skipping bf16 serving: {_remaining():.0f}s budget left",
+              file=sys.stderr)
 
-    _sub("train512", "train512_images_per_sec", TORCH_CPU_TRAIN_IPS)
-    _sub("infer512", "infer512_images_per_sec", TORCH_CPU_INFER_IPS)
-    _sub("train512_ga2", "train512_ga2_images_per_sec")
+    # ---- opt-in train variants (learning-equivalence study:
+    # benchmarks/warp_quality.py + PERF_NOTES.md) ----------------------------
     _sub("fastwarp", "train_fast_warp_images_per_sec")
     _sub("sg", "train_shared_geometry_images_per_sec")
+    _sub("train512_ga2", "train512_ga2_images_per_sec")
     return 0
 
 
@@ -276,8 +359,16 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--size512", type=int, default=512,
+                    help="resolution of the '512' legs (lower it for a "
+                         "--cpu smoke run of the whole pipeline)")
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (pipeline smoke run; "
+                         "numbers are meaningless)")
+    ap.add_argument("--compilation_cache", default="auto",
+                    help='"auto" (default), "off", or a directory')
     ap.add_argument("--measure", choices=sorted(_MEASURES),
                     help="print only this secondary metric's img/s "
                          "(run by bench() as an isolated subprocess)")
@@ -285,12 +376,30 @@ def main() -> int:
     ap.add_argument("--variant_only", choices=["fastwarp", "sg"],
                     help=argparse.SUPPRESS)
     args = ap.parse_args()
+
+    if args.cpu:
+        # before first device use; env JAX_PLATFORMS=cpu alone is NOT
+        # enough — the axon sitecustomize pins the TPU tunnel
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    # Persistent compilation cache: repeat rounds (and the subprocess legs,
+    # which re-enter main()) skip the 30-60 s/program remote compiles.
+    from ddti_tpu.core.compcache import enable_compilation_cache
+    enable_compilation_cache(args.compilation_cache)
+
     which = args.measure or args.variant_only
     if which:
         print(_MEASURES[which](args))
         return 0
+    extra = []
+    if args.cpu:
+        extra += ["--cpu"]
+    if args.compilation_cache != "auto":
+        extra += ["--compilation_cache", args.compilation_cache]
     return bench(batch=args.batch, size=args.size, steps=args.steps,
-                 remat=args.remat)
+                 remat=args.remat, size512=args.size512,
+                 extra_argv=tuple(extra))
 
 
 if __name__ == "__main__":

@@ -108,10 +108,9 @@ def test_improvedvnet_no_attention_param_count_changes():
     assert na > nb
 
 
-@pytest.mark.parametrize("name", [
-    "ResUNet",
-    pytest.param("UNet", marks=pytest.mark.slow),
-    pytest.param("VNet2D", marks=pytest.mark.slow)])
+@pytest.mark.slow  # the fast tier compiles+checks a full backward via
+# test_train_parity.py::test_train_step_parity[UNet] already
+@pytest.mark.parametrize("name", ["UNet", "ResUNet", "VNet2D"])
 def test_gradients_finite(name):
     model = create_model(name, base_filters=8, depth=3)
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 1))

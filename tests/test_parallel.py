@@ -155,6 +155,8 @@ def test_spatial_partition_step_runs(eight_devices):
     assert np.isfinite(float(m.loss))
 
 
+@pytest.mark.slow  # ~80 s (two mesh shapes); the driver runs this
+# entrypoint independently every round (MULTICHIP_r0N.json)
 def test_dryrun_multichip_entrypoint():
     import importlib.util
     import os
@@ -167,7 +169,12 @@ def test_dryrun_multichip_entrypoint():
     mod.dryrun_multichip(8)
 
 
-@pytest.mark.parametrize("serving_dtype", ["f32", "bf16", "int8"])
+@pytest.mark.parametrize("serving_dtype", [
+    # bf16 (the production default) stays in the fast tier; the other two
+    # dtypes exercise the same engine path and run in the full tier
+    pytest.param("f32", marks=pytest.mark.slow),
+    "bf16",
+    pytest.param("int8", marks=pytest.mark.slow)])
 def test_trainer_end_to_end_on_mesh(tmp_path, eight_devices, serving_dtype):
     """Full Trainer (train + validate + test) over an 8-device DP mesh,
     for every --serving_dtype. The engine's export tail is wrapped in

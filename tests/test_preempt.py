@@ -166,6 +166,8 @@ sys.exit(75)
 """
 
 
+@pytest.mark.slow  # subprocess e2e; the fast tier keeps the hint-less
+# exit-75 case, and the full tier has the real-CLI resume e2e
 def test_sweep_resumes_preempted_job(tmp_path):
     import sys
     from ddti_tpu.cli.sweep import run_jobs
@@ -189,6 +191,7 @@ def test_sweep_preempt_without_hint_counts_as_failure(tmp_path):
     assert codes == [75]
 
 
+@pytest.mark.slow  # subprocess e2e (several interpreter relaunches)
 def test_sweep_repeated_preemption_caps(tmp_path):
     """A job preempted on every launch stops after max_resumes relaunches."""
     import sys
@@ -210,6 +213,7 @@ def test_sweep_repeated_preemption_caps(tmp_path):
     assert int(counter.read_text()) == 3  # 1 launch + 2 resumes
 
 
+@pytest.mark.slow  # full Trainer run with the export tail (~6 s)
 def test_preempted_run_skips_serving_export(tmp_path):
     """--export_serving must not run inside the preemption grace window
     (its 30-60 s remote compiles would race the scheduler's SIGKILL and
@@ -229,6 +233,7 @@ def test_preempted_run_skips_serving_export(tmp_path):
                for f in os.listdir(tr2.config.model_dir))
 
 
+@pytest.mark.slow  # subprocess e2e (several interpreter relaunches)
 def test_sweep_retry_pass_resumes_instead_of_scratch(tmp_path):
     """A job still preempted after max_resumes is retried WITH resume
     flags by the retries pass — never relaunched from scratch (which
