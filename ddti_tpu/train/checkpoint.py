@@ -11,10 +11,19 @@ in ``ddti_tpu.train.torch_interop``.
 from __future__ import annotations
 
 import os
+import threading
 from typing import Any
 
 import jax
 import numpy as np
+
+# Orbax saves can run concurrently here (the async best-saver thread vs the
+# main thread's end-of-train "_last" save, train/engine.py) and orbax's
+# shared async commit machinery is not safe under that overlap: observed
+# spurious ``[Errno 17] File exists: <path>.orbax-checkpoint-tmp`` losing a
+# best-epoch artifact. One process-wide lock serializes only the orbax
+# write; the device->host fetch still overlaps training.
+_ORBAX_SAVE_LOCK = threading.Lock()
 
 
 def _tree_dict(state) -> dict:
@@ -39,9 +48,19 @@ def save_checkpoint(path: str, state) -> None:
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
-    ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, _tree_dict(jax.device_get(state)), force=True)
-    ckptr.wait_until_finished()
+    host_state = _tree_dict(jax.device_get(state))
+    with _ORBAX_SAVE_LOCK:
+        # a stale tmp dir (e.g. from a save interrupted by preemption)
+        # would fail every later save of this path with EEXIST —
+        # force=True only clears the FINAL directory
+        tmp = path + ".orbax-checkpoint-tmp"
+        if os.path.isdir(tmp):
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, host_state, force=True)
+        ckptr.wait_until_finished()
 
 
 def _ckpt_tree_meta(path: str):

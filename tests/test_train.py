@@ -91,6 +91,24 @@ def test_checkpoint_roundtrip_orbax(tmp_path, tiny_data):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_save_checkpoint_overwrites_stale_tmp(tmp_path, tiny_data):
+    """A stale ``<path>.orbax-checkpoint-tmp`` (a save interrupted by
+    preemption, or the concurrent-save race the module lock now prevents)
+    must not poison every later save of that path with EEXIST."""
+    cfg = _tiny_cfg(tmp_path)
+    model = create_model("UNet", base_filters=8, depth=3)
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, 32, 32, 1),
+                               cfg.lr, steps_per_epoch=10)
+    path = os.path.join(tmp_path, "ckpt")
+    os.makedirs(path + ".orbax-checkpoint-tmp")  # simulate the stale dir
+    save_checkpoint(path, state)
+    fresh = create_train_state(model, jax.random.PRNGKey(42), (1, 32, 32, 1),
+                               cfg.lr, steps_per_epoch=10)
+    restored = restore_checkpoint(path, fresh)
+    assert int(restored.step) == int(state.step)
+    assert not os.path.exists(path + ".orbax-checkpoint-tmp")
+
+
 def test_load_checkpoint_into_orbax_dir(tmp_path, tiny_data):
     """The infer/quantize CLIs load weights-only from a FULL-state Orbax
     checkpoint (regression: a template with opt_state=None tripped
