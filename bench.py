@@ -173,7 +173,12 @@ def measure_infer(batch: int, size: int, steps: int = 20,
 # can exercise the whole pipeline at toy shapes.
 _MEASURES = {
     "train512": lambda a: measure_train(16, a.size512, steps=a.steps),
-    "infer512": lambda a: measure_infer(16, a.size512, steps=a.steps),
+    # inference carries no optimizer/gradient footprint: bs32 at 512^2 has
+    # the same activation pixel count as the proven 256^2 bs128 eval
+    # program, and batch strongly helps infer throughput (835 -> 1037
+    # img/s going bs32 -> bs128 at 256^2, CLAUDE.md perf log)
+    "infer512": lambda a: measure_infer(32 if a.size512 >= 256 else 16,
+                                        a.size512, steps=a.steps),
     "train512_ga2": lambda a: measure_train(32, a.size512,
                                             steps=max(4, a.steps // 2),
                                             grad_accum=2),
