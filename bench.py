@@ -48,8 +48,13 @@ V5E_BF16_PEAK_FLOPS = 197e12
 
 # Global wall-clock budget for the whole bench. Headline (train/infer at
 # 256^2 then 512^2) always runs; each later leg only starts if enough budget
-# remains, and subprocesses are additionally hard-capped.
-DEADLINE_S = 540.0
+# remains, and subprocesses are additionally hard-capped. The env override
+# exists for manual runs on a degraded tunnel (CLAUDE.md: remote-side
+# slowdowns of 4-5x happen for hours at a time) — the driver default stays
+# at the budget the round-3 driver demonstrably allowed.
+import os as _os
+
+DEADLINE_S = float(_os.environ.get("DDTI_BENCH_DEADLINE", "540"))
 SUBPROC_CAP_S = 300.0
 
 _T0 = time.perf_counter()
@@ -92,6 +97,13 @@ def resunet_train_flops(batch: int, size: int, bf: int = 64, depth: int = 5,
     return 3.0 * batch * f
 
 
+# Flagship model size; a --cpu smoke run shrinks these so every leg's
+# PLUMBING can be exercised in minutes on a 1-core box (the 130M-param
+# flagship steps at ~7 s on CPU — tests/test_bench_smoke.py).
+BASE_FILTERS = 64
+DEPTH = 5
+
+
 def _setup(batch: int, size: int, grad_accum: int = 1,
            remat: bool = False, **flags):
     """Fresh flagship model + train state + synthetic batch + fused step."""
@@ -111,8 +123,8 @@ def _setup(batch: int, size: int, grad_accum: int = 1,
     cfg = Config(batch_size=batch, image_size=size, store_size=size,
                  lr=1e-5, model_type="ResUNet", use_mixup=False,
                  compute_unused_losses=False, grad_accum=grad_accum, **flags)
-    model = ResUNet(in_channels=1, out_channels=1, base_filters=64, depth=5,
-                    remat=remat, dtype=jnp.bfloat16)
+    model = ResUNet(in_channels=1, out_channels=1, base_filters=BASE_FILTERS,
+                    depth=DEPTH, remat=remat, dtype=jnp.bfloat16)
     state = create_train_state(model, jax.random.PRNGKey(0),
                                (1, size, size, 1), cfg.lr,
                                steps_per_epoch=100)
@@ -206,6 +218,15 @@ def bench(batch: int = 128, size: int = 256, steps: int = 20,
         "vs_baseline": 0.0,
     }
 
+    # Tunnel-health diagnostic: backend init takes ~10 s healthy but ~107 s
+    # during the documented remote-side degradations. Recording it makes a
+    # budget-skipped artifact self-explaining (slow init => degraded tunnel,
+    # not a repo regression).
+    t_init = time.perf_counter()
+    jax.devices()
+    out["backend_init_s"] = round(time.perf_counter() - t_init
+                                  + (t_init - _T0), 1)
+
     def emit():
         out["elapsed_s"] = round(time.perf_counter() - _T0, 1)
         print(json.dumps(out), flush=True)
@@ -223,7 +244,8 @@ def bench(batch: int = 128, size: int = 256, steps: int = 20,
     step_s = batch / train_ips
     out["train_step_ms"] = round(1000.0 * step_s, 2)
     out["train_mfu_est"] = round(
-        resunet_train_flops(batch, size) / step_s / V5E_BF16_PEAK_FLOPS, 3)
+        resunet_train_flops(batch, size, bf=BASE_FILTERS, depth=DEPTH)
+        / step_s / V5E_BF16_PEAK_FLOPS, 3)
     emit()
 
     from ddti_tpu.train import make_eval_step
@@ -368,6 +390,9 @@ def main() -> int:
                     help="resolution of the '512' legs (lower it for a "
                          "--cpu smoke run of the whole pipeline)")
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--base_filters", type=int, default=64,
+                    help="model width (shrink for a --cpu smoke run)")
+    ap.add_argument("--depth", type=int, default=5)
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (pipeline smoke run; "
@@ -388,6 +413,9 @@ def main() -> int:
         import jax
         jax.config.update("jax_platforms", "cpu")
 
+    global BASE_FILTERS, DEPTH
+    BASE_FILTERS, DEPTH = args.base_filters, args.depth
+
     # Persistent compilation cache: repeat rounds (and the subprocess legs,
     # which re-enter main()) skip the 30-60 s/program remote compiles.
     from ddti_tpu.core.compcache import enable_compilation_cache
@@ -402,6 +430,9 @@ def main() -> int:
         extra += ["--cpu"]
     if args.compilation_cache != "auto":
         extra += ["--compilation_cache", args.compilation_cache]
+    if (args.base_filters, args.depth) != (64, 5):
+        extra += ["--base_filters", str(args.base_filters),
+                  "--depth", str(args.depth)]
     return bench(batch=args.batch, size=args.size, steps=args.steps,
                  remat=args.remat, size512=args.size512,
                  extra_argv=tuple(extra))
