@@ -219,9 +219,23 @@ def bench(batch: int = 128, size: int = 256, steps: int = 20,
     }
 
     # Tunnel-health diagnostic: backend init takes ~10 s healthy but ~107 s
-    # during the documented remote-side degradations. Recording it makes a
-    # budget-skipped artifact self-explaining (slow init => degraded tunnel,
-    # not a repo regression).
+    # during the documented remote-side degradations — and a fully WEDGED
+    # tunnel (observed 2026-08-21: 900 s, zero progress) would otherwise
+    # produce an empty artifact with no explanation. A watchdog thread
+    # narrates the stall to stderr until the headline lands.
+    import sys as _sys
+    import threading
+
+    headline_done = threading.Event()
+
+    def _watchdog():
+        while not headline_done.wait(120.0):
+            print(f"bench: no headline after {time.perf_counter() - _T0:.0f}"
+                  "s — remote TPU tunnel degraded or wedged (CLAUDE.md "
+                  "'tunnel degradation'); programs are compile-cached, so "
+                  "this is wait, not work", file=_sys.stderr, flush=True)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
     t_init = time.perf_counter()
     jax.devices()
     out["backend_init_s"] = round(time.perf_counter() - t_init
@@ -247,6 +261,7 @@ def bench(batch: int = 128, size: int = 256, steps: int = 20,
         resunet_train_flops(batch, size, bf=BASE_FILTERS, depth=DEPTH)
         / step_s / V5E_BF16_PEAK_FLOPS, 3)
     emit()
+    headline_done.set()
 
     from ddti_tpu.train import make_eval_step
 
