@@ -389,6 +389,15 @@ def bench(batch: int = 128, size: int = 256, steps: int = 20,
 
     # ---- opt-in train variants (learning-equivalence study:
     # benchmarks/warp_quality.py + PERF_NOTES.md) ----------------------------
+    # Everything left is a subprocess, and a bs128 train program fills most
+    # of the chip: release ALL of this process's device state first —
+    # holding params + live executables starved the fastwarp subprocess
+    # past its budget on an otherwise-healthy run (r4 validation: 297
+    # img/s standalone, >175 s in-bench).
+    jax.tree.map(lambda a: a.delete(),
+                 (state.params, state.batch_stats, images, masks))
+    del state, images, masks, step, eval_step
+    jax.clear_caches()
     _sub("fastwarp", "train_fast_warp_images_per_sec")
     _sub("sg", "train_shared_geometry_images_per_sec")
     _sub("train512_ga2", "train512_ga2_images_per_sec")
