@@ -78,6 +78,33 @@ def _fold_tree(params: dict, stats: dict, eps: float, folded: list) -> None:
                        eps, folded)
 
 
+def fold_pairs(params: Any, batch_stats: Any) -> list:
+    """Names of the BN modules ``fold_batchnorm`` would fold — a
+    structure-only walk (no math, no device work), used to decide whether
+    the numeric validation pass is needed at all."""
+
+    def walk(p: dict, s: dict, out: list) -> None:
+        for name, child in p.items():
+            if not isinstance(child, dict):
+                continue
+            is_bn = ("scale" in child and "bias" in child
+                     and isinstance(s.get(name), dict)
+                     and "mean" in s[name] and "var" in s[name])
+            if is_bn:
+                conv_name = _bn_partner(name)
+                conv = p.get(conv_name) if conv_name else None
+                if (conv is not None and "kernel" in conv
+                        and np.ndim(conv["kernel"]) == 4):
+                    out.append(name)
+            else:
+                sub = s.get(name)
+                walk(child, sub if isinstance(sub, dict) else {}, out)
+
+    out: list = []
+    walk(params, batch_stats, out)
+    return out
+
+
 def fold_batchnorm(model, params: Any, batch_stats: Any, *,
                    example: Any | None = None, eps: float = BN_EPS,
                    atol: float = 1e-3, rtol: float = 0.01):
@@ -96,16 +123,29 @@ def fold_batchnorm(model, params: Any, batch_stats: Any, *,
     alone, which would blur the line to a real misfold (~3-50% relative,
     measured on LegacyUNet); at highest precision rounding drops below
     1e-5 and the threshold ``atol + rtol * max|logit|`` separates cleanly.
-    """
-    orig_params, orig_stats = params, batch_stats
-    # tree_map rebuilds every dict level, so in-place edits below are safe.
-    params = jax.device_get(jax.tree_util.tree_map(lambda x: x, params))
-    batch_stats = jax.device_get(
-        jax.tree_util.tree_map(lambda x: x, batch_stats))
-    folded: list = []
-    _fold_tree(params, batch_stats, eps, folded)
 
-    if model is not None and folded:
+    Everything stays ON DEVICE: the fold is one jitted tree->tree program
+    and the validation one jitted two-forward program returning two
+    scalars. The original implementation device_get the full param tree
+    and re-dispatched per-conv ops eagerly — at flagship scale through the
+    remote-dispatch tunnel (~20 MB/s, 30-50 ms/op) that cost ~50+ s where
+    this costs ~2 s warm (the programs land in the persistent compile
+    cache). Returns device arrays; callers needing host copies
+    ``jax.device_get`` the (much smaller) result they actually use.
+    """
+    folded = fold_pairs(params, batch_stats)
+    if not folded:
+        return params, batch_stats
+
+    def _fold(p, s):
+        # jit unflattens fresh dict containers, so in-place edits by
+        # _fold_tree cannot leak into the caller's trees
+        _fold_tree(p, s, eps, [])
+        return p, s
+
+    fparams, fstats = jax.jit(_fold)(params, batch_stats)
+
+    if model is not None:
         if example is None:
             c = int(getattr(model, "in_channels", 1))
             # models with a fixed input resolution (TransUNet's pos_emb
@@ -122,20 +162,24 @@ def fold_batchnorm(model, params: Any, batch_stats: Any, *,
             import dataclasses as _dc
             vmodel = _dc.replace(model, dtype=jnp.float32)
 
-        def _logits(p, s):
-            with jax.default_matmul_precision("highest"):
-                out = vmodel.apply({"params": p, "batch_stats": s}, example,
-                                   train=False)
-            return out[0] if isinstance(out, tuple) else out
+        def _verify(op, os_, fp, fs, ex):
+            def logits(p, s):
+                with jax.default_matmul_precision("highest"):
+                    out = vmodel.apply({"params": p, "batch_stats": s}, ex,
+                                       train=False)
+                return (out[0] if isinstance(out, tuple) else out
+                        ).astype(jnp.float32)
 
-        want = np.asarray(_logits(orig_params, orig_stats), np.float32)
-        got = np.asarray(_logits(params, batch_stats), np.float32)
-        err = float(np.max(np.abs(want - got)))
-        tol = atol + rtol * float(np.max(np.abs(want)))
+            want, got = logits(op, os_), logits(fp, fs)
+            return jnp.max(jnp.abs(want - got)), jnp.max(jnp.abs(want))
+
+        err_d, maxw_d = jax.jit(_verify)(params, batch_stats,
+                                         fparams, fstats, example)
+        err, tol = float(err_d), atol + rtol * float(maxw_d)
         if not np.isfinite(err) or err > tol:
             raise ValueError(
                 f"BatchNorm folding changed the model output (max abs err "
                 f"{err:.3e} > tol {tol:.3e}); this model's BN layers do not "
                 f"directly follow their convs (e.g. LegacyUNet's "
                 f"Conv->ReLU->BN order) and cannot be folded.")
-    return params, batch_stats
+    return fparams, fstats

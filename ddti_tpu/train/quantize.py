@@ -150,6 +150,64 @@ def _tree_set(tree: dict, path: tuple, value) -> None:
     tree[path[-1]] = value
 
 
+def _quant_paths(qtree: dict, prefix: tuple = ()):
+    """Module paths of the quantized convs in a ``"quant"`` tree."""
+    for k, v in qtree.items():
+        if isinstance(v, dict):
+            if "wq" in v:
+                yield prefix + (k,)
+            else:
+                yield from _quant_paths(v, prefix + (k,))
+
+
+def calibrate_and_quantize(model, variables: dict, images,
+                           min_channels: int = 0,
+                           eps: float = 1e-12) -> dict:
+    """Calibration forward + per-conv weight quantization fused into ONE
+    jitted program: returns the ``"quant"`` tree (int8 ``wq``, scales
+    ``sw``/``sx``) with zero full-tree host transfers.
+
+    Same math as ``calibrate_conv_amax`` + ``build_quant_tree`` (jnp.round
+    is round-half-even like np.rint), but where those fetch every conv
+    kernel to host and push the int8 tables back — ~175 s at flagship
+    scale through the remote-dispatch tunnel (~20 MB/s, per-op round
+    trips) — this costs one (persistently cached) compile + ~2 s. The
+    program is weight-value-independent, so it caches across differently
+    trained checkpoints of the same architecture.
+    """
+    if getattr(model, "remat", False):
+        model = model.clone(remat=False)  # see calibrate_conv_amax
+
+    def run(variables, images):
+        amax: dict = {}
+
+        def icpt(next_fun, args, kwargs, context):
+            mod = context.module
+            if _is_quantizable(mod) and context.method_name == "__call__":
+                a = jnp.max(jnp.abs(args[0].astype(jnp.float32)))
+                p = mod.path
+                amax[p] = jnp.maximum(amax[p], a) if p in amax else a
+            return next_fun(*args, **kwargs)
+
+        with nn.intercept_methods(icpt):
+            model.apply(variables, images, train=False)
+
+        qtree: dict = {}
+        for path, a in amax.items():
+            kernel = _tree_get(variables["params"], path)["kernel"]
+            if min_channels and max(kernel.shape[2:]) < min_channels:
+                continue  # mixed precision: float path for narrow convs
+            kernel = kernel.astype(jnp.float32)
+            sw = jnp.max(jnp.abs(kernel), axis=(0, 1, 2)) / 127.0
+            sw = jnp.where(sw < eps, 1.0, sw).astype(jnp.float32)
+            wq = jnp.clip(jnp.round(kernel / sw), -127, 127).astype(jnp.int8)
+            sx = jnp.maximum(a / 127.0, eps).astype(jnp.float32)
+            _tree_set(qtree, path, {"wq": wq, "sw": sw, "sx": sx})
+        return qtree
+
+    return jax.jit(run)(variables, images)
+
+
 def build_quant_tree(params: dict, amax: dict, *,
                      eps: float = 1e-12) -> dict:
     """Per-conv int8 weights + scales, nested like the params tree so the
@@ -271,7 +329,14 @@ def quantize_serving(model, params: Any, batch_stats: Any,
             pass
     variables = {"params": params, "batch_stats": batch_stats}
     if amax is None:
-        amax = calibrate_conv_amax(model, variables, calib_images)
+        # PTQ: calibration + weight quantization fused into one jitted
+        # program (zero full-tree host transfers; see calibrate_and_quantize)
+        qtree = calibrate_and_quantize(model, variables, calib_images,
+                                       min_channels=min_channels)
+        qpaths = list(_quant_paths(qtree))
+        if strip:
+            params = strip_quantized_kernels(params, qpaths)
+        return {"params": params, "batch_stats": batch_stats, "quant": qtree}
     else:
         # learned ranges address UNQUANTIZED module paths; drop any entry
         # whose conv doesn't exist in this params tree (defensive: e.g. a

@@ -415,3 +415,52 @@ def test_circular_padding_conv_not_quantizable():
     assert _is_plain_conv(nn.Conv(8, (3, 3), padding="SAME"))
     assert _is_plain_conv(nn.Conv(8, (3, 3), padding=1))
     assert not _is_plain_conv(nn.Conv(8, (3, 3), padding="CIRCULAR"))
+
+
+def test_fused_pipeline_matches_legacy_host_path():
+    """The one-program device pipeline (calibrate_and_quantize, the
+    quantize_serving default) must produce the same quant tables as the
+    legacy host-side path (calibrate_conv_amax + build_quant_tree):
+    int8 weights exactly, scales to f32 ulp (XLA may emit the /127 as a
+    reciprocal multiply — observed 1e-10 on identical inputs)."""
+    from ddti_tpu.train.quantize import calibrate_and_quantize
+
+    model = ResUNet(in_channels=1, out_channels=1, base_filters=8, depth=3)
+    params, stats, x = _init(model)
+    fparams, fstats = fold_batchnorm(model, params, stats)
+    variables = {"params": fparams, "batch_stats": fstats}
+
+    fused = calibrate_and_quantize(model, variables, x)
+
+    amax = calibrate_conv_amax(model, variables, x)
+    legacy = build_quant_tree(fparams, amax)
+
+    flat_f = jax.tree_util.tree_leaves_with_path(fused)
+    flat_l = jax.tree_util.tree_leaves_with_path(legacy)
+    assert [p for p, _ in flat_f] == [p for p, _ in flat_l]
+    for (path, a), (_, b) in zip(flat_f, flat_l):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.dtype == np.int8:
+            np.testing.assert_array_equal(a, b, err_msg=str(path))
+        else:
+            np.testing.assert_allclose(a, b, rtol=1e-6, atol=0,
+                                       err_msg=str(path))
+
+
+def test_fused_pipeline_min_channels_matches_legacy():
+    from ddti_tpu.train.quantize import _quant_paths, calibrate_and_quantize
+
+    model = ResUNet(in_channels=1, out_channels=1, base_filters=8, depth=3)
+    params, stats, x = _init(model)
+    variables = {"params": params, "batch_stats": stats}
+    fused = calibrate_and_quantize(model, variables, x, min_channels=32)
+    amax = calibrate_conv_amax(model, variables, x)
+    amax = {p: a for p, a in amax.items()
+            if max(params_get(params, p)["kernel"].shape[2:]) >= 32}
+    assert sorted(_quant_paths(fused)) == sorted(amax)
+
+
+def params_get(tree, path):
+    for k in path:
+        tree = tree[k]
+    return tree
