@@ -288,28 +288,38 @@ def bench(batch: int = 128, size: int = 256, steps: int = 20,
         # compiles/frees the device heap is fragmented enough to distort
         # (or OOM) a second full train program — measured 7.5 img/s
         # in-process vs 302.8 standalone (CLAUDE.md).
-        budget = _remaining()
-        if budget < min_budget:
-            print(f"skipping {name}: {budget:.0f}s budget left",
-                  file=sys.stderr)
-            return
-        try:
-            r = subprocess.run(
-                [sys.executable, __file__, "--measure", name,
-                 "--batch", str(batch), "--size", str(size),
-                 "--size512", str(size512),
-                 "--steps", str(sub_steps if sub_steps is not None
-                                else steps), *extra_argv],
-                capture_output=True, text=True,
-                timeout=min(SUBPROC_CAP_S, budget), check=True,
-                env={**os.environ, "DDTI_BENCH_SUBPROC": "1"})
-            val = float(r.stdout.strip().splitlines()[-1])
-            out[key] = round(val, 2)
-            if vs is not None:
-                out[key.replace("images_per_sec", "vs_baseline")
-                       .replace("_per_chip", "")] = round(val / vs, 1)
-        except Exception as e:
-            print(f"{name} measurement failed: {e!r}", file=sys.stderr)
+        # One retry on a FAILED (not timed-out) subprocess: the remote
+        # tunnel occasionally drops a single program with a transient
+        # HTTP 500 (observed on an otherwise-green run); a timeout, by
+        # contrast, means the budget is gone.
+        for attempt in (0, 1):
+            budget = _remaining()
+            if budget < min_budget:
+                print(f"skipping {name}: {budget:.0f}s budget left",
+                      file=sys.stderr)
+                break
+            try:
+                r = subprocess.run(
+                    [sys.executable, __file__, "--measure", name,
+                     "--batch", str(batch), "--size", str(size),
+                     "--size512", str(size512),
+                     "--steps", str(sub_steps if sub_steps is not None
+                                    else steps), *extra_argv],
+                    capture_output=True, text=True,
+                    timeout=min(SUBPROC_CAP_S, budget), check=True,
+                    env={**os.environ, "DDTI_BENCH_SUBPROC": "1"})
+                val = float(r.stdout.strip().splitlines()[-1])
+                out[key] = round(val, 2)
+                if vs is not None:
+                    out[key.replace("images_per_sec", "vs_baseline")
+                           .replace("_per_chip", "")] = round(val / vs, 1)
+                break
+            except subprocess.TimeoutExpired as e:
+                print(f"{name} measurement failed: {e!r}", file=sys.stderr)
+                break
+            except Exception as e:
+                print(f"{name} measurement failed (attempt {attempt}): "
+                      f"{e!r}", file=sys.stderr)
         emit()
 
     # ---- 512^2: the reference-native resolution, ahead of serving ---------
