@@ -66,10 +66,17 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--aug_shared_geometry", action="store_true",
                    help="one flip/rotation draw per batch (TPU-fast warp; "
                         "diverges from the reference's per-image draws)")
-    p.add_argument("--aug_fast_warp", action="store_true",
+    p.add_argument("--aug_fast_warp", action="store_true", default=True,
                    help="Paeth three-shear flip+rotate (no gather, ~9x "
                         "faster warp, per-image geometry kept; sub-pixel "
-                        "nearest-rounding divergence from PIL, QUIRKS #23)")
+                        "nearest-rounding divergence from PIL, QUIRKS #23). "
+                        "DEFAULT ON since the 3-seed IoU-equivalence study; "
+                        "this flag is kept as a no-op for compatibility")
+    p.add_argument("--aug_exact_warp", dest="aug_fast_warp",
+                   action="store_false",
+                   help="exact PIL-map flip+rotate (bit-parity with the "
+                        "reference's TF.rotate; per-element gather warp, "
+                        "~15%% slower flagship step)")
 
     # model config
     p.add_argument("--model_type", default="ResUNet", type=str)

@@ -55,7 +55,9 @@ def main(argv=None) -> int:
     ap.add_argument("--use_clahe", type=_str2bool, default=False)
     ap.add_argument("--p_crop", type=float, default=0.0)
     ap.add_argument("--aug_shared_geometry", action="store_true")
-    ap.add_argument("--aug_fast_warp", action="store_true")
+    ap.add_argument("--aug_fast_warp", action="store_true", default=True)
+    ap.add_argument("--aug_exact_warp", dest="aug_fast_warp",
+                    action="store_false")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 

@@ -75,12 +75,14 @@ class AugmentConfig:
     # at the cost of batch-correlated geometry: a deliberate divergence
     # from the reference's per-image draws (QUIRKS.md), default OFF.
     shared_geometry: bool = False
-    # Opt-in perf mode: Paeth three-shear flip+rotate (barrel shifter, no
-    # gather: 75 -> ~8 ms per 128x256^2 batch) with PER-IMAGE geometry
-    # preserved. Sub-pixel nearest-rounding divergence from the PIL map
-    # (mean 0.3 px, max 1.4 px source displacement; exact at 0/90/180/270
-    # and for flips) — QUIRKS.md #23, default OFF. Square images only
-    # (non-square falls back to the exact gather warp).
+    # Paeth three-shear flip+rotate (barrel shifter, no gather: 75 -> ~8 ms
+    # per 128x256^2 batch) with PER-IMAGE geometry preserved. Sub-pixel
+    # nearest-rounding divergence from the PIL map (mean 0.3 px, max 1.4 px
+    # source displacement; exact at 0/90/180/270 and for flips) —
+    # QUIRKS.md #23. Default OFF at this low level (the oracle-parity
+    # contract); the training Config default is ON since round 5
+    # (core/config.py aug_fast_warp, --aug_exact_warp restores parity).
+    # Square images only (non-square falls back to the exact gather warp).
     fast_warp: bool = False
 
 

@@ -301,8 +301,9 @@ def paeth_flip_rotate(img: jnp.ndarray, mask: jnp.ndarray,
     of pixels near rounding boundaries (~2-4% measured; each off by one
     source pixel). Unlike direct nearest rotation the shear composite is
     a per-row/column rigid motion, so it never drops or doubles pixels
-    inside the valid region. Opt-in divergence (``--aug_fast_warp``,
-    QUIRKS.md #23); per-image geometry is preserved (contrast
+    inside the valid region. Default since round 5 (``--aug_exact_warp``
+    restores the bit-parity PIL map; QUIRKS.md #23 records the 3-seed
+    IoU-equivalence study); per-image geometry is preserved (contrast
     ``shared_geometry``, which changes the stochastic process).
     Requires a square image; callers fall back to ``fused_flip_rotate``
     otherwise. Replaces /root/reference/utils/transforms.py:114-141.

@@ -23,6 +23,18 @@ def test_parser_defaults_match_reference():
     assert args.mixup_alpha == 0.2 and args.mixup_prob == 0.3
 
 
+def test_warp_flags_round5_default():
+    """Fast warp is default-on since round 5 (QUIRKS #23 equivalence);
+    --aug_exact_warp restores the PIL bit-parity map, and the old
+    --aug_fast_warp flag stays accepted as a no-op."""
+    p = get_parser()
+    assert p.parse_args([]).aug_fast_warp is True
+    assert p.parse_args(["--aug_exact_warp"]).aug_fast_warp is False
+    assert p.parse_args(["--aug_fast_warp"]).aug_fast_warp is True
+    cfg = build_config(p.parse_args(["--aug_exact_warp"]))
+    assert cfg.aug_fast_warp is False
+
+
 def test_config_yaml_dispatch(tmp_path):
     doc = {"model": {"model_type": "VNet2D",
                      "kwargs": {"in_channels": 1, "out_channels": 1,
