@@ -21,8 +21,15 @@ import numpy as np
 # main thread's end-of-train "_last" save, train/engine.py) and orbax's
 # shared async commit machinery is not safe under that overlap: observed
 # spurious ``[Errno 17] File exists: <path>.orbax-checkpoint-tmp`` losing a
-# best-epoch artifact. One process-wide lock serializes only the orbax
-# write; the device->host fetch still overlaps training.
+# best-epoch artifact. One process-wide lock serializes the orbax write
+# paths (save_checkpoint, ManagedCheckpointer.save enqueue + wait); the
+# device->host fetch still overlaps training. Residual window (documented,
+# accepted): an async CheckpointManager commit that is already in flight
+# between save() returning and wait() can still overlap a concurrent
+# save_checkpoint — the manager writes under its own step-indexed
+# directory (never save_checkpoint's `<path>.orbax-checkpoint-tmp`), so
+# the observed EEXIST collision cannot recur there; full serialization
+# would force every periodic save synchronous.
 _ORBAX_SAVE_LOCK = threading.Lock()
 
 
@@ -52,12 +59,17 @@ def save_checkpoint(path: str, state) -> None:
     with _ORBAX_SAVE_LOCK:
         # a stale tmp dir (e.g. from a save interrupted by preemption)
         # would fail every later save of this path with EEXIST —
-        # force=True only clears the FINAL directory
-        tmp = path + ".orbax-checkpoint-tmp"
-        if os.path.isdir(tmp):
-            import shutil
+        # force=True only clears the FINAL directory. Glob rather than the
+        # one exact name: orbax 0.11 writes `<path>.orbax-checkpoint-tmp`
+        # but other orbax code paths/versions suffix a timestamp
+        # (`...-tmp-<ts>`), and a naming drift would silently defeat both
+        # the cleanup and the EEXIST premise (ADVICE r4).
+        import glob
+        import shutil
 
-            shutil.rmtree(tmp, ignore_errors=True)
+        for tmp in glob.glob(path + ".orbax-checkpoint-tmp*"):
+            if os.path.isdir(tmp):
+                shutil.rmtree(tmp, ignore_errors=True)
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(path, host_state, force=True)
         ckptr.wait_until_finished()
@@ -178,11 +190,19 @@ class ManagedCheckpointer:
 
     def save(self, step: int, state, metrics: dict | None = None) -> bool:
         """Queue a save of the full train state at ``step``. Returns whether
-        a save was performed (False if the manager's policy skipped it)."""
-        return self.manager.save(
-            int(step), args=self._ocp.args.StandardSave(
-                _tree_dict(jax.device_get(state))),
-            metrics=metrics)
+        a save was performed (False if the manager's policy skipped it).
+
+        Takes the process-wide orbax lock: the async CheckpointManager
+        drives the same shared orbax async-commit machinery as
+        ``save_checkpoint`` (used concurrently by the best-saver thread),
+        and that overlap corrupted a save once (see _ORBAX_SAVE_LOCK).
+        The lock covers only the enqueue + host fetch; the async write
+        itself still overlaps training."""
+        host_state = _tree_dict(jax.device_get(state))
+        with _ORBAX_SAVE_LOCK:
+            return self.manager.save(
+                int(step), args=self._ocp.args.StandardSave(host_state),
+                metrics=metrics)
 
     def latest_step(self) -> int | None:
         return self.manager.latest_step()
@@ -224,11 +244,13 @@ class ManagedCheckpointer:
             qstats=_merge_restored_qstats(state, restored)), step
 
     def wait(self) -> None:
-        self.manager.wait_until_finished()
+        with _ORBAX_SAVE_LOCK:
+            self.manager.wait_until_finished()
 
     def close(self) -> None:
-        self.manager.wait_until_finished()
-        self.manager.close()
+        with _ORBAX_SAVE_LOCK:
+            self.manager.wait_until_finished()
+            self.manager.close()
 
 
 def load_checkpoint_into(path: str, model_type: str, params: Any,

@@ -39,21 +39,37 @@ def _bn_partner(name: str) -> str | None:
     return None
 
 
+def _classify(params: dict, stats: dict, name: str) -> tuple[str, str | None]:
+    """The ONE pairing predicate shared by ``_fold_tree`` and
+    ``fold_pairs`` (they must never drift apart — a disagreement would
+    either skip the numeric misfold validation for pairs that get folded,
+    or report folds that never happen). Returns one of:
+      ("fold", conv_name)  — a BN whose partner conv exists and is 4-D
+      ("skip", None)       — a BN with no foldable partner (left intact)
+      ("recurse", None)    — not a BN; descend into the submodule
+    """
+    child = params[name]
+    is_bn = ("scale" in child and "bias" in child
+             and isinstance(stats.get(name), dict)
+             and "mean" in stats[name] and "var" in stats[name])
+    if not is_bn:
+        return "recurse", None
+    conv_name = _bn_partner(name)
+    conv = params.get(conv_name) if conv_name else None
+    if conv is None or "kernel" not in conv or np.ndim(conv["kernel"]) != 4:
+        return "skip", None  # unpaired BN — leave untouched (still correct)
+    return "fold", conv_name
+
+
 def _fold_tree(params: dict, stats: dict, eps: float, folded: list) -> None:
     """Recursively fold conv->bn pairs in one module dict, in place."""
     for name in list(params.keys()):
         child = params[name]
         if not isinstance(child, dict):
             continue
-        is_bn = ("scale" in child and "bias" in child
-                 and isinstance(stats.get(name), dict)
-                 and "mean" in stats[name] and "var" in stats[name])
-        if is_bn:
-            conv_name = _bn_partner(name)
-            conv = params.get(conv_name) if conv_name else None
-            if (conv is None or "kernel" not in conv
-                    or np.ndim(conv["kernel"]) != 4):
-                continue  # unpaired BN — leave untouched (still correct)
+        kind, conv_name = _classify(params, stats, name)
+        if kind == "fold":
+            conv = params[conv_name]
             gamma = jnp.asarray(child["scale"], jnp.float32)
             beta = jnp.asarray(child["bias"], jnp.float32)
             mean = jnp.asarray(stats[name]["mean"], jnp.float32)
@@ -72,7 +88,7 @@ def _fold_tree(params: dict, stats: dict, eps: float, folded: list) -> None:
             stats[name]["mean"] = jnp.zeros_like(stats[name]["mean"])
             stats[name]["var"] = jnp.full_like(stats[name]["var"], 1.0 - eps)
             folded.append(name)
-        else:
+        elif kind == "recurse":
             sub_stats = stats.get(name)
             _fold_tree(child, sub_stats if isinstance(sub_stats, dict) else {},
                        eps, folded)
@@ -80,23 +96,18 @@ def _fold_tree(params: dict, stats: dict, eps: float, folded: list) -> None:
 
 def fold_pairs(params: Any, batch_stats: Any) -> list:
     """Names of the BN modules ``fold_batchnorm`` would fold — a
-    structure-only walk (no math, no device work), used to decide whether
-    the numeric validation pass is needed at all."""
+    structure-only walk (no math, no device work) over the SAME
+    ``_classify`` predicate ``_fold_tree`` folds with, used to decide
+    whether the numeric validation pass is needed at all."""
 
     def walk(p: dict, s: dict, out: list) -> None:
         for name, child in p.items():
             if not isinstance(child, dict):
                 continue
-            is_bn = ("scale" in child and "bias" in child
-                     and isinstance(s.get(name), dict)
-                     and "mean" in s[name] and "var" in s[name])
-            if is_bn:
-                conv_name = _bn_partner(name)
-                conv = p.get(conv_name) if conv_name else None
-                if (conv is not None and "kernel" in conv
-                        and np.ndim(conv["kernel"]) == 4):
-                    out.append(name)
-            else:
+            kind, _ = _classify(p, s, name)
+            if kind == "fold":
+                out.append(name)
+            elif kind == "recurse":
                 sub = s.get(name)
                 walk(child, sub if isinstance(sub, dict) else {}, out)
 

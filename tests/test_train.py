@@ -100,13 +100,22 @@ def test_save_checkpoint_overwrites_stale_tmp(tmp_path, tiny_data):
     state = create_train_state(model, jax.random.PRNGKey(0), (1, 32, 32, 1),
                                cfg.lr, steps_per_epoch=10)
     path = os.path.join(tmp_path, "ckpt")
-    os.makedirs(path + ".orbax-checkpoint-tmp")  # simulate the stale dir
+    # simulate stale dirs in BOTH naming conventions: the installed
+    # orbax's actual suffix constant, and the timestamped variant newer
+    # code paths write — save_checkpoint clears by glob (ADVICE r4)
+    from orbax.checkpoint.path import atomicity
+
+    suffix = atomicity.TMP_DIR_SUFFIX
+    assert suffix.startswith(".orbax-checkpoint-tmp"), suffix
+    os.makedirs(path + ".orbax-checkpoint-tmp")
+    os.makedirs(path + ".orbax-checkpoint-tmp-1755700000000")
     save_checkpoint(path, state)
     fresh = create_train_state(model, jax.random.PRNGKey(42), (1, 32, 32, 1),
                                cfg.lr, steps_per_epoch=10)
     restored = restore_checkpoint(path, fresh)
     assert int(restored.step) == int(state.step)
     assert not os.path.exists(path + ".orbax-checkpoint-tmp")
+    assert not os.path.exists(path + ".orbax-checkpoint-tmp-1755700000000")
 
 
 def test_load_checkpoint_into_orbax_dir(tmp_path, tiny_data):
