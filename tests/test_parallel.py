@@ -155,8 +155,9 @@ def test_spatial_partition_step_runs(eight_devices):
     assert np.isfinite(float(m.loss))
 
 
-@pytest.mark.slow  # ~80 s (two mesh shapes); the driver runs this
-# entrypoint independently every round (MULTICHIP_r0N.json)
+@pytest.mark.slow  # ~4-5 min (two mesh shapes + the 2-process DCN leg);
+# the driver runs this entrypoint independently every round
+# (MULTICHIP_r0N.json)
 def test_dryrun_multichip_entrypoint():
     import importlib.util
     import os
