@@ -210,8 +210,13 @@ _MEASURES = {
     # default is the learning-equivalent fast warp since round 5
     "exactwarp": lambda a: measure_train(a.batch, a.size, steps=a.steps,
                                          aug_fast_warp=False),
+    # shared geometry pairs with the EXACT warp: one draw per batch makes
+    # the gather index batch-invariant (the QUIRKS #20 variant, 302.8
+    # img/s) — composing it with the Paeth warp measured SLOWER (295.9,
+    # r5: sharing buys nothing when there is no gather to amortize)
     "sg": lambda a: measure_train(a.batch, a.size, steps=a.steps,
-                                  aug_shared_geometry=True),
+                                  aug_shared_geometry=True,
+                                  aug_fast_warp=False),
     # legacy name (rounds 2-4, when fast warp was opt-in); now identical to
     # the headline program — kept so old harness invocations keep working
     "fastwarp": lambda a: measure_train(a.batch, a.size, steps=a.steps,

@@ -44,6 +44,25 @@ def _batch_size_arg(v: str):
             f"expected an integer or 'auto', got {v!r}")
 
 
+def parse_remat_arg(v):
+    """--remat value -> the models' ``remat`` kwarg: True (bare flag) or a
+    tuple of level indices parsed from a comma list ('0,1' -> (0, 1))."""
+    if v in (True, False, None):
+        return bool(v)
+    try:
+        levels = tuple(sorted({int(t) for t in str(v).split(",") if t.strip()}))
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            f"--remat expects no value or a comma list of level indices "
+            f"(e.g. 0,1), got {v!r}")
+    if not levels:
+        return True
+    if any(l < 0 for l in levels):
+        raise argparse.ArgumentTypeError(
+            f"--remat level indices must be >= 0, got {v!r}")
+    return levels
+
+
 def get_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         formatter_class=argparse.ArgumentDefaultsHelpFormatter)
@@ -286,10 +305,15 @@ def get_parser() -> argparse.ArgumentParser:
                         "training only stops when a WHOLE epoch is "
                         "rejected, not after --nan_guard_patience bad "
                         "steps (both warned at epoch 0)")
-    p.add_argument("--remat", action="store_true",
+    p.add_argument("--remat", nargs="?", const=True, default=False,
+                   metavar="LEVELS",
                    help="rematerialize conv-block activations in the "
                         "backward pass (fits f32 512x512 batch-16 training "
-                        "on one 16GB chip)")
+                        "on one 16GB chip). Bare --remat remats every "
+                        "block; an optional comma list of level indices "
+                        "(--remat 0,1; 0 = highest resolution) remats only "
+                        "those encoder/decoder levels — most of the memory "
+                        "back at a fraction of the recompute")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (the axon sitecustomize pins "
                         "the TPU tunnel; env vars alone cannot override it)")
@@ -442,7 +466,7 @@ def main(argv=None) -> int:
         import jax.numpy as jnp
         model_kwargs["dtype"] = jnp.bfloat16
     if args.remat:
-        model_kwargs["remat"] = True
+        model_kwargs["remat"] = parse_remat_arg(args.remat)
     if cfg.model_type == "TransUNet":
         model_kwargs.setdefault("image_size", cfg.image_size)
     model = create_model(cfg.model_type, **model_kwargs)

@@ -42,17 +42,33 @@ class _EncoderDecoderBase(nn.Module):
     base_filters: int = 64
     depth: int = 5
     # jax.checkpoint the conv blocks: recompute activations in the backward
-    # pass instead of keeping them in HBM (useful at 512x512 / big batches)
-    remat: bool = False
+    # pass instead of keeping them in HBM (useful at 512x512 / big batches).
+    # True = every block; a tuple of LEVEL indices (0 = the highest-
+    # resolution level, whose activations dominate HBM) remats only the
+    # encoder+decoder blocks at those levels — selective remat buys most
+    # of the memory back at a fraction of the recompute (pick the set with
+    # train/autobatch.py's compile-time peak predictor; CLI: --remat for
+    # all levels, --remat 0,1 for a subset).
+    remat: Any = False
     dtype: Any = jnp.float32
 
     @property
     def channels(self):
         return [self.base_filters * (2 ** i) for i in range(self.depth)]
 
-    def _maybe_remat(self, cls):
+    def _remat_on(self, level) -> bool:
+        if self.remat is True:
+            return True
+        if not self.remat:
+            return False
+        if level is None:  # level-agnostic call sites follow the bool only
+            return False
+        return int(level) in tuple(int(v) for v in self.remat)
+
+    def _maybe_remat(self, cls, level=None):
         # static_argnums=(2,): the ``train`` flag (0 is self, 1 is x)
-        return nn.remat(cls, static_argnums=(2,)) if self.remat else cls
+        return (nn.remat(cls, static_argnums=(2,))
+                if self._remat_on(level) else cls)
 
 
 class UNet(_EncoderDecoderBase):
@@ -61,10 +77,14 @@ class UNet(_EncoderDecoderBase):
 
     def setup(self):
         ch = self.channels
-        self.encoders = [self._maybe_remat(ConvBNAct)(c, dtype=self.dtype) for c in ch]
+        self.encoders = [self._maybe_remat(ConvBNAct, i)(c, dtype=self.dtype)
+                         for i, c in enumerate(ch)]
         self.bottleneck = ConvBNAct(ch[-1] * 2, dtype=self.dtype)
         self.upconvs = [up_conv(c, dtype=self.dtype) for c in reversed(ch)]
-        self.decoders = [self._maybe_remat(ConvBNAct)(c, dtype=self.dtype) for c in reversed(ch)]
+        self.decoders = [
+            self._maybe_remat(ConvBNAct, self.depth - 1 - i)(c,
+                                                             dtype=self.dtype)
+            for i, c in enumerate(reversed(ch))]
         self.final_conv = nn.Conv(self.out_channels, (1, 1), use_bias=True,
                                   dtype=self.dtype, name="final_conv")
 
@@ -88,11 +108,14 @@ class ResUNet(_EncoderDecoderBase):
 
     def setup(self):
         ch = self.channels
-        self.encoders = [self._maybe_remat(ResidualBlock)(c, dtype=self.dtype) for c in ch]
+        self.encoders = [self._maybe_remat(ResidualBlock, i)(c, dtype=self.dtype)
+                         for i, c in enumerate(ch)]
         self.bottleneck = ResidualBlock(ch[-1] * 2, dtype=self.dtype)
         self.upconvs = [up_conv(c, dtype=self.dtype) for c in reversed(ch)]
-        self.decoders = [self._maybe_remat(ResidualBlock)(c, dtype=self.dtype)
-                         for c in reversed(ch)]
+        self.decoders = [
+            self._maybe_remat(ResidualBlock, self.depth - 1 - i)(
+                c, dtype=self.dtype)
+            for i, c in enumerate(reversed(ch))]
         self.final_conv = nn.Conv(self.out_channels, (1, 1), use_bias=True,
                                   dtype=self.dtype, name="final_conv")
 
@@ -118,11 +141,15 @@ class ASPPUNet(_EncoderDecoderBase):
 
     def setup(self):
         ch = self.channels
-        self.encoders = [self._maybe_remat(ConvBNAct)(c, dtype=self.dtype) for c in ch]
+        self.encoders = [self._maybe_remat(ConvBNAct, i)(c, dtype=self.dtype)
+                         for i, c in enumerate(ch)]
         self.aspp = ASPP(ch[-1] * 2, dilations=tuple(self.aspp_dilations),
                          dtype=self.dtype)
         self.upconvs = [up_conv(c, dtype=self.dtype) for c in reversed(ch)]
-        self.decoders = [self._maybe_remat(ConvBNAct)(c, dtype=self.dtype) for c in reversed(ch)]
+        self.decoders = [
+            self._maybe_remat(ConvBNAct, self.depth - 1 - i)(c,
+                                                             dtype=self.dtype)
+            for i, c in enumerate(reversed(ch))]
         self.final_conv = nn.Conv(self.out_channels, (1, 1), use_bias=True,
                                   dtype=self.dtype, name="final_conv")
 
@@ -146,12 +173,16 @@ class AttentionUNet(_EncoderDecoderBase):
 
     def setup(self):
         ch = self.channels
-        self.encoders = [self._maybe_remat(ConvBNAct)(c, dtype=self.dtype) for c in ch]
+        self.encoders = [self._maybe_remat(ConvBNAct, i)(c, dtype=self.dtype)
+                         for i, c in enumerate(ch)]
         self.bottleneck = ConvBNAct(ch[-1] * 2, dtype=self.dtype)
         self.upconvs = [up_conv(c, dtype=self.dtype) for c in reversed(ch)]
         self.attn_gates = [AttentionGate(c // 2, dtype=self.dtype)
                            for c in reversed(ch)]
-        self.decoders = [self._maybe_remat(ConvBNAct)(c, dtype=self.dtype) for c in reversed(ch)]
+        self.decoders = [
+            self._maybe_remat(ConvBNAct, self.depth - 1 - i)(c,
+                                                             dtype=self.dtype)
+            for i, c in enumerate(reversed(ch))]
         self.final_conv = nn.Conv(self.out_channels, (1, 1), use_bias=True,
                                   dtype=self.dtype, name="final_conv")
 
@@ -199,7 +230,8 @@ class TransUNet(_EncoderDecoderBase):
 
     def setup(self):
         ch = self.channels
-        self.encoders = [self._maybe_remat(ConvBNAct)(c, dtype=self.dtype) for c in ch]
+        self.encoders = [self._maybe_remat(ConvBNAct, i)(c, dtype=self.dtype)
+                         for i, c in enumerate(ch)]
         s = self.image_size // (2 ** self.depth)
         self.patchify = nn.Conv(self.embed_dim, (1, 1), use_bias=False,
                                 dtype=self.dtype, name="patchify")
@@ -219,7 +251,10 @@ class TransUNet(_EncoderDecoderBase):
                                    name="trans_proj")
         self.in_dropout = nn.Dropout(self.dropout_rate)
         self.upconvs = [up_conv(c, dtype=self.dtype) for c in reversed(ch)]
-        self.decoders = [self._maybe_remat(ConvBNAct)(c, dtype=self.dtype) for c in reversed(ch)]
+        self.decoders = [
+            self._maybe_remat(ConvBNAct, self.depth - 1 - i)(c,
+                                                             dtype=self.dtype)
+            for i, c in enumerate(reversed(ch))]
         self.final_conv = nn.Conv(self.out_channels, (1, 1), use_bias=True,
                                   dtype=self.dtype, name="final_conv")
 
@@ -253,8 +288,9 @@ class VNet2D(_EncoderDecoderBase):
 
     def setup(self):
         ch = self.channels
-        self.enc_blocks = [self._maybe_remat(ConvBNAct)(c, act="prelu", dtype=self.dtype)
-                           for c in ch]
+        self.enc_blocks = [
+            self._maybe_remat(ConvBNAct, i)(c, act="prelu", dtype=self.dtype)
+            for i, c in enumerate(ch)]
         self.down_convs = [
             nn.Conv(c, (2, 2), strides=(2, 2), use_bias=False,
                     dtype=self.dtype, name=f"down_convs_{i}")
@@ -263,8 +299,10 @@ class VNet2D(_EncoderDecoderBase):
         self.bottleneck = ConvBNAct(ch[-1] * 2, act="prelu", dtype=self.dtype)
         self.up_convs = [up_conv(c, use_bias=False, dtype=self.dtype)
                          for c in reversed(ch)]
-        self.dec_blocks = [self._maybe_remat(ConvBNAct)(c, act="prelu", dtype=self.dtype)
-                           for c in reversed(ch)]
+        self.dec_blocks = [
+            self._maybe_remat(ConvBNAct, self.depth - 1 - i)(
+                c, act="prelu", dtype=self.dtype)
+            for i, c in enumerate(reversed(ch))]
         self.final_conv = nn.Conv(self.out_channels, (1, 1), use_bias=True,
                                   dtype=self.dtype, name="final_conv")
 
@@ -297,7 +335,8 @@ class ImprovedVNet(_EncoderDecoderBase):
 
     def setup(self):
         ch = self.channels
-        self.enc_blocks = [self._maybe_remat(ConvBNAct)(c, dtype=self.dtype) for c in ch]
+        self.enc_blocks = [self._maybe_remat(ConvBNAct, i)(c, dtype=self.dtype)
+                           for i, c in enumerate(ch)]
         self.down_convs = [
             nn.Conv(c, (2, 2), strides=(2, 2), use_bias=False,
                     dtype=self.dtype, name=f"down_convs_{i}")
@@ -309,8 +348,10 @@ class ImprovedVNet(_EncoderDecoderBase):
         if self.use_attention:
             self.attn_gates = [AttentionGate(c // 2, dtype=self.dtype)
                                for c in reversed(ch)]
-        self.dec_blocks = [self._maybe_remat(ConvBNAct)(c, dtype=self.dtype)
-                           for c in reversed(ch)]
+        self.dec_blocks = [
+            self._maybe_remat(ConvBNAct, self.depth - 1 - i)(c,
+                                                             dtype=self.dtype)
+            for i, c in enumerate(reversed(ch))]
         if self.deep_supervision:
             # One 1x1 head per decoder level, indexed by the encoder channel
             # schedule (matches the reference's per-``features`` heads).

@@ -216,6 +216,28 @@ def test_remat_identical_forward_and_params():
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         assert jnp.allclose(a, b, atol=1e-5)
 
+    # selective (per-level) remat: same params, same forward, same grads —
+    # remat is semantically the identity whatever the level subset
+    m3 = create_model("ResUNet", base_filters=8, depth=3, remat=(0, 1))
+    o3 = m3.apply(v, x, train=False)
+    assert jnp.allclose(o1, o3, atol=1e-6)
+    g3 = jax.grad(loss(m3))(v["params"])
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g3)):
+        assert jnp.allclose(a, b, atol=1e-5)
+
+
+def test_parse_remat_arg():
+    from ddti_tpu.cli.main import parse_remat_arg
+
+    assert parse_remat_arg(True) is True
+    assert parse_remat_arg(False) is False
+    assert parse_remat_arg("0,1") == (0, 1)
+    assert parse_remat_arg("1") == (1,)
+    assert parse_remat_arg("1,0,1") == (0, 1)
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        parse_remat_arg("a,b")
+
 
 def test_upconv_matches_conv_transpose():
     import flax.linen as nn
