@@ -741,7 +741,14 @@ def test_grad_accum_matches_manual_microbatching(tmp_path, tiny_data):
     from ddti_tpu.data.augment import augment_batch, mixup
     from ddti_tpu.losses import weighted_loss
 
-    cfg = _tiny_cfg(tmp_path, use_mixup=True, grad_accum=2)
+    # exact warp pinned: this oracle compares params AFTER an AdamW step,
+    # whose normalized first update amplifies ulp-level jit-vs-eager grad
+    # noise on tiny-|g| params (lr/|g|); the integer-index exact warp keeps
+    # that noise under the tolerance, while the Paeth default's different
+    # fusion layout reshuffles it past atol (3.3e-4 vs 7.7e-5 measured,
+    # r5) — a test-conditioning artifact, not a grad_accum defect.
+    cfg = _tiny_cfg(tmp_path, use_mixup=True, grad_accum=2,
+                    aug_fast_warp=False)
     aug = aug_config_from(cfg)
     model = create_model("UNet", base_filters=8, depth=3)
     state = create_train_state(model, jax.random.PRNGKey(0), (1, 32, 32, 1),
