@@ -46,7 +46,9 @@ def _batch_size_arg(v: str):
 
 def parse_remat_arg(v):
     """--remat value -> the models' ``remat`` kwarg: True (bare flag) or a
-    tuple of level indices parsed from a comma list ('0,1' -> (0, 1))."""
+    tuple of level indices parsed from a comma list ('0,1' -> (0, 1)).
+    Used as the argparse ``type`` so malformed values fail as usage errors
+    at parse time, before any setup work."""
     if v in (True, False, None):
         return bool(v)
     try:
@@ -55,8 +57,9 @@ def parse_remat_arg(v):
         raise argparse.ArgumentTypeError(
             f"--remat expects no value or a comma list of level indices "
             f"(e.g. 0,1), got {v!r}")
-    if not levels:
-        return True
+    if not levels:  # e.g. '--remat ,' — reject rather than silently
+        raise argparse.ArgumentTypeError(  # enabling full remat
+            f"--remat got an empty level list: {v!r}")
     if any(l < 0 for l in levels):
         raise argparse.ArgumentTypeError(
             f"--remat level indices must be >= 0, got {v!r}")
@@ -306,7 +309,7 @@ def get_parser() -> argparse.ArgumentParser:
                         "rejected, not after --nan_guard_patience bad "
                         "steps (both warned at epoch 0)")
     p.add_argument("--remat", nargs="?", const=True, default=False,
-                   metavar="LEVELS",
+                   type=parse_remat_arg, metavar="LEVELS",
                    help="rematerialize conv-block activations in the "
                         "backward pass (fits f32 512x512 batch-16 training "
                         "on one 16GB chip). Bare --remat remats every "
@@ -466,7 +469,7 @@ def main(argv=None) -> int:
         import jax.numpy as jnp
         model_kwargs["dtype"] = jnp.bfloat16
     if args.remat:
-        model_kwargs["remat"] = parse_remat_arg(args.remat)
+        model_kwargs["remat"] = args.remat  # parsed by type=parse_remat_arg
     if cfg.model_type == "TransUNet":
         model_kwargs.setdefault("image_size", cfg.image_size)
     model = create_model(cfg.model_type, **model_kwargs)

@@ -57,13 +57,23 @@ class _EncoderDecoderBase(nn.Module):
         return [self.base_filters * (2 ** i) for i in range(self.depth)]
 
     def _remat_on(self, level) -> bool:
-        if self.remat is True:
-            return True
+        # bool/int (incl. YAML `remat: 1`) keep the historical semantics:
+        # any truthy scalar = remat every block. Only a tuple/list selects
+        # levels.
+        if isinstance(self.remat, (bool, int)):
+            return bool(self.remat)
         if not self.remat:
             return False
+        levels = tuple(int(v) for v in self.remat)
+        bad = [v for v in levels if not 0 <= v < self.depth]
+        if bad:
+            raise ValueError(
+                f"remat level(s) {bad} out of range for depth {self.depth} "
+                f"(valid: 0..{self.depth - 1}); an out-of-range level would "
+                f"silently rematerialize nothing")
         if level is None:  # level-agnostic call sites follow the bool only
             return False
-        return int(level) in tuple(int(v) for v in self.remat)
+        return int(level) in levels
 
     def _maybe_remat(self, cls, level=None):
         # static_argnums=(2,): the ``train`` flag (0 is self, 1 is x)

@@ -67,7 +67,7 @@ def save_checkpoint(path: str, state) -> None:
         import glob
         import shutil
 
-        for tmp in glob.glob(path + ".orbax-checkpoint-tmp*"):
+        for tmp in glob.glob(glob.escape(path) + ".orbax-checkpoint-tmp*"):
             if os.path.isdir(tmp):
                 shutil.rmtree(tmp, ignore_errors=True)
         ckptr = ocp.StandardCheckpointer()
@@ -196,8 +196,12 @@ class ManagedCheckpointer:
         drives the same shared orbax async-commit machinery as
         ``save_checkpoint`` (used concurrently by the best-saver thread),
         and that overlap corrupted a save once (see _ORBAX_SAVE_LOCK).
-        The lock covers only the enqueue + host fetch; the async write
-        itself still overlaps training."""
+        The device->host fetch runs BEFORE the lock; only the enqueue is
+        serialized, and the async write still overlaps training. Known
+        tradeoff: if the best-saver currently holds the lock for a full
+        synchronous save (~40 s at flagship scale under
+        --best_full_state), this enqueue — and the training thread — wait
+        behind it."""
         host_state = _tree_dict(jax.device_get(state))
         with _ORBAX_SAVE_LOCK:
             return self.manager.save(

@@ -91,11 +91,12 @@ def test_bench_cpu_smoke(bench_cache):
 
 @pytest.mark.slow
 def test_bench_degraded_budget_keeps_serving(bench_cache):
-    """Simulated degraded tunnel: 90 s of budget left after the infer leg.
+    """Simulated degraded tunnel: 70 s of budget left after the infer leg.
     Serving (in-process, cheap) must still land; every subprocess leg must
-    skip with the reserve message; exit code stays 0."""
+    skip (below min_budget even with the last leg's zero reserve); exit
+    code stays 0."""
     r = _run_bench(bench_cache,
-                   extra_env={"DDTI_BENCH_SIM_REMAINING_S": "90"})
+                   extra_env={"DDTI_BENCH_SIM_REMAINING_S": "70"})
     lines = _json_lines(r)
     out = json.loads(lines[-1])
     # the high-value legs all landed

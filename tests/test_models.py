@@ -237,6 +237,20 @@ def test_parse_remat_arg():
     import pytest as _pytest
     with _pytest.raises(Exception):
         parse_remat_arg("a,b")
+    with _pytest.raises(Exception):  # empty list must not mean full remat
+        parse_remat_arg(",")
+
+
+def test_remat_value_validation():
+    """Scalar truthy remat (YAML `remat: 1`) keeps the historical
+    full-remat semantics; out-of-range level indices raise instead of
+    silently rematting nothing."""
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, 1))
+    m = create_model("UNet", base_filters=8, depth=3, remat=1)
+    m.init({"params": jax.random.PRNGKey(0)}, x, train=False)  # no crash
+    bad = create_model("UNet", base_filters=8, depth=3, remat=(0, 5))
+    with pytest.raises(ValueError, match="out of range"):
+        bad.init({"params": jax.random.PRNGKey(0)}, x, train=False)
 
 
 def test_upconv_matches_conv_transpose():
