@@ -1,6 +1,8 @@
 """Paeth three-shear fast warp (ops/resample.paeth_flip_rotate, QUIRKS #23).
 
-The opt-in --aug_fast_warp path replaces the per-element warp gather with
+The --aug_fast_warp path (training default since round 5; low-level
+AugmentConfig default stays False for oracle parity) replaces the
+per-element warp gather with
 an exact 90k pre-rotation plus three barrel-shifted integer shears. It must
 be EXACTLY equal to the reference-parity warp (fused_flip_rotate, itself
 PIL-verified) for angle 0, pure flips, and 90-degree multiples, and within

@@ -102,6 +102,31 @@ def test_dp_fast_warp_step_matches_single_device(mesh8):
 
 
 @pytest.mark.slow
+def test_dp_selective_remat_step_matches_single_device(mesh8):
+    """Selective per-level remat (r5, --remat 0,1) composed with a
+    DP-sharded mesh: jax.checkpoint must not perturb the GSPMD-partitioned
+    step — loss/counts equal the single-device run."""
+    from ddti_tpu.models import create_model
+    from ddti_tpu.train import create_train_state
+
+    cfg = Config(batch_size=16, image_size=32, store_size=32, lr=1e-3)
+    model = create_model("ResUNet", base_filters=8, depth=3, remat=(0, 1))
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, 32, 32, 1),
+                               cfg.lr, steps_per_epoch=10)
+    im, ma = generate_ddti_like(16, (32, 32), 0)
+    im, ma = jnp.asarray(im), jnp.asarray(ma)
+    state2 = jax.device_put(jax.device_get(state), replicated(mesh8))
+    step = make_train_step(cfg, aug_config_from(cfg))
+    key = jax.random.PRNGKey(5)
+    new1, m1 = step(state, im, ma, key)
+    with mesh8:
+        new2, m2 = step(state2, jax.device_put(im, batch_sharding(mesh8)),
+                        jax.device_put(ma, batch_sharding(mesh8)), key)
+    assert float(m1.loss) == pytest.approx(float(m2.loss), rel=2e-5)
+    assert float(m1.counts.tp) == float(m2.counts.tp)
+
+
+@pytest.mark.slow
 def test_spatial_fast_warp_step_matches_single_device(eight_devices):
     """--aug_fast_warp under a spatial (H-sharded) mesh: the barrel rolls
     cross shard boundaries, so GSPMD must insert the halo exchanges; the
