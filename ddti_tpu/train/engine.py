@@ -165,11 +165,10 @@ class Trainer:
             shape = (1, config.image_size, config.image_size,
                      getattr(model, "in_channels", 1))
             qat = bool(getattr(config, "qat", False))
-            if qat and getattr(model, "remat", False):
-                # nn.remat's inner trace would leak the QAT range
-                # side-channel (same constraint as calibrate_conv_amax)
-                raise ValueError("--qat is incompatible with --remat; "
-                                 "use --grad_accum for memory instead")
+            # --qat composes with --remat since r5: the range observations
+            # ride a mutable 'qobs' collection (train/qat.py:qat_apply),
+            # which flax threads through nn.remat's lifted checkpoint —
+            # the old side-dict tracer leak (and this guard) are gone
             from ddti_tpu.train.state import parse_freeze
             freeze = parse_freeze(config)
             state = create_train_state(

@@ -124,6 +124,18 @@ def init_qstats(model, variables: dict, input_shape,
     return {p: jnp.zeros((), jnp.float32) for p in sorted(paths)}
 
 
+def _flatten_qobs(tree, prefix=()) -> dict:
+    """'qobs' collection tree -> {"enc/conv1": amax} with the same
+    '/'-joined module-path keys as ``init_qstats``."""
+    out: dict = {}
+    for k, v in dict(tree).items():
+        if k == "amax":
+            out["/".join(prefix)] = v
+        else:
+            out.update(_flatten_qobs(v, prefix + (k,)))
+    return out
+
+
 def qat_apply(apply_fn, variables: dict, images, qstats: dict, **kwargs):
     """``apply_fn`` (``model.apply``) with every tracked conv fake-
     quantized. Returns ``(apply_result, observed)`` where ``observed`` maps
@@ -133,8 +145,14 @@ def qat_apply(apply_fn, variables: dict, images, qstats: dict, **kwargs):
 
     Activation scales come from the EMA in ``qstats``; an unobserved entry
     (0.0, first step) falls back to the batch's own amax so step 1 is
-    already sanely scaled."""
-    observed: dict = {}
+    already sanely scaled.
+
+    The observations ride a mutable ``qobs`` flax collection (one 'amax'
+    variable per tracked conv), NOT a Python side dict: under ``remat``
+    (nn.remat = lifted jax.checkpoint) the interceptor runs inside the
+    checkpointed trace, and a side-dict write leaks tracers out of it
+    (UnexpectedTracerError — found composing --qat with --remat, r5).
+    Collections are threaded through lifted transforms by flax itself."""
 
     def icpt(next_fun, args, kwargs, context):
         mod = context.module
@@ -146,14 +164,20 @@ def qat_apply(apply_fn, variables: dict, images, qstats: dict, **kwargs):
         x = args[0]
         fresh = lax.stop_gradient(
             jnp.max(jnp.abs(x.astype(jnp.float32))))
-        observed[path] = (jnp.maximum(observed[path], fresh)
-                         if path in observed else fresh)
+        prev = mod.get_variable("qobs", "amax", jnp.zeros((), jnp.float32))
+        mod.put_variable("qobs", "amax", jnp.maximum(prev, fresh))
         ema = qstats[path]
         return _fq_conv(mod, x, jnp.where(ema > 0, ema, fresh))
 
+    mutable = kwargs.pop("mutable", [])
+    mutable = ([mutable] if isinstance(mutable, str) else list(mutable or []))
     with nn.intercept_methods(icpt):
-        out = apply_fn(variables, images, **kwargs)
-    return out, observed
+        out, updates = apply_fn(variables, images,
+                                mutable=mutable + ["qobs"], **kwargs)
+    updates = dict(updates)
+    observed = _flatten_qobs(updates.pop("qobs", {}))
+    # hand back exactly the collections the caller asked for
+    return (out, updates), observed
 
 
 def qstats_amax(qstats: dict) -> dict:

@@ -160,6 +160,26 @@ def test_qat_train_step_updates_ranges_and_params():
     assert all(v > 0 for v in q2.values())
 
 
+@pytest.mark.parametrize("remat", [True, (0, 1)])
+def test_qat_composes_with_remat(remat):
+    """--qat x --remat (full or per-level): the amax observations ride a
+    mutable 'qobs' collection, so nn.remat's lifted checkpoint threads
+    them instead of leaking tracers from a Python side dict (the r5
+    UnexpectedTracerError regression)."""
+    from ddti_tpu.models import create_model
+    from ddti_tpu.train import create_train_state
+
+    cfg = _tiny_cfg()
+    model = create_model("ResUNet", base_filters=8, depth=3, remat=remat)
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, 32, 32, 1),
+                               cfg.lr, steps_per_epoch=10, qat=True)
+    step = make_train_step(cfg, aug_config_from(cfg))
+    im, ma = _batch()
+    state, m = step(state, im, ma, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m.loss))
+    assert all(float(v) > 0 for v in state.qstats.values())
+
+
 def test_qat_grad_accum_observes_max():
     cfg = _tiny_cfg(grad_accum=2)
     model, state = _tiny()
